@@ -1,0 +1,59 @@
+"""Benchmark harness (driver contract: one JSON line to stdout).
+
+Runs the headline queries (one per major operator family) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, timing one warm run each after a JVM/
+session warmup pass, and prints::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mcm_problem_f_data_wrangling_spark.plans import REGISTRY, headline_queries
+from mcm_problem_f_data_wrangling_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_set = headline_queries()
+    # warmup: JVM codegen + parquet footer caches (not timed)
+    for q in bench_set[:2]:
+        q.spark(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for q in bench_set:
+        t0 = time.perf_counter()
+        n = q.spark(spark, sf_dir).count()
+        timings[q.name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries_total": len(REGISTRY),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,209 @@
+"""Deduplication operators for LLM-training-data pipelines (engine
+extension mandated by BASELINE.json's north star; not in the reference,
+which has only drop_duplicates — SURVEY.md §2.2 P11).
+
+All four families are built from JVM-side expressions (no Python UDFs)
+so the dedup stages scale with the scan:
+
+- **exact**: hash-groupBy on a whitespace-normalized content
+  fingerprint; at 100 TB this is one shuffle on a 8-byte key.
+- **MinHash + LSH**: shingle → k independent min-hashes → band keys →
+  bucket self-join.  The self-join is banded (equi-join on
+  (band_idx, band_key)) so candidate generation never goes quadratic;
+  only same-bucket pairs are compared.
+- **SimHash**: 16-bit portable simhash; near-dup candidates share the
+  simhash value (or low hamming distance via multi-probe).
+- **n-gram Jaccard**: exact token-set similarity, banded by length
+  bucket to bound the pair space.
+
+Portability: hashes use md5-derived integers (``portable_hash64``) so
+the DuckDB correctness oracle can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import doc_fingerprint, portable_hash64, tokens, word_shingles
+
+MINHASH_K = 16
+# 8 bands × 2 rows: detection prob at Jaccard J is 1-(1-J²)⁸ — ≈0.999 at
+# J=0.75 (a one-word edit in a paragraph), ≈2% at J=0.05 (unrelated docs).
+LSH_BANDS = 8
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: fingerprint → group → keep min id.
+
+    Output: (fingerprint, n_docs, keep_doc_id).  Rows with n_docs > 1
+    are duplicate clusters; the canonical survivor is the min id.
+    """
+    return (
+        df.select(doc_fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_doc_id"),
+        )
+    )
+
+
+def minhash_signature_cols(text_col: str = "text", k: int = MINHASH_K, shingle_k: int = 3) -> list[Column]:
+    """k MinHash components over word shingles, as named columns s0..s{k-1}.
+
+    Each component is ``min over shingles of md5-hash(seed_i || shingle)``
+    — the standard permutation-free MinHash approximation with k
+    independent seeded hash functions.
+    """
+    sh = word_shingles(text_col, k=shingle_k)
+
+    def seeded_hash(seed_idx: int):
+        # factory, not a default-arg lambda: pyspark HOF lambdas with two
+        # parameters receive (element, index) and would shadow the seed
+        return lambda s: portable_hash64(s, seed=f"{seed_idx}|")
+
+    return [
+        F.array_min(F.transform(sh, seeded_hash(i))).alias(f"s{i}") for i in range(k)
+    ]
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K) -> DataFrame:
+    """Per-doc MinHash signature table: (id, s0..s{k-1})."""
+    return df.select(F.col(id_col), *minhash_signature_cols(text_col, k))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """LSH banding: pairs sharing at least one band bucket.
+
+    Signature is split into ``bands`` bands of ``k/bands`` rows; the
+    band key is the concatenation of its components.  Candidates are
+    produced by an equi-self-join on (band_idx, band_key) — at scale
+    this is one shuffle keyed on the band hash, never a cross join.
+    """
+    rows = k // bands
+    band_key = [
+        F.concat_ws("|", *[F.col(f"s{b * rows + r}") for r in range(rows)]).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(F.col(id_col), *band_key).select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_idx") == F.col(f"b.band_idx"))
+            & (F.col(f"a.band_key") == F.col(f"b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_1"),
+            F.col(f"b.{id_col}").alias("doc_id_2"),
+        )
+        .dropDuplicates()
+    )
+
+
+def simhash16(text_col: str = "text") -> Column:
+    """16-bit SimHash over word tokens (multiset-weighted).
+
+    bit_b of the hash is set when the majority of token-hashes have
+    bit_b set.  Token hash = 16 bits of md5 (portable to the oracle).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"))
+
+    def bit_set(bit: int):
+        # factory, not a default-arg lambda (see minhash_signature_cols)
+        return lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1
+
+    acc = F.lit(0)
+    for b in range(16):
+        cnt = F.size(F.filter(th, bit_set(b)))
+        acc = acc + F.when(cnt * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
+    return acc.cast("long")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_col: str = "n_chars",
+    bucket_width: int = 64,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Token-set Jaccard similarity over length-banded candidate pairs.
+
+    Banding on ``n_chars // bucket_width`` bounds the pair space (a
+    true near-dup pair has near-equal length); the Jaccard itself is
+    exact over distinct whitespace tokens.
+    Output: (doc_id_1, doc_id_2, jaccard).
+    """
+    prepared = df.select(
+        F.col(id_col),
+        F.array_distinct(tokens(text_col)).alias("tok"),
+        (F.col(bucket_col) / bucket_width).cast("long").alias("bucket"),
+    )
+    a, b = prepared.alias("a"), prepared.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
+    union = F.size(F.col("a.tok")) + F.size(F.col("b.tok")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_1"),
+            F.col(f"b.{id_col}").alias("doc_id_2"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    band_col: str = "label",
+    top_per_band: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-dup candidates, banded to avoid O(n²).
+
+    Pairs are generated only within a band (here a coarse cluster id —
+    in production the band is an LSH/IVF cell) and the top pairs per
+    band by cosine are kept.  Output: (band, vec_id_1, vec_id_2, cos_sim).
+    """
+    from ..functions.vectors import cosine_similarity
+    from pyspark.sql import Window
+
+    a, b = df.alias("a"), df.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{band_col}") == F.col(f"b.{band_col}"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{band_col}").alias("band"),
+        F.col(f"a.{id_col}").alias("vec_id_1"),
+        F.col(f"b.{id_col}").alias("vec_id_2"),
+        cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_raw"),
+    )
+    w = Window.partitionBy("band").orderBy(F.desc("cos_raw"), "vec_id_1", "vec_id_2")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_per_band)
+        .select("band", "vec_id_1", "vec_id_2", F.round("cos_raw", 6).alias("cos_sim"))
+    )

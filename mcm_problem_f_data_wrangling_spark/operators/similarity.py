@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (engine extension,
+BASELINE.json north star).
+
+Two tiers:
+- **Brute-force cosine top-k** — the exactness baseline.  One
+  broadcast of the query vector, one scan, one TakeOrdered(k).  Scales
+  linearly; at 100 TB the scan dominates and parallelizes perfectly.
+- **IVF (coarse-quantized) top-k** — the scale path.  Vectors are
+  assigned to cells (here: the provided cluster/label column; in
+  production k-means centroids built the same way); the query probes
+  only the nearest cell(s), cutting the scanned fraction to
+  cells_probed / n_cells.
+
+Everything is JVM-side higher-order-function arithmetic — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), q).alias("cos_raw"),
+        )
+        .orderBy(F.desc("cos_raw"), id_col)
+        .limit(k)
+        .select(id_col, F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+def centroids_by_cell(df: DataFrame, vec_col: str = "embedding", cell_col: str = "label") -> DataFrame:
+    """Per-cell mean vector (the IVF coarse quantizer codebook).
+
+    Computed by exploding positions and averaging per (cell, pos) —
+    one shuffle keyed on (cell, pos), then regrouped to arrays.
+    """
+    exploded = df.select(
+        F.col(cell_col).alias("cell"), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    per_pos = exploded.groupBy("cell", "pos").agg(F.avg(F.col("v").cast("double")).alias("c"))
+    return per_pos.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
+    ).select("cell", F.transform(F.col("pc"), lambda x: x["c"]).alias("centroid"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: probe the ``n_probe`` nearest cells only.
+
+    The probed-cell filter is a broadcast semi-join, so the main scan
+    prunes to the probed partitions (with the table partitioned by
+    cell on disk, this is partition pruning, not a filter).
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cents = centroids_by_cell(df, vec_col, cell_col)
+    probed = (
+        cents.select("cell", cosine_similarity(F.col("centroid"), q).alias("qcos"))
+        .orderBy(F.desc("qcos"), "cell")
+        .limit(n_probe)
+        .select("cell")
+    )
+    return (
+        df.join(broadcast(probed), F.col(cell_col) == F.col("cell"))
+        .select(F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), id_col)
+        .limit(k)
+        .select(id_col, F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+def query_vector_of(df: DataFrame, vec_id: int, vec_col: str = "embedding", id_col: str = "vec_id") -> list[float]:
+    """Driver-side fetch of one vector to use as a query literal."""
+    row: Row | None = df.filter(F.col(id_col) == vec_id).select(vec_col).head()
+    if row is None:
+        raise KeyError(f"no vector with {id_col}={vec_id}")
+    return [float(v) for v in row[0]]

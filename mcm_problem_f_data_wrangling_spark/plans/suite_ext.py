@@ -1,0 +1,539 @@
+"""Extension query suite: LLM-training-data pipeline operators over
+``documents`` / ``embeddings`` (BASELINE.json north star) plus the
+model/simulation layer (SURVEY.md §2.9 X3-X5) and the streaming
+rollup's batch mirror.
+
+Oracle portability: all text hashes are md5-derived
+(``portable_hash64`` ≡ ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``)
+so MinHash/SimHash signatures are bit-identical in DuckDB.  Vector
+math is mirrored with unnest-by-position joins, double-cast before
+multiplication (DuckDB FLOAT*FLOAT stays single-precision otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfn import (
+    BPEISH_TOKEN_RE,
+    LANG_MARKERS,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count_bpeish,
+    token_count_ws,
+    tokens,
+)
+from ..operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from ..operators.forecast import fit_rw_drift_forecast, monte_carlo_forecast
+from ..operators.multimodal import attach_binary_metadata, decode_media
+from ..operators.similarity import brute_force_topk, ivf_topk, query_vector_of
+from .base import DSUM, MONTHLY_CTE, Query, dsum, monthly_lineitem, table
+
+QUERIES: list[Query] = []
+
+
+def _q(name: str, doc: str, sql: str | None = None, headline: bool = False, tags: tuple[str, ...] = ()):
+    def wrap(fn):
+        QUERIES.append(Query(name, doc, fn, sql, headline, tags))
+        return fn
+
+    return wrap
+
+
+# --- shared SQL fragments --------------------------------------------------
+
+_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')"
+
+
+def _H60(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _H16(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 4) AS BIGINT)"
+
+
+_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 "
+    "THEN list_transform(generate_series(1, len(toks) - 2), "
+    "i -> array_to_string(toks[i:i+2], ' ')) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+def _sig_col_sql(i: int) -> str:
+    seeded = "concat('" + str(i) + "|', s)"
+    return f"list_min(list_transform(shingles, s -> {_H60(seeded)})) AS s{i}"
+
+
+_SIG_COLS_SQL = ",\n       ".join(_sig_col_sql(i) for i in range(16))
+
+_SIG_CTE = f"""
+toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks_t),
+sig AS (
+  SELECT doc_id,
+       {_SIG_COLS_SQL}
+  FROM sh
+)
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# dedup family
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "x_dedup_exact_fingerprint",
+    "Exact dedup: whitespace-normalized 60-bit content fingerprint → "
+    "hash-groupBy → keep min doc_id (engine extension; generalizes P11).",
+    f"""
+SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM (
+  SELECT doc_id,
+         {_H60(f"array_to_string({_TOKS}, ' ')")} AS fingerprint
+  FROM documents
+)
+GROUP BY fingerprint
+""",
+    tags=("M4", "dedup"),
+)
+def x_dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "x_minhash_signatures",
+    "MinHash: 16 md5-seeded min-hashes over 3-word shingles per doc "
+    "(the signature stage of MinHash-LSH dedup).",
+    f"WITH {_SIG_CTE}\nSELECT * FROM sig",
+    headline=True,
+    tags=("M4", "dedup"),
+)
+def x_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(table(spark, sf_dir, "documents"))
+
+
+_BANDED_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_idx, concat_ws('|', s{b * 2}, s{b * 2 + 1}) AS band_key FROM sig"
+    for b in range(8)
+)
+
+
+@_q(
+    "x_dedup_minhash_lsh_pairs",
+    "MinHash-LSH candidate pairs: 8 bands × 2 rows, banded equi-self-join "
+    "on (band_idx, band_key) — never a cross join.",
+    f"""
+WITH {_SIG_CTE},
+banded AS (
+{_BANDED_SQL}
+)
+SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+FROM banded a
+JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+""",
+    tags=("M4", "dedup"),
+)
+def x_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_signatures(docs))
+
+
+@_q(
+    "x_dedup_simhash",
+    "SimHash: 16-bit majority-vote fingerprint over md5 token hashes.",
+    f"""
+WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+h AS (
+  SELECT doc_id, len(toks) AS n,
+         list_transform(toks, t -> {_H16('t')}) AS th
+  FROM toks_t
+)
+SELECT doc_id,
+       CAST({' + '.join(f"(CASE WHEN 2 * len(list_filter(th, x -> ((x >> {b}) & 1) = 1)) > n THEN {1 << b} ELSE 0 END)" for b in range(16))}
+            AS BIGINT) AS simhash
+FROM h
+""",
+    tags=("M4", "dedup"),
+)
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash16("text").alias("simhash"))
+
+
+@_q(
+    "x_dedup_ngram_jaccard",
+    "n-gram (token-set) Jaccard near-dup pairs, banded by length bucket "
+    "(n_chars // 64) to bound the candidate space.",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct({_TOKS}) AS tok,
+         CAST(n_chars // 64 AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+         / CAST(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+         AS jaccard
+FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        / CAST(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS DOUBLE) >= 0.2
+""",
+    tags=("M4", "dedup"),
+)
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "x_embed_neardup_pairs",
+    "Embedding-cosine near-dup: top-3 same-cluster pairs per cluster by "
+    "cosine (banded — never O(n²) across the corpus).",
+    """
+WITH e AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+p AS (
+  SELECT a.label AS band, a.vec_id AS v1, b.vec_id AS v2,
+         SUM(a.val * b.val) AS dot,
+         SQRT(SUM(a.val * a.val)) AS na, SQRT(SUM(b.val * b.val)) AS nb
+  FROM e a JOIN e b ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2, 3
+)
+SELECT band, v1 AS vec_id_1, v2 AS vec_id_2, ROUND(dot / (na * nb), 6) AS cos_sim
+FROM p
+QUALIFY row_number() OVER (PARTITION BY band ORDER BY dot / (na * nb) DESC, v1, v2) <= 3
+""",
+    tags=("M4", "dedup"),
+)
+def x_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+_TOPK_PREFIX = """
+WITH q AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS qv, generate_subscripts(embedding, 1) AS pos
+  FROM embeddings WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+),
+e AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+)
+""".strip()
+
+
+@_q(
+    "x_sim_search_bruteforce",
+    "Brute-force cosine top-10 against the min-vec_id query vector — "
+    "the exactness baseline for ANN.",
+    f"""
+{_TOPK_PREFIX},
+s AS (
+  SELECT e.vec_id, SUM(e.val * q.qv) AS dot,
+         SQRT(SUM(e.val * e.val)) AS ne, SQRT(SUM(q.qv * q.qv)) AS nq
+  FROM e JOIN q ON e.pos = q.pos
+  WHERE e.vec_id != (SELECT MIN(vec_id) FROM embeddings)
+  GROUP BY 1
+)
+SELECT vec_id, ROUND(dot / (ne * nq), 6) AS cos_sim
+FROM s ORDER BY dot / (ne * nq) DESC, vec_id LIMIT 10
+""",
+    headline=True,
+    tags=("M4", "similarity"),
+)
+def x_sim_search_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qid = emb.agg(F.min("vec_id")).head()[0]
+    qvec = query_vector_of(emb, qid)
+    return brute_force_topk(emb.filter(F.col("vec_id") != qid), qvec, k=10)
+
+
+@_q(
+    "x_sim_search_ivf",
+    "IVF top-5: probe only the nearest coarse cell (label centroid) — "
+    "the scale path cutting the scanned fraction to 1/n_cells.",
+    f"""
+{_TOPK_PREFIX},
+cent AS (
+  SELECT label, pos, AVG(val) AS c FROM e GROUP BY 1, 2
+),
+cq AS (
+  SELECT cent.label, SUM(c * qv) AS dot,
+         SQRT(SUM(c * c)) AS nc, SQRT(SUM(qv * qv)) AS nq
+  FROM cent JOIN q ON cent.pos = q.pos GROUP BY 1
+),
+best AS (SELECT label FROM cq ORDER BY dot / (nc * nq) DESC, label LIMIT 1),
+s AS (
+  SELECT e.vec_id, SUM(e.val * q.qv) AS dot,
+         SQRT(SUM(e.val * e.val)) AS ne, SQRT(SUM(q.qv * q.qv)) AS nq
+  FROM e JOIN q ON e.pos = q.pos
+  WHERE e.label = (SELECT label FROM best)
+  GROUP BY 1
+)
+SELECT vec_id, ROUND(dot / (ne * nq), 6) AS cos_sim
+FROM s ORDER BY dot / (ne * nq) DESC, vec_id LIMIT 5
+""",
+    tags=("M4", "similarity"),
+)
+def x_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qid = emb.agg(F.min("vec_id")).head()[0]
+    qvec = query_vector_of(emb, qid)
+    return ivf_topk(emb, qvec, k=5)
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "x_text_quality",
+    "Per-doc quality metrics: token counts (ws + BPE-ish), punctuation "
+    "ratio, stopword ratio, composite quality score.",
+    f"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{BPEISH_TOKEN_RE}')) AS BIGINT) AS n_tokens_bpeish,
+       ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       ROUND(CAST(len(list_filter(toks, t -> list_contains({LANG_MARKERS['en']}, lower(t)))) AS DOUBLE)
+             / greatest(len(toks), 1), 6) AS stopword_ratio,
+       ROUND((
+         (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END)
+         + (1.0 - least(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                        / greatest(length(text), 1) * 4, 1.0))
+         + least(CAST(len(list_filter(toks, t -> list_contains({LANG_MARKERS['en']}, lower(t)))) AS DOUBLE)
+                 / greatest(len(toks), 1) * 5, 1.0)
+       ) / 3.0, 6) AS quality
+FROM d
+""",
+    headline=True,
+    tags=("M4", "text"),
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").cast("long").alias("n_tokens"),
+        token_count_bpeish("text").cast("long").alias("n_tokens_bpeish"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+
+
+def _lang_sql() -> str:
+    scores = {
+        lang: f"len(list_filter(ltoks, t -> list_contains({markers}, t)))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(scores.values())})"
+    case = " ".join(
+        f"WHEN {scores[lang]} = best THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         list_transform({_TOKS}, t -> lower(t)) AS ltoks
+  FROM documents
+),
+scored AS (SELECT doc_id, lang, {best} AS best, ltoks FROM d)
+SELECT lang, CASE WHEN best = 0 THEN 'und' {case} ELSE 'und' END AS lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM scored GROUP BY 1, 2
+""".strip()
+
+
+@_q(
+    "x_lang_id",
+    "Heuristic language ID (marker-stopword argmax) cross-tabbed against "
+    "the labeled lang column.",
+    _lang_sql(),
+    tags=("M4", "text"),
+)
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_q(
+    "x_token_corpus_stats",
+    "Corpus token statistics per source (the token-counting op at corpus "
+    "grain).",
+    f"""
+WITH d AS (SELECT source, n_chars, len({_TOKS}) AS n_toks FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM d GROUP BY 1
+""",
+    tags=("M4", "text"),
+)
+def x_token_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "source", "n_chars", token_count_ws("text").alias("n_toks")
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.sum("n_toks").cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+
+
+@_q(
+    "x_multimodal_metadata",
+    "Multimodal binary-column plumbing: opaque payload → JVM-side "
+    "metadata (byte length, content md5, magic-byte prefix). The decode "
+    "stage is a stubbed mapInPandas (see operators.multimodal).",
+    """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       lower(hex(substr(text, 1, 4))) AS magic_hex
+FROM documents
+""",
+    tags=("M4", "multimodal"),
+)
+def x_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return attach_binary_metadata(docs, "payload").select(
+        "doc_id", "byte_len", "content_md5", "magic_hex"
+    )
+
+
+# --------------------------------------------------------------------------
+# model / simulation layer (X3-X5)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "x3_drift_fit_forecast",
+    "X3: per-group model fit via applyInPandas (RW-with-drift standing in "
+    "for SARIMAX; statsmodels absent) + 6-step point forecast. "
+    "Parity: fit_rw_drift_params, EDA.ipynb cell 27.",
+    f"""
+WITH {MONTHLY_CTE},
+diffs AS (
+  SELECT flag, month,
+         revenue - lag(revenue) OVER (PARTITION BY flag ORDER BY month) AS d
+  FROM monthly
+),
+tail AS (
+  SELECT flag, d, row_number() OVER (PARTITION BY flag ORDER BY month DESC) AS rn
+  FROM diffs WHERE d IS NOT NULL
+),
+params AS (
+  SELECT flag, AVG(d) AS mu, stddev_samp(d) AS sigma
+  FROM tail WHERE rn <= 24 GROUP BY 1
+),
+lastv AS (
+  SELECT flag, arg_max(revenue, month) AS last_v FROM monthly GROUP BY 1
+)
+SELECT p.flag AS career, CAST(s AS BIGINT) AS step,
+       ROUND(l.last_v + s * p.mu, 4) AS forecast,
+       ROUND(p.mu, 4) AS mu, ROUND(p.sigma, 4) AS sigma
+FROM params p JOIN lastv l ON p.flag = l.flag,
+     (SELECT unnest(generate_series(1, 6)) AS s)
+""",
+    tags=("M3", "model"),
+)
+def x3_drift_fit_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = monthly_lineitem(spark, sf_dir)
+    out = fit_rw_drift_forecast(m, "flag", "month", "revenue", steps=6, tail_window=24)
+    return out.select(
+        F.col("group").alias("career"),
+        "step",
+        F.round("forecast", 4).alias("forecast"),
+        F.round("mu", 4).alias("mu"),
+        F.round("sigma", 4).alias("sigma"),
+    )
+
+
+@_q(
+    "x5_monte_carlo_fan",
+    "X5: Monte-Carlo fan forecast — native seeded path simulation "
+    "(F14+W8+F10) + exact quantile fan (A6). No SQL oracle: seeded "
+    "randn is engine-specific (SURVEY.md §4 item 3); correctness is "
+    "asserted by distributional property tests in tests/.",
+    None,  # rows-only check by design
+    tags=("M3", "model"),
+)
+def x5_monte_carlo_fan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = monthly_lineitem(spark, sf_dir)
+    return monte_carlo_forecast(
+        m, "flag", "month", "revenue", sims=100, steps=6, seed=7, tail_window=24
+    )
+
+
+@_q(
+    "x_multimodal_decode_stub",
+    "Multimodal decode plumbing end-to-end: binary payloads through the "
+    "Arrow-batched mapInPandas decode stage (deterministic stub decoder "
+    "— media libs absent; see operators.multimodal). Rows-only check.",
+    None,  # stub decoder is Python-side by design
+    tags=("M4", "multimodal"),
+)
+def x_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.col("source").alias("source_uri"),
+    )
+    return decode_media(docs)
+
+
+# --------------------------------------------------------------------------
+# streaming batch mirror (S: the monthly/tumbling rollup)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "s08_tumbling_window_rollup",
+    "Batch mirror of the Structured Streaming tumbling-window rollup "
+    "(streaming variant with watermark lives in streaming/monthly_rollup "
+    "and is exercised in tests — SURVEY.md §2.8 extension).",
+    f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, {DSUM('value')} AS total
+FROM events GROUP BY 1, 2
+""",
+    tags=("M2", "streaming"),
+)
+def s08_tumbling_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total"))
+        .select(F.col("w.start").cast("date").alias("day"), "event_type", "n", "total")
+    )

@@ -1,0 +1,75 @@
+"""Sinks (SURVEY.md §2.1, S5-S6).
+
+- S5 CSV sink: the reference writes one file per output
+  (``df.to_csv(path, index=False)``, ``bls_ces/prep_CES_pandas.py:183``).
+  Single-file semantics require ``coalesce(1)`` — fine for the
+  reference's ~1k-row parity outputs, documented as non-scalable
+  (SURVEY.md §7 hard parts).  ``write_parquet`` is the scale path.
+- S6 Excel sink (``EDA.ipynb cell 33``): no native distributed writer
+  exists; small result sets are collected to pandas on the driver.
+  openpyxl is not in this container, so the Excel path is gated behind
+  an import-try and raises a clear error when unavailable.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Scale-path sink: columnar, splittable, partition-prunable."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv_single(df: DataFrame, path: str, header: bool = True) -> str:
+    """S5: single-file CSV with pandas ``to_csv`` semantics.
+
+    Writes via a temp directory then renames the lone part file to
+    ``path``.  Deliberately ``coalesce(1)`` — parity with the
+    reference's one-file outputs; use :func:`write_parquet` for bulk.
+    """
+    tmp = path + "._spark_tmp"
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", str(header).lower())
+        .csv(tmp)
+    )
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    shutil.move(part, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def write_excel_sheets(frames: dict[str, DataFrame], path: str) -> str:
+    """S6: multi-sheet Excel export (``EDA.ipynb cell 33``).
+
+    Collects each (small) DataFrame to pandas on the driver — the same
+    place the reference materializes them — one sheet per key.
+    """
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "Excel sink requires openpyxl (not installed in this container); "
+            "use write_csv_single or write_parquet instead"
+        ) from exc
+    import pandas as pd
+
+    with pd.ExcelWriter(path, engine="openpyxl") as writer:  # pragma: no cover
+        for sheet, df in frames.items():
+            df.toPandas().to_excel(writer, sheet_name=sheet[:31], index=False)
+    return path

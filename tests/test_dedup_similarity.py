@@ -1,0 +1,128 @@
+"""Dedup + similarity operators on synthetic corpora with planted
+duplicates (the testdata documents are all unique, so near-dup recall
+is exercised here)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mcm_problem_f_data_wrangling_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from mcm_problem_f_data_wrangling_spark.operators.grid import (
+    collapse_duplicate_months,
+)
+from mcm_problem_f_data_wrangling_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE, len(BASE)),
+        (2, "  " + BASE + "  ", len(BASE) + 4),  # whitespace-variant exact dup
+        (3, BASE.replace("dog", "hound"), len(BASE) + 2),  # near dup
+        (4, "completely different text about spark sql query planning engines", 64),
+        (5, BASE.replace("cat", "kitten").replace("fox", "wolf"), len(BASE) + 5),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+
+
+def test_exact_dedup_collapses_whitespace_variants(corpus):
+    groups = exact_dedup_groups(corpus).collect()
+    by_n = sorted((g["n_docs"], g["keep_doc_id"]) for g in groups)
+    assert (2, 1) in by_n  # docs 1+2 share a fingerprint; min id kept
+    assert len(groups) == 4
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    sigs = minhash_signatures(corpus)
+    pairs = {(r["doc_id_1"], r["doc_id_2"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs  # identical after normalization
+    assert (1, 3) in pairs  # one-word change shares most shingles
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_near_dups_close(corpus):
+    out = {r["doc_id"]: r["sh"] for r in corpus.select("doc_id", simhash16("text").alias("sh")).collect()}
+    assert out[1] == out[2]
+    ham_near = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard_scores(corpus):
+    pairs = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, bucket_width=1000, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert pairs[(1, 3)] > 0.8
+    assert (1, 4) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(11)
+    rows = []
+    for vid in range(60):
+        label = vid % 3
+        base = np.zeros(8)
+        base[label] = 1.0
+        v = base + rng.normal(0, 0.05, 8)
+        rows.append((vid, [float(x) for x in v], label))
+    # planted near-duplicate of vec 0
+    dup = [float(x) for x in np.array(rows[0][1]) + 1e-4]
+    rows.append((999, dup, 0))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_embedding_neardup_detects_plant(vectors):
+    top = embedding_neardup_pairs(vectors).collect()
+    best_band0 = [r for r in top if r["band"] == 0][0]
+    assert (best_band0["vec_id_1"], best_band0["vec_id_2"]) == (0, 999)
+    assert best_band0["cos_sim"] > 0.999
+
+
+def test_bruteforce_topk_finds_plant(vectors):
+    q = [float(x) for x in vectors.filter("vec_id = 0").head()["embedding"]]
+    top = brute_force_topk(vectors.filter("vec_id != 0"), q, k=3).collect()
+    assert top[0]["vec_id"] == 999
+    assert top[0]["cos_sim"] > 0.999
+
+
+def test_ivf_topk_probes_right_cell(vectors):
+    q = [float(x) for x in vectors.filter("vec_id = 0").head()["embedding"]]
+    top = ivf_topk(vectors, q, k=3)
+    rows = top.collect()
+    assert rows[0]["vec_id"] in (0, 999)
+    got_labels = {
+        vectors.filter(F.col("vec_id") == r["vec_id"]).head()["label"] for r in rows
+    }
+    assert got_labels == {0}  # only the probed cell was searched
+
+
+def test_dedupe_rule_last_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", "2024-01-01", 1, 10.0), ("a", "2024-01-01", 2, 20.0), ("a", "2024-02-01", 3, 30.0)],
+        ["career", "month", "seq", "v"],
+    )
+    out = collapse_duplicate_months(
+        df, ["v"], keys=["career"], month_col="month", rule="last", order_col="seq"
+    ).collect()
+    got = {r["month"]: r["v"] for r in out}
+    assert got == {"2024-01-01": 20.0, "2024-02-01": 30.0}

@@ -1,0 +1,100 @@
+"""pandas-parity for the window layer (SURVEY.md §7 hard parts):
+rolling stats must reproduce pandas min_periods NaN semantics exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mcm_problem_f_data_wrangling_spark.functions.rolling import (
+    diff,
+    index_rebase,
+    pct_change,
+    rolling_avg,
+    rolling_corr,
+    rolling_median,
+    rolling_std,
+)
+
+N = 40
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame(
+        {
+            "career": ["a"] * N + ["b"] * N,
+            "t": list(range(N)) * 2,
+            "x": np.concatenate([rng.lognormal(3, 0.2, N), rng.lognormal(4, 0.3, N)]),
+            "y": np.concatenate([rng.lognormal(2, 0.4, N), rng.lognormal(1, 0.1, N)]),
+        }
+    )
+    # leading nulls in one series exercise first-non-null rebasing
+    pdf.loc[pdf.index[:3], "y"] = np.nan
+    return spark.createDataFrame(pdf), pdf
+
+
+def _check(sdf, pdf_expected, col):
+    got = (
+        sdf.orderBy("career", "t").select(col).toPandas()[col].to_numpy()
+    )
+    exp = pdf_expected.to_numpy()
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-12, equal_nan=True), col
+
+
+def test_rolling_family_matches_pandas(series):
+    sdf, pdf = series
+    w = Window.partitionBy("career").orderBy("t")
+    out = sdf.select(
+        "career",
+        "t",
+        rolling_avg("x", w, 6).alias("r_avg"),
+        rolling_std("x", w, 12).alias("r_std"),
+        rolling_median("x", w, 13, min_periods=6).alias("r_med"),
+        rolling_corr("x", "y", w, 12).alias("r_corr"),
+        pct_change("x", w, 1, scale=100.0).alias("mom"),
+        diff("x", w, 12).alias("d12"),
+        index_rebase("y", w).alias("y_idx"),
+    )
+    g = pdf.sort_values(["career", "t"]).groupby("career")
+    _check(out, g["x"].rolling(6).mean().reset_index(drop=True), "r_avg")
+    _check(out, g["x"].rolling(12).std().reset_index(drop=True), "r_std")
+    _check(
+        out,
+        g["x"].rolling(13, min_periods=6).median().reset_index(drop=True),
+        "r_med",
+    )
+    exp_corr = (
+        pdf.sort_values(["career", "t"])
+        .groupby("career")
+        .apply(lambda d: d["x"].rolling(12).corr(d["y"]))
+        .reset_index(drop=True)
+    )
+    _check(out, exp_corr, "r_corr")
+    _check(out, g["x"].pct_change(1).reset_index(drop=True) * 100.0, "mom")
+    _check(out, g["x"].diff(12).reset_index(drop=True), "d12")
+    exp_idx = (
+        pdf.sort_values(["career", "t"])
+        .groupby("career")["y"]
+        .apply(lambda s: s / s.dropna().iloc[0] * 100.0)
+        .reset_index(drop=True)
+    )
+    _check(out, exp_idx, "y_idx")
+
+
+def test_min_periods_guard_nulls_exact_prefix(series):
+    """First w-1 rows per series must be NULL — pandas rolling default."""
+    sdf, _ = series
+    w = Window.partitionBy("career").orderBy("t")
+    out = (
+        sdf.select("career", "t", rolling_avg("x", w, 6).alias("r"))
+        .orderBy("career", "t")
+        .toPandas()
+    )
+    for _, grp in out.groupby("career"):
+        assert grp["r"].head(5).isna().all()
+        assert grp["r"].iloc[5:].notna().all()

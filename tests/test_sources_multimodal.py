@@ -1,0 +1,103 @@
+"""Sources (readers/writers) + multimodal binary plumbing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+    attach_binary_metadata,
+    decode_media,
+    frame_sample_plan,
+)
+from mcm_problem_f_data_wrangling_spark.sources import (
+    find_col,
+    normalize_columns,
+    read_csv,
+    read_tsv,
+    write_csv_single,
+)
+
+
+@pytest.fixture(scope="module")
+def tsv_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("tsv") / "ce.data.sample.txt"
+    p.write_text(
+        "series_id\t  year \tperiod\t value\n"
+        "CES001\t2024\tM01\t12.5\n"
+        "CES001\t2024\tM13\t99.9\n"
+        "CES002\t2024\tM02\tgarbage\n"
+    )
+    return str(p)
+
+
+def test_read_tsv_all_string_header_strip(spark, tsv_file):
+    df = read_tsv(spark, tsv_file)
+    assert df.columns == ["series_id", "year", "period", "value"]  # stripped
+    assert all(t == "string" for _, t in df.dtypes)  # all-string load
+    assert df.count() == 3
+
+
+def test_find_col_alias_resolution(spark, tsv_file):
+    df = read_tsv(spark, tsv_file)
+    assert find_col(df, ["SERIES_ID", "sid"]) == "series_id"
+    with pytest.raises(KeyError):
+        find_col(df, ["naics_code"])
+
+
+def test_normalize_columns_lower(spark):
+    df = spark.createDataFrame([(1,)], ["  MiXeD Col  "])
+    assert normalize_columns(df).columns == ["mixed col"]
+
+
+def test_csv_roundtrip_single_file(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("2024-01-01", 1.5), ("2024-02-01", 2.5)], ["date", "v"]
+    )
+    out = str(tmp_path / "out.csv")
+    write_csv_single(df, out)
+    assert os.path.isfile(out)
+    back = read_csv(spark, out, date_cols=["date"])
+    assert dict(back.dtypes)["date"] == "date"
+    assert back.count() == 2
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, b"\x89PNG\r\n" + b"x" * 100, "image", "s3://x/1.png"),
+        (2, b"RIFF" + b"y" * 500, "audio", "s3://x/2.wav"),
+        (3, b"\x00\x00\x01\xba" + b"z" * 900, "video", "s3://x/3.mpg"),
+    ]
+    return spark.createDataFrame(rows, ["media_id", "payload", "media_type", "source_uri"])
+
+
+def test_binary_metadata_jvm_side(media):
+    out = attach_binary_metadata(media).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[1]["byte_len"] == 106
+    assert by_id[1]["magic_hex"] == "89504e47"  # PNG magic
+    assert by_id[2]["magic_hex"] == "52494646"  # RIFF
+    assert len(by_id[3]["content_md5"]) == 32
+
+
+def test_decode_stub_shapes(media):
+    decoded = decode_media(media)
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert rows[1]["n_frames"] == 1  # image
+    assert rows[3]["n_frames"] > 1  # video
+    assert 0.0 <= rows[2]["mean_luma"] <= 1.0
+    # determinism: same payload → same features
+    again = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert rows[1] == again[1]
+
+
+def test_frame_sample_plan(media):
+    decoded = decode_media(media)
+    plan = frame_sample_plan(decoded, every_n=50).collect()
+    vids = {r["media_id"] for r in plan}
+    assert vids <= {2, 3}
+    idx = sorted(r["frame_idx"] for r in plan if r["media_id"] == 3)
+    assert idx[0] == 0 and all(i % 50 == 0 for i in idx)
