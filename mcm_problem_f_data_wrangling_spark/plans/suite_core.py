@@ -56,17 +56,16 @@ WITH filt AS (
          OR starts_with(coalesce(p.p_type, ''), 'STANDARD'))
 ), per_brand AS (
   SELECT month, p_brand,
-         {DSUM('l_quantity')} AS w,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS w_dec,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS p
   FROM filt GROUP BY 1, 2
-), emp_m AS (
-  SELECT month, {DSUM('l_quantity')} AS total_qty FROM filt GROUP BY 1
-), earn_m AS (
-  SELECT month, ROUND(SUM(p * w) / SUM(w), 4) AS avg_price_weighted
-  FROM per_brand GROUP BY 1
 )
-SELECT e.month AS month, e.total_qty AS total_qty, a.avg_price_weighted AS avg_price_weighted
-FROM emp_m e LEFT JOIN earn_m a ON e.month = a.month
+SELECT month,
+       CAST(SUM(w_dec) AS DOUBLE) AS total_qty,
+       ROUND(SUM(p * CAST(w_dec AS DOUBLE)) / SUM(CAST(w_dec AS DOUBLE)), 4)
+         AS avg_price_weighted
+FROM per_brand
+GROUP BY month
 ORDER BY month
 """.strip()
 
@@ -75,13 +74,23 @@ ORDER BY month
     "flagship_career_collapse",
     "collapse_career re-expressed over lineitem/part: regex filter (P5) + "
     "exact-or-prefix dim predicate (P8) + broadcast fact⨝dim (J3) + "
-    "group-sum (A1) + weighted mean (A2) + aggregate join (J5) + sort (W10). "
+    "group-sum (A1) + weighted mean (A2) + sort (W10). "
     "Parity: bls_ces/prep_CES_pandas.py:69-102,155-183.",
     _FLAGSHIP_SQL,
     headline=True,
     tags=("flagship", "M1"),
 )
 def flagship_career_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note: the reference splits emp/earn rows then joins the two
+    monthly aggregates (J5, prep_CES_pandas.py:97).  A literal self-join
+    here would rescan the fact table — branch-divergent column pruning
+    defeats exchange reuse — so the 100 TB-correct plan folds both
+    metrics into ONE conditional aggregation over a single scan
+    (SURVEY.md §4: split-then-aggregate ≡ pivot/conditional agg).  The
+    genuine two-source aggregate join is exercised by
+    ``j05_two_aggregate_join``; the faithful split+join form of the CES
+    pipeline itself lives in ``operators.collapse.collapse_career``.
+    """
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
     filt = (
@@ -90,16 +99,23 @@ def flagship_career_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(code_matches("p_type", ["PROMO", "ECONOMY", "STANDARD"]))  # P8
         .select(month_of("l_shipdate").alias("month"), "p_brand", "l_quantity", "l_extendedprice")
     )
-    # per-industry(brand) monthly observations: weight + mean price
+    # per-industry(brand) monthly observations: weight (kept DECIMAL so
+    # re-aggregation stays order-independently exact) + mean price
     per_brand = filt.groupBy("month", "p_brand").agg(
-        dsum("l_quantity").alias("w"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("w_dec"),
         (dsum("l_extendedprice") / F.count("l_extendedprice")).alias("p"),
     )
-    emp_m = filt.groupBy("month").agg(dsum("l_quantity").alias("total_qty"))  # A1
-    earn_m = per_brand.groupBy("month").agg(  # A2 weighted mean as sum/sum
-        F.round(F.sum(F.col("p") * F.col("w")) / F.sum("w"), 4).alias("avg_price_weighted")
+    w_dbl = F.col("w_dec").cast("double")
+    return (
+        per_brand.groupBy("month")
+        .agg(
+            F.sum("w_dec").cast("double").alias("total_qty"),  # A1
+            F.round(F.sum(F.col("p") * w_dbl) / F.sum(w_dbl), 4).alias(
+                "avg_price_weighted"
+            ),  # A2 weighted mean as sum/sum
+        )
+        .orderBy("month")  # W10
     )
-    return emp_m.join(earn_m, "month", "left").orderBy("month")  # J5 + W10
 
 
 # --------------------------------------------------------------------------
