@@ -34,6 +34,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash16,
 )
+from ..operators.diagnostics import run_diagnostics
 from ..operators.forecast import fit_rw_drift_forecast, monte_carlo_forecast
 from ..operators.multimodal import attach_binary_metadata, decode_media
 from ..operators.similarity import brute_force_topk, ivf_topk, query_vector_of
@@ -477,6 +478,22 @@ def x3_drift_fit_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mu", 4).alias("mu"),
         F.round("sigma", 4).alias("sigma"),
     )
+
+
+@_q(
+    "x4_diagnostics",
+    "X4: per-group stationarity/seasonality diagnostics via applyInPandas "
+    "— ADF + KPSS statistics, Yeo-Johnson λ, periodogram seasonal period, "
+    "lead ACF/PACF (numpy implementations; statsmodels/scipy absent). "
+    "No SQL oracle: the ADF auxiliary regression is not SQL-expressible; "
+    "correctness is asserted by known-process property tests in tests/. "
+    "Parity: run_diagnostics_for_all, EDA.ipynb cells 25-26.",
+    None,  # rows-only check by design
+    tags=("M3", "model"),
+)
+def x4_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = monthly_lineitem(spark, sf_dir)
+    return run_diagnostics(m, "flag", "month", "revenue").orderBy("group")
 
 
 @_q(

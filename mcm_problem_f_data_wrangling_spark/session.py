@@ -18,10 +18,46 @@ remaining correct on ``local[32]``:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_APP_NAME = "mcm_problem_f_data_wrangling_spark"
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_shipped_apps: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Python-UDF stages (``applyInPandas`` in diagnostics/forecast/
+    multimodal) pickle their closures *by reference* to this module, so
+    every worker must be able to ``import mcm_problem_f_data_wrangling_spark``.
+    That holds implicitly when the driver's cwd is the repo root, but
+    not when an external driver imports ``__spark_entry__`` from
+    elsewhere — and on a real cluster the package must be shipped
+    anyway.  ``addPyFile`` with a source zip is the standard deploy
+    path for both cases (workers prepend SparkFiles entries to
+    ``sys.path``).  Idempotent per application.
+    """
+    app = spark.sparkContext.applicationId
+    if app in _shipped_apps:
+        return
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"mcm_problem_f_data_wrangling_spark_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(_PKG_DIR):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, os.path.dirname(_PKG_DIR)))
+    spark.sparkContext.addPyFile(zpath)
+    _shipped_apps.add(app)
 
 
 def default_parallelism() -> int:
