@@ -8,9 +8,10 @@ Scale design: the calendar spine is generated per-series from that
 series' own min/max month via ``sequence`` + ``explode`` — the spine
 for a century of months is ~1200 rows per series, negligible next to
 the data; the left join back is keyed on (series, month) and AQE
-broadcasts the smaller side.  ``last``-based dedupe uses ``max_by``
-(order-deterministic) — NOT ``F.last`` over an unordered group, which
-is non-deterministic under shuffle (SURVEY.md §7 hard parts).
+broadcasts the smaller side.  ``last``-based dedupe uses a
+lexicographic struct max over (order, value) — NOT ``F.last`` over an
+unordered group, which is non-deterministic under shuffle
+(SURVEY.md §7 hard parts).
 """
 
 from __future__ import annotations
@@ -45,7 +46,13 @@ def collapse_duplicate_months(
     else:
         if not order_col:
             raise ValueError("rule='last' requires order_col for determinism")
-        aggs = [F.max_by(c, F.col(order_col)).alias(c) for c in value_cols]
+        # lexicographic struct max: ties on order_col fall back to the
+        # value itself, so the pick is deterministic even when order_col
+        # is not unique (max_by alone is arbitrary under ties).
+        aggs = [
+            F.max(F.struct(F.col(order_col).alias("k"), F.col(c).alias("v")))["v"].alias(c)
+            for c in value_cols
+        ]
     return g.agg(*aggs)
 
 

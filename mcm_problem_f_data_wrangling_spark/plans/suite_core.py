@@ -410,6 +410,84 @@ def j05_two_aggregate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "j04_weight_attach",
+    "J4: composite-key (month, code) left join attaching renamed weights "
+    "to an observation frame — earnings rows get emp_weight_thousands "
+    "from the employment frame. "
+    "Parity: bls_ces/prep_CES_pandas.py:81-87 (pre-join rename of "
+    "value→emp_weight_thousands, join on ['date','industry_code']).",
+    f"""
+WITH earn AS (
+  SELECT {MONTH_OF('l_shipdate')} AS month, l_linestatus AS code,
+         {DSUM('l_extendedprice')} / COUNT(l_extendedprice) AS price
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2
+), emp AS (
+  SELECT {MONTH_OF('l_shipdate')} AS month, l_linestatus AS code,
+         {DSUM('l_quantity')} AS emp_weight_thousands
+  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1, 2
+)
+SELECT e.month AS month, e.code AS code, e.price AS price,
+       w.emp_weight_thousands AS emp_weight_thousands
+FROM earn e LEFT JOIN emp w ON e.month = w.month AND e.code = w.code
+""",
+    tags=("M1",),
+)
+def j04_weight_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    earn = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(month_of("l_shipdate").alias("month"), F.col("l_linestatus").alias("code"))
+        .agg((dsum("l_extendedprice") / F.count("l_extendedprice")).alias("price"))
+    )
+    emp = (
+        li.filter(F.col("l_returnflag") == "A")
+        .groupBy(month_of("l_shipdate").alias("month"), F.col("l_linestatus").alias("code"))
+        .agg(dsum("l_quantity").alias("emp_weight_thousands"))  # the pre-join rename
+    )
+    return earn.join(emp, ["month", "code"], "left")
+
+
+@_q(
+    "j06_exog_month_end_join",
+    "J6: exogenous-series merge — both sides normalized to month-END "
+    "(last_day ≡ to_period('M').to_timestamp('M')) then left-joined; "
+    "missing exog months optionally zero-filled. Spark has no index "
+    "joins, so the month-end key is materialized as a column. "
+    "Parity: EDA.ipynb cell 23 (AI-intensity merge, fill_pre_ai='zero').",
+    f"""
+WITH ts AS (
+  SELECT CAST(last_day(l_shipdate) AS DATE) AS month_end,
+         {DSUM('l_extendedprice')} AS revenue
+  FROM lineitem GROUP BY 1
+), exog AS (
+  SELECT CAST(last_day(ts) AS DATE) AS month_end, {DSUM('value')} AS ai_intensity
+  FROM events GROUP BY 1
+)
+SELECT t.month_end AS month_end, t.revenue AS revenue,
+       x.ai_intensity AS ai_intensity,
+       coalesce(x.ai_intensity, 0.0) AS ai_intensity_filled
+FROM ts t LEFT JOIN exog x ON t.month_end = x.month_end
+""",
+    tags=("M2",),
+)
+def j06_exog_month_end_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+    ts = li.groupBy(F.last_day("l_shipdate").alias("month_end")).agg(
+        dsum("l_extendedprice").alias("revenue")
+    )
+    exog = ev.groupBy(F.last_day(F.col("ts").cast("date")).alias("month_end")).agg(
+        dsum("value").alias("ai_intensity")
+    )
+    return ts.join(exog, "month_end", "left").select(
+        "month_end",
+        "revenue",
+        "ai_intensity",
+        F.coalesce("ai_intensity", F.lit(0.0)).alias("ai_intensity_filled"),
+    )
+
+
 # --------------------------------------------------------------------------
 # A: aggregations
 # --------------------------------------------------------------------------
@@ -469,6 +547,39 @@ def a03_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "event_type")
         .limit(10)
+    )
+
+
+@_q(
+    "a04_dedupe_collapse",
+    "A4: duplicate-month collapse under all three dedupe rules in ONE "
+    "single-scan conditional aggregate — mean (exact sum/count), sum "
+    "(decimal-exact), and pandas' order-sensitive 'last' as a "
+    "lexicographic struct max over (order_key, value): F.last over an "
+    "unordered group is shuffle-nondeterministic (SURVEY.md §7 hard "
+    "parts), and the synthetic lineitem has duplicate (orderkey, "
+    "linenumber) pairs so the value itself is the tiebreak. Operator "
+    "form: operators/grid.collapse_duplicate_months. "
+    "Parity: ensure_monthly_index / to_month_*_index, EDA.ipynb cells 25,27-28.",
+    f"""
+SELECT {MONTH_OF('l_shipdate')} AS month,
+       {DSUM('l_extendedprice')} / COUNT(l_extendedprice) AS mean_price,
+       {DSUM('l_quantity')} AS sum_qty,
+       (MAX({{'k': l_orderkey * 10 + l_linenumber, 'v': l_extendedprice}})).v
+         AS last_price
+FROM lineitem GROUP BY 1
+""",
+    tags=("M2",),
+)
+def a04_dedupe_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    # struct max orders lexicographically on (k, v) in both engines, so
+    # ties on the order key fall back to the value — fully deterministic.
+    uk = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k")
+    return li.groupBy(month_of("l_shipdate").alias("month")).agg(
+        (dsum("l_extendedprice") / F.count("l_extendedprice")).alias("mean_price"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.max(F.struct(uk, F.col("l_extendedprice").alias("v")))["v"].alias("last_price"),
     )
 
 
