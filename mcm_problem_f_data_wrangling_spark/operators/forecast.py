@@ -165,3 +165,27 @@ def monte_carlo_forecast(
     params = fitted.join(last, "group")
     paths = simulate_paths(params, sims=sims, steps=steps, seed=seed)
     return quantile_fan_summary(paths)
+
+
+def drift_equation_block(fit_df: DataFrame) -> dict[str, str]:
+    """X6: symbolic equation exporter — one formatted block per group.
+
+    Parity: ``sarimax_equation_block`` (``EDA.ipynb cell 29``) renders
+    the fitted model's equation with its estimated coefficients as a
+    human-readable string, driver-side (not a dataflow op — the fit
+    output is one tiny row per group).  For the RW-with-drift family
+    the h-step equation and its normal forecast interval are closed
+    form.
+    """
+    rows = (
+        fit_df.select("group", "mu", "sigma").dropDuplicates(["group"]).collect()
+    )
+    blocks = {}
+    for r in sorted(rows, key=lambda r: r["group"]):
+        blocks[r["group"]] = (
+            f"career: {r['group']}\n"
+            f"model: random walk with drift\n"
+            f"  y_(T+h) = y_T + h*mu,  mu = {r['mu']:.4f}, sigma = {r['sigma']:.4f}\n"
+            f"  80% interval: y_T + h*mu +/- 1.2816*sigma*sqrt(h)"
+        )
+    return blocks

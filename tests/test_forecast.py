@@ -71,3 +71,18 @@ def test_fan_summary_exact_quantiles(spark):
     r = out.filter("step = 1").head()
     assert r["p50"] == pytest.approx(np.quantile(np.arange(1.0, 101.0), 0.5))
     assert r["p95"] == pytest.approx(np.quantile(np.arange(1.0, 101.0), 0.95))
+
+
+def test_equation_block_formats_fit(spark):
+    from mcm_problem_f_data_wrangling_spark.operators.forecast import (
+        drift_equation_block,
+        fit_rw_drift_forecast,
+    )
+
+    rows = [("a", i, 100.0 + 2.0 * i) for i in range(30)]
+    df = spark.createDataFrame(rows, ["g", "t", "v"])
+    fit = fit_rw_drift_forecast(df, "g", "t", "v", steps=1)
+    blocks = drift_equation_block(fit)
+    assert set(blocks) == {"a"}
+    assert "random walk with drift" in blocks["a"]
+    assert "mu = 2.0000" in blocks["a"]  # exact linear trend → mu = slope

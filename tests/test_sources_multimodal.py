@@ -101,3 +101,54 @@ def test_frame_sample_plan(media):
     assert vids <= {2, 3}
     idx = sorted(r["frame_idx"] for r in plan if r["media_id"] == 3)
     assert idx[0] == 0 and all(i % 50 == 0 for i in idx)
+
+
+def test_whitespace_tsv_scan(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("ws") / "ws.txt"
+    p.write_text(
+        "series_id  year   period\n"
+        "CES001     2024   M01\n"
+        "CES002     2025   M02\n"
+    )
+    from mcm_problem_f_data_wrangling_spark.sources.readers import read_whitespace_tsv
+
+    df = read_whitespace_tsv(spark, str(p), 3, ["series_id", "year", "period"])
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {("CES001", "2024", "M01"), ("CES002", "2025", "M02")}
+
+
+def test_download_file_idempotent_skip(tmp_path_factory):
+    """S1's skip-if-non-empty guard must not touch the network."""
+    from mcm_problem_f_data_wrangling_spark.sources.readers import download_file
+
+    d = tmp_path_factory.mktemp("dl")
+    pre = d / "ce.data.0.ALLCESSeries"
+    pre.write_text("cached")
+    # unroutable base_url: any network attempt would raise
+    out = download_file("ce.data.0.ALLCESSeries", str(d), "http://192.0.2.1/")
+    assert out == str(pre)
+    assert pre.read_text() == "cached"
+
+
+def test_excel_sink_gated_or_writes(spark, tmp_path_factory):
+    """S6 either writes a real workbook (openpyxl present) or raises the
+    documented NotImplementedError — never a bare ImportError."""
+    from mcm_problem_f_data_wrangling_spark.sources.writers import write_excel_sheets
+
+    df = spark.createDataFrame([("a", 1.0)], ["career", "value"])
+    path = str(tmp_path_factory.mktemp("xlsx") / "out.xlsx")
+    try:
+        out = write_excel_sheets({"sheet_one": df}, path)
+        assert os.path.getsize(out) > 0
+    except NotImplementedError as exc:
+        assert "openpyxl" in str(exc)
+
+
+def test_load_testdata_all_tables(spark):
+    from mcm_problem_f_data_wrangling_spark.sources.readers import load_testdata
+
+    tables = load_testdata(spark, "/root/testdata/sf0.001")
+    assert {"lineitem", "orders", "events", "documents", "embeddings"} <= set(tables)
+    # events' nanos seam: ts must arrive as a usable timestamp
+    assert dict(tables["events"].dtypes)["ts"].startswith("timestamp")
+    assert tables["lineitem"].count() > 0
