@@ -37,6 +37,7 @@ from ..operators.dedup import (
 from ..operators.diagnostics import run_diagnostics
 from ..operators.forecast import fit_rw_drift_forecast, monte_carlo_forecast
 from ..operators.multimodal import attach_binary_metadata, decode_media
+from ..operators.skew import salted_group_agg
 from ..operators.similarity import brute_force_topk, ivf_topk, query_vector_of
 from .base import DSUM, MONTHLY_CTE, Query, dsum, monthly_lineitem, table
 
@@ -530,9 +531,75 @@ def x_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(docs)
 
 
+@_q(
+    "x_skew_salted_group_sum",
+    "Skew-resistant two-stage aggregation (operators/skew.py): map-side "
+    "salt into 16 shards → partial agg on (key, salt) → final agg on "
+    "key. Hot keys spread over 16 reducers; second shuffle moves only "
+    "16 rows/key. Oracle is the PLAIN group-sum — identical semantics "
+    "is the point (partials kept decimal so re-aggregation stays exact).",
+    f"""
+SELECT l_returnflag, {DSUM('l_quantity')} AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1
+""",
+    tags=("M4", "scale"),
+)
+def x_skew_salted_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    out = salted_group_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,6)")),
+            "n": F.count(F.lit(1)),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 # --------------------------------------------------------------------------
 # streaming batch mirror (S: the monthly/tumbling rollup)
 # --------------------------------------------------------------------------
+
+
+@_q(
+    "s09_sessionize_batch",
+    "Gap-based sessionization (batch mirror of the stateful streaming "
+    "operator streaming/sessionize.sessionize_stream): lag → gap flag → "
+    "running-sum session id → aggregate; one shuffle on the key, all in "
+    "whole-stage codegen. Gap math in whole epoch seconds on both "
+    "engines (Spark timestamp→long truncates; oracle floors epoch()). "
+    "Sums decimal-exact.",
+    f"""
+WITH flagged AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, ts, value,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 21600
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sids AS (
+  SELECT key, ts, value,
+         SUM(brk) OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT key, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {DSUM('value')} AS total_value
+FROM sids GROUP BY key, sid
+""",
+    tags=("M2", "streaming"),
+)
+def s09_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sessionize import sessionize_batch
+
+    ev = table(spark, sf_dir, "events")
+    return sessionize_batch(ev, "user_id", "ts", "value", gap_seconds=21600)
 
 
 @_q(

@@ -73,3 +73,25 @@ def write_excel_sheets(frames: dict[str, DataFrame], path: str) -> str:
         for sheet, df in frames.items():
             df.toPandas().to_excel(writer, sheet_name=sheet[:31], index=False)
     return path
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table: the shuffle-free co-located join path.
+
+    Two tables bucketed on the same key with the same bucket count
+    join WITHOUT an exchange — at 100 TB the repeated fact⨝dict join
+    (SURVEY.md §2.3 J3) amortizes its shuffle into this one-time
+    layout.  Requires ``saveAsTable`` (bucket metadata lives in the
+    catalog, not the parquet files).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
