@@ -44,6 +44,8 @@ def pct_change(col: Column | str, w: WindowSpec, periods: int = 1, scale: float 
     """W1: lag-k percent change (``pct_change(k)``, ``EDA.ipynb cell 5``).
 
     ``scale=100.0`` reproduces the notebook's ``* 100`` MoM/YoY columns.
+    Pinned semantic (SURVEY.md §7): a zero previous value yields SQL
+    NULL (non-ANSI division), where pandas emits ±inf.
     """
     c = _c(col)
     return (c / F.lag(c, periods).over(w) - F.lit(1.0)) * F.lit(scale)

@@ -1,0 +1,98 @@
+"""Property-based pandas-parity fuzz for the rolling layer.
+
+Hypothesis drives arbitrary series (values incl. NaN runs, arbitrary
+window sizes and min_periods) through one Spark pass and compares
+row-for-row with real pandas ``rolling``.  Each example batches many
+generated series into ONE DataFrame so a Spark round trip is paid per
+example, not per series.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+
+from mcm_problem_f_data_wrangling_spark.functions.rolling import (
+    pct_change,
+    rolling_avg,
+    rolling_median,
+    rolling_std,
+)
+
+finite = st.floats(
+    min_value=-1e6,
+    max_value=1e6,
+    allow_nan=False,
+    allow_infinity=False,
+    allow_subnormal=False,  # 1/subnormal overflows to inf engine-dependently
+)
+value = st.one_of(finite, st.just(float("nan")))
+series_strategy = st.lists(value, min_size=3, max_size=30)
+
+
+@pytest.fixture(scope="module")
+def sparkref(spark):
+    return spark
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batch=st.lists(series_strategy, min_size=1, max_size=6),
+    window=st.integers(min_value=1, max_value=8),
+    min_periods=st.integers(min_value=1, max_value=8),
+)
+def test_rolling_matches_pandas_fuzz(sparkref, batch, window, min_periods):
+    spark = sparkref
+    min_periods = min(min_periods, window)  # pandas requires mp <= window
+    pdf = pd.DataFrame(
+        [
+            (f"s{si}", t, v)
+            for si, series in enumerate(batch)
+            for t, v in enumerate(series)
+        ],
+        columns=["k", "t", "x"],
+    )
+    sdf = spark.createDataFrame(pdf)
+    w = Window.partitionBy("k").orderBy("t")
+    got = (
+        sdf.select(
+            "k",
+            "t",
+            rolling_avg("x", w, window, min_periods).alias("avg"),
+            rolling_std("x", w, window, min_periods).alias("std"),
+            rolling_median("x", w, window, min_periods).alias("med"),
+            pct_change("x", w, 1).alias("pct"),
+        )
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    g = pdf.sort_values(["k", "t"]).groupby("k")["x"]
+    exp = {
+        "avg": g.rolling(window, min_periods=min_periods).mean(),
+        "std": g.rolling(window, min_periods=min_periods).std(),
+        "med": g.rolling(window, min_periods=min_periods).median(),
+        "pct": g.pct_change(1, fill_method=None),
+    }
+    for name, e in exp.items():
+        e = e.reset_index(drop=True).to_numpy(dtype=float)
+        a = got[name].to_numpy(dtype=float)
+        if name == "pct":
+            # pinned semantic (SURVEY.md §7): zero denominators are SQL
+            # NULL in the engine where pandas emits ±inf — compare all
+            # non-finites as "no value" on both sides
+            e[np.isinf(e)] = np.nan
+            a[np.isinf(a)] = np.nan
+        assert np.allclose(a, e, rtol=1e-9, atol=1e-12, equal_nan=True), (
+            name,
+            window,
+            min_periods,
+            batch,
+        )
