@@ -1046,6 +1046,44 @@ def u01_union_long_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "u02_intersect_active_users",
+    "U-ext: INTERSECT — users active in both the first and last week of "
+    "the events range. Engine extension per SURVEY.md §2.6 (no "
+    "intersect/except in the reference; free in Spark, exposed anyway).",
+    """
+SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+INTERSECT
+SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+""",
+    tags=("M1", "setop"),
+)
+def u02_intersect_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    first = ev.filter(F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
+    last = ev.filter(F.col("ts") >= F.lit("2024-01-22 00:00:00").cast("timestamp"))
+    return first.select("user_id").intersect(last.select("user_id"))
+
+
+@_q(
+    "u03_except_all_multiset",
+    "U-ext: EXCEPT ALL — multiset difference of per-event-type user "
+    "occurrences (duplicates preserved: a user with 5 clicks and 3 "
+    "views keeps 2 rows). Engine extension per SURVEY.md §2.6.",
+    """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT ALL
+SELECT user_id FROM events WHERE event_type = 'view'
+""",
+    tags=("M1", "setop"),
+)
+def u03_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    return clicks.exceptAll(views)
+
+
+@_q(
     "f01_06_date_synthesis",
     "F1-F6: CES date synthesis round-trip — strip 'M', zfill, concat, "
     "to_date, month-end. Parity: bls_ces/load_CES_pandas.py:149-154.",

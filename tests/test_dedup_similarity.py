@@ -126,3 +126,28 @@ def test_dedupe_rule_last_is_deterministic(spark):
     ).collect()
     got = {r["month"]: r["v"] for r in out}
     assert got == {"2024-01-01": 20.0, "2024-02-01": 30.0}
+
+
+def test_ivf_trained_cells_recall(spark):
+    """A trained spherical-k-means quantizer must beat the provided
+    near-random label cells by a wide margin: recall ≥ 0.7 probing ONE
+    of ten cells (observed 0.9), ≥ 0.9 probing two (observed 1.0).
+    Brute force stays the exactness baseline."""
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        query_vector_of,
+        train_ivf_cells,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned, cents = train_ivf_cells(emb, k=10, iters=3)
+    assigned = assigned.cache()
+    sizes = [r["count"] for r in assigned.groupBy("cell").count().collect()]
+    assert len(sizes) == 10 and max(sizes) < 3 * min(sizes)  # balanced codebook
+    q = query_vector_of(emb, emb.select("vec_id").head()[0])
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    r1 = {r["vec_id"] for r in ivf_topk(assigned, q, k=10, cell_col="cell", n_probe=1).collect()}
+    r2 = {r["vec_id"] for r in ivf_topk(assigned, q, k=10, cell_col="cell", n_probe=2).collect()}
+    assert len(exact & r1) / 10 >= 0.7
+    assert len(exact & r2) / 10 >= 0.9

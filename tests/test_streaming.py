@@ -109,3 +109,51 @@ def test_stateful_sessionize_stream_matches_batch(spark, session_dir):
     }
     assert len(expected_closed) == 5
     assert got == expected_closed
+
+
+def test_watermark_drops_late_rows(spark, tmp_path_factory):
+    """Late-data semantics: an event arriving in a later micro-batch but
+    timestamped behind the watermark must NOT create a window.
+
+    One availableNow run with maxFilesPerTrigger=1 → one micro-batch
+    per file in mtime order (the watermark only advances BETWEEN
+    micro-batches of one query; separate queries don't share it):
+      file0: 03-10 event     → watermark after batch: 03-09
+      file1: 03-20 event     → watermark 03-19; 03-10 window finalized
+      file2: 03-01 LATE row  → behind watermark, dropped
+    """
+    import time
+
+    src = str(tmp_path_factory.mktemp("late_events"))
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+
+    def write_file(rows):
+        pdf = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "value", "ts_s"])
+        pdf.withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").select(*cols)\
+            .coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes fix the file → micro-batch order
+
+    write_file([(1, 1, "click", 1.0, "2024-03-10 00:00:00")])
+    write_file([(2, 1, "click", 1.0, "2024-03-20 00:00:00")])
+    write_file([(3, 1, "click", 99.0, "2024-03-01 00:00:00")])
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").cast("date").alias("day"), "event_type", "n", "total")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")  # append emits only watermark-finalized windows
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    days = {str(r["day"]): r["total"] for r in spark.sql("SELECT * FROM late_test").collect()}
+    assert days.get("2024-03-10") == 1.0  # finalized once watermark passed it
+    assert "2024-03-01" not in days       # late row dropped by the watermark
