@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Scale smoke: run the headline operator shapes at 10-20× the sf0.1
+row count on synthesized data, so scale-up behavior is measured, not
+asserted.
+
+Generates a lineitem-shaped fact (default 10M rows ≈ 17× sf0.1) and an
+events-shaped stream (2M rows), entirely with JVM-side expressions
+(``spark.range`` + column math — no Python row generation), writes
+them to parquet under /tmp, then times:
+
+- the flagship one-scan conditional aggregation;
+- the broadcast fact⨝dim join + aggregate (J3 shape);
+- plain vs salted group-sum over a 90%-hot key (skew path);
+- batch sessionization over 2M events / 100k users;
+- MinHash signatures over 200k synthetic docs.
+
+Prints one JSON line per stage plus a summary.  Usage:
+
+    python tools/scale_smoke.py [n_lineitem] [n_events]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mcm_problem_f_data_wrangling_spark.operators.dedup import (  # noqa: E402
+    minhash_signatures,
+)
+from mcm_problem_f_data_wrangling_spark.operators.skew import (  # noqa: E402
+    salted_group_agg,
+)
+from mcm_problem_f_data_wrangling_spark.session import get_spark  # noqa: E402
+from mcm_problem_f_data_wrangling_spark.streaming.sessionize import (  # noqa: E402
+    sessionize_batch,
+)
+
+MIX = 2654435761  # Knuth multiplicative hash constant
+
+
+def synth(spark, n_li: int, n_ev: int, base: str) -> None:
+    h = (F.col("id") * MIX) % 1_000_003
+    li = spark.range(n_li).select(
+        (F.col("id") / 4).cast("long").alias("l_orderkey"),
+        (F.col("id") % 7 + 1).cast("int").alias("l_linenumber"),
+        ((h % 5000) / 100.0 + 1.0).alias("l_quantity"),
+        ((h % 90000) / 1.0 + 900.0).alias("l_extendedprice"),
+        F.element_at(
+            F.array(F.lit("R"), F.lit("A"), F.lit("N")), (F.col("id") % 3 + 1).cast("int")
+        ).alias("l_returnflag"),
+        # 90%-hot part key exercises the skew path
+        F.when(h % 10 < 9, F.lit(7)).otherwise(h % 30_000).cast("long").alias("l_partkey"),
+        F.date_add(F.lit("1992-01-01").cast("date"), (h % 2500).cast("int")).alias(
+            "l_shipdate"
+        ),
+    )
+    li.write.mode("overwrite").parquet(f"{base}/lineitem")
+    part = spark.range(30_000).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(F.lit("Brand#"), (F.col("id") % 25).cast("string")).alias("p_brand"),
+        F.element_at(
+            F.array(F.lit("PROMO X"), F.lit("ECONOMY Y"), F.lit("STANDARD Z")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("p_type"),
+    )
+    part.write.mode("overwrite").parquet(f"{base}/part")
+    ev = spark.range(n_ev).select(
+        F.col("id").alias("event_id"),
+        ((F.col("id") * MIX) % 100_000).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") * MIX) % (30 * 86400)
+        ).alias("ts"),
+        ((F.col("id") % 97) / 7.0).alias("value"),
+    )
+    ev.write.mode("overwrite").parquet(f"{base}/events")
+    docs = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{i}_"), ((F.col("id") * (MIX + i)) % 5000).cast("string"))
+                for i in range(30)
+            ],
+        ).alias("text"),
+    )
+    docs.write.mode("overwrite").parquet(f"{base}/documents")
+
+
+def timed(label, fn):
+    t0 = time.time()
+    n = fn()
+    dt = round(time.time() - t0, 2)
+    print(json.dumps({"stage": label, "seconds": dt, "rows_out": n}))
+    return dt
+
+
+def main() -> None:
+    n_li = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_ev = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    spark = get_spark("scale_smoke")
+    base = tempfile.mkdtemp(prefix="scale_smoke_")
+    try:
+        t0 = time.time()
+        synth(spark, n_li, n_ev, base)
+        print(json.dumps({"stage": "synthesize+write", "seconds": round(time.time() - t0, 2)}))
+
+        li = spark.read.parquet(f"{base}/lineitem")
+        part = spark.read.parquet(f"{base}/part")
+        ev = spark.read.parquet(f"{base}/events")
+        docs = spark.read.parquet(f"{base}/documents")
+
+        def flagship():
+            per_brand = (
+                li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+                .filter(F.col("p_type").startswith("PROMO"))
+                .groupBy(F.trunc("l_shipdate", "month").alias("month"), "p_brand")
+                .agg(
+                    F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("w_dec"),
+                    F.avg("l_extendedprice").alias("p"),
+                )
+            )
+            w = F.col("w_dec").cast("double")
+            return (
+                per_brand.groupBy("month")
+                .agg(
+                    F.sum("w_dec").cast("double").alias("total_qty"),
+                    (F.sum(F.col("p") * w) / F.sum(w)).alias("wavg"),
+                )
+                .count()
+            )
+
+        def j3():
+            return (
+                li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+                .groupBy("p_type")
+                .agg(F.count("*"), F.sum("l_extendedprice"))
+                .count()
+            )
+
+        def plain_agg():
+            return li.groupBy("l_partkey").agg(F.sum("l_quantity")).count()
+
+        def salted_agg():
+            return salted_group_agg(
+                li, ["l_partkey"], {"q": F.sum(F.col("l_quantity").cast("decimal(18,6)"))}
+            ).count()
+
+        def sessions():
+            return sessionize_batch(ev, "user_id", "ts", "value", 1800).count()
+
+        def minhash():
+            return minhash_signatures(docs).count()
+
+        timed("flagship_conditional_agg", flagship)
+        timed("j3_broadcast_join_agg", j3)
+        t_plain = timed("group_sum_hot_key_plain", plain_agg)
+        t_salted = timed("group_sum_hot_key_salted", salted_agg)
+        timed("sessionize_batch_2m_events", sessions)
+        timed("minhash_200k_docs", minhash)
+        print(
+            json.dumps(
+                {
+                    "stage": "summary",
+                    "n_lineitem": n_li,
+                    "n_events": n_ev,
+                    "salted_vs_plain_hot_key": round(t_salted / max(t_plain, 1e-9), 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
