@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -80,13 +81,17 @@ def media_repartition_hint(df: DataFrame, target_bytes_per_partition: int = 128 
 
     At 100 TB a rows-based default (e.g. 128 MB of *parquet* per task)
     under-counts decoded size; callers pass the measured average
-    payload size and we repartition to ~target bytes per task.
+    payload size and the partition count is derived from total payload
+    bytes / target.  Costs one count() action — cheap next to the
+    decode stage it protects.
     """
-    rows_per_partition = max(1, target_bytes_per_partition // max(1, avg_payload_bytes))
-    n = df.rdd.getNumPartitions()  # cheap metadata call
-    est_rows = rows_per_partition * n
-    _ = est_rows  # heuristic only; repartition by count ratio
-    return df.repartition(max(1, n))
+    import math
+
+    total_rows = df.count()
+    n = max(
+        1, math.ceil(total_rows * max(1, avg_payload_bytes) / target_bytes_per_partition)
+    )
+    return df.repartition(n)
 
 
 def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int, float]:
@@ -153,3 +158,75 @@ def frame_sample_plan(decoded: DataFrame, every_n: int = 30) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("scale", DoubleType()),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def resize_plan(decoded: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize stage: target dims so the longest side is ``max_side``.
+
+    The geometry (pure arithmetic) stays JVM-side; a real pixel
+    resample would run through the same ``mapInPandas`` batch path as
+    :func:`decode_media` with a real imaging library.
+    """
+    longest = F.greatest("width", "height")
+    scale = F.when(longest > max_side, F.lit(float(max_side)) / longest).otherwise(
+        F.lit(1.0)
+    )
+    return decoded.select(
+        "media_id",
+        "media_type",
+        F.ceil(F.col("width") * scale).cast("int").alias("width"),
+        F.ceil(F.col("height") * scale).cast("int").alias("height"),
+        F.round(scale, 6).alias("scale"),
+    )
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Feature-extract stage via ``mapInPandas``: payload → fixed-dim
+    embedding.
+
+    STUB features — an L1-normalized 8-bucket byte histogram (a real
+    deployment swaps in a vision/audio encoder; the Arrow batch shape,
+    schema, and array<double> output column are what downstream
+    similarity search consumes unchanged).
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col]) if row[payload_col] is not None else b""
+                hist = [0] * FEATURE_DIM
+                for b in payload[:4096]:
+                    hist[b % FEATURE_DIM] += 1
+                total = sum(hist) or 1
+                out.append(
+                    (
+                        row["media_id"],
+                        row["media_type"],
+                        [h / total for h in hist],
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media_type", "embedding"])
+
+    return df.mapInPandas(feats, FEATURES_SCHEMA)

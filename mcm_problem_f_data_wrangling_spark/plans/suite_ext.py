@@ -36,7 +36,7 @@ from ..operators.dedup import (
 )
 from ..operators.diagnostics import run_diagnostics
 from ..operators.forecast import fit_rw_drift_forecast, monte_carlo_forecast
-from ..operators.multimodal import attach_binary_metadata, decode_media
+from ..operators.multimodal import attach_binary_metadata, decode_media, extract_features
 from ..operators.skew import salted_group_agg
 from ..operators.similarity import brute_force_topk, ivf_topk, query_vector_of
 from .base import DSUM, MONTHLY_CTE, Query, dsum, monthly_lineitem, table
@@ -529,6 +529,33 @@ def x_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("source_uri"),
     )
     return decode_media(docs)
+
+
+@_q(
+    "x_multimodal_feature_extract",
+    "Multimodal feature-extract stage: payload → fixed-dim embedding "
+    "via Arrow-batched mapInPandas (stub encoder — byte histogram; "
+    "schema/batch shape real, output feeds similarity search "
+    "unchanged). Embedding checked via JVM-side size + L1 aggregate. "
+    "Rows-only check.",
+    None,  # Python-side stub encoder by design
+    tags=("M4", "multimodal"),
+)
+def x_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("image").alias("media_type"),
+    )
+    feats = extract_features(docs)
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.size("embedding").alias("dim"),
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "embedding_l1"
+        ),
+    )
 
 
 @_q(

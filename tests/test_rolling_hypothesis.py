@@ -74,6 +74,15 @@ def test_rolling_matches_pandas_fuzz(sparkref, batch, window, min_periods):
         .orderBy("k", "t")
         .toPandas()
     )
+    # Both engines' rounding error scales with the input magnitude —
+    # e.g. std over [1e6, 1e6 - 1e-10] is pure catastrophic
+    # cancellation, where Spark's and pandas' (different but both
+    # valid) update formulas disagree at ~max|x|·eps.  A fixed 1e-12
+    # atol would flag that noise as a parity bug.
+    finite_x = pdf["x"].to_numpy(dtype=float)
+    finite_x = finite_x[np.isfinite(finite_x)]
+    scale = float(np.max(np.abs(finite_x))) if finite_x.size else 1.0
+    atol = max(1e-12, scale * np.finfo(float).eps * 64)
     g = pdf.sort_values(["k", "t"]).groupby("k")["x"]
     exp = {
         "avg": g.rolling(window, min_periods=min_periods).mean(),
@@ -90,7 +99,7 @@ def test_rolling_matches_pandas_fuzz(sparkref, batch, window, min_periods):
             # non-finites as "no value" on both sides
             e[np.isinf(e)] = np.nan
             a[np.isinf(a)] = np.nan
-        assert np.allclose(a, e, rtol=1e-9, atol=1e-12, equal_nan=True), (
+        assert np.allclose(a, e, rtol=1e-9, atol=atol, equal_nan=True), (
             name,
             window,
             min_periods,

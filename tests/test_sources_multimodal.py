@@ -152,3 +152,45 @@ def test_load_testdata_all_tables(spark):
     # events' nanos seam: ts must arrive as a usable timestamp
     assert dict(tables["events"].dtypes)["ts"].startswith("timestamp")
     assert tables["lineitem"].count() > 0
+
+
+def test_resize_plan_geometry(media):
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        decode_media,
+        resize_plan,
+    )
+
+    out = resize_plan(decode_media(media), max_side=256).collect()
+    assert out
+    for r in out:
+        assert max(r["width"], r["height"]) <= 256
+        assert r["width"] >= 1 and r["height"] >= 1
+        if r["scale"] == 1.0:
+            continue
+        assert 0.0 < r["scale"] < 1.0  # only shrink, never upscale
+
+
+def test_extract_features_normalized(media):
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
+
+    rows = extract_features(media).collect()
+    assert rows
+    for r in rows:
+        assert len(r["embedding"]) == FEATURE_DIM
+        assert abs(sum(r["embedding"]) - 1.0) < 1e-9  # L1-normalized
+
+
+def test_media_repartition_hint_sizes_by_bytes(media):
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        media_repartition_hint,
+    )
+
+    n_rows = media.count()
+    # 1 MiB payloads into 4 MiB partitions → ceil(n/4) partitions
+    out = media_repartition_hint(
+        media, target_bytes_per_partition=4 * 1024 * 1024, avg_payload_bytes=1024 * 1024
+    )
+    assert out.rdd.getNumPartitions() == -(-n_rows // 4)
