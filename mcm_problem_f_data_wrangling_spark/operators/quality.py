@@ -1,0 +1,74 @@
+"""Repetition-based quality signals (engine extension, BASELINE.json
+north star: LLM-training-data pipeline ops over ``documents``).
+
+Gopher/RefinedWeb-style repetition filters: a document whose most
+frequent word n-gram covers a large fraction of the text, or whose
+n-grams are mostly duplicates, is boilerplate/spam and gets dropped
+before training.  The reference repo has no analogue (it is a
+numeric time-series pipeline); signals follow Rae et al. 2021
+(Gopher), table A1.
+
+Scale shape: one ``explode`` of the word n-grams followed by two
+partial-aggregatable ``groupBy``s — the (doc_id, n, gram) count is
+map-side combinable, so the shuffle carries one row per *distinct*
+gram per doc, not one per token.  No Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import tokens
+
+
+def word_ngrams_strict(toks: Column, n: int) -> Column:
+    """Word n-grams of an ``array<string>`` token column; rows with
+    fewer than ``n`` tokens yield an EMPTY array (unlike
+    ``textfn.word_shingles``, which falls back to the whole text —
+    right for dedup keys, wrong for repetition statistics)."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_sizes: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Per-document n-gram repetition signals, long format.
+
+    Returns one row per (doc, n) with:
+
+    - ``top_gram_frac``  — count of the modal n-gram / total n-grams
+      (Gopher "top n-gram character fraction", token-count flavor);
+    - ``dup_gram_frac``  — 1 - distinct/total n-grams (Gopher
+      "duplicate n-gram fraction");
+    - ``n_grams``        — total n-grams (denominator, for auditing).
+
+    Documents with fewer than ``n`` tokens emit no row for that ``n``.
+    """
+    base = df.select(id_col, tokens(text_col).alias("__toks"))
+    parts = [
+        base.filter(F.size("__toks") >= n).select(
+            id_col,
+            F.lit(n).alias("n"),
+            F.explode(word_ngrams_strict(F.col("__toks"), n)).alias("gram"),
+        )
+        for n in ngram_sizes
+    ]
+    exploded = parts[0]
+    for p in parts[1:]:
+        exploded = exploded.unionByName(p)
+    counts = exploded.groupBy(id_col, "n", "gram").count()
+    return counts.groupBy(id_col, "n").agg(
+        F.round(F.max("count") / F.sum("count"), 6).alias("top_gram_frac"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("count"), 6).alias(
+            "dup_gram_frac"
+        ),
+        F.sum("count").cast("long").alias("n_grams"),
+    )

@@ -37,6 +37,7 @@ from ..operators.dedup import (
 from ..operators.diagnostics import run_diagnostics
 from ..operators.forecast import fit_rw_drift_forecast, monte_carlo_forecast
 from ..operators.multimodal import attach_binary_metadata, decode_media, extract_features
+from ..operators.quality import repetition_signals
 from ..operators.skew import salted_group_agg
 from ..operators.similarity import brute_force_topk, ivf_topk, query_vector_of
 from .base import DSUM, MONTHLY_CTE, Query, dsum, monthly_lineitem, table
@@ -556,6 +557,36 @@ def x_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding_l1"
         ),
     )
+
+
+@_q(
+    "x_quality_repetition_signals",
+    "Gopher-style repetition filters (operators/quality.py): per-doc "
+    "top-n-gram fraction and duplicate-n-gram fraction for n in (2,3), "
+    "long format.  One explode + two map-side-combinable groupBys; the "
+    "shuffle carries one row per distinct gram per doc.",
+    f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id, 2 AS n,
+         unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gram
+  FROM d WHERE len(t) >= 2
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS gram
+  FROM d WHERE len(t) >= 3
+),
+c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3)
+SELECT doc_id, CAST(n AS INT) AS n,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_gram_frac,
+       ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS dup_gram_frac,
+       CAST(SUM(cnt) AS BIGINT) AS n_grams
+FROM c GROUP BY 1, 2
+""",
+    tags=("M4", "text", "quality"),
+)
+def x_quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_signals(table(spark, sf_dir, "documents"))
 
 
 @_q(

@@ -1,0 +1,63 @@
+"""Repetition-signal tests: hand-computed fixtures + edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcm_problem_f_data_wrangling_spark.operators.quality import (
+    repetition_signals,
+    word_ngrams_strict,
+)
+
+
+def _by_key(rows):
+    return {(r["doc_id"], r["n"]): r for r in rows}
+
+
+def test_repetition_signals_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # bigrams: [a b, b a, a b, b a] -> top 2/4, distinct 2 -> dup 0.5
+            # trigrams: [a b a, b a b, a b a] -> top 2/3, distinct 2 -> dup 1/3
+            (1, "a b a b a"),
+            # all-unique bigrams -> top 1/3, dup 0
+            (2, "w x y z"),
+            # single repeated token: bigrams [q q, q q] -> top 1.0, dup 0.5
+            (3, "q q q"),
+        ],
+        "doc_id long, text string",
+    )
+    out = _by_key(repetition_signals(df).collect())
+    r = out[(1, 2)]
+    assert (r["top_gram_frac"], r["dup_gram_frac"], r["n_grams"]) == (0.5, 0.5, 4)
+    r = out[(1, 3)]
+    assert r["top_gram_frac"] == round(2 / 3, 6)
+    assert r["dup_gram_frac"] == round(1 / 3, 6)
+    r = out[(2, 2)]
+    assert (r["top_gram_frac"], r["dup_gram_frac"], r["n_grams"]) == (
+        round(1 / 3, 6),
+        0.0,
+        3,
+    )
+    r = out[(3, 2)]
+    assert (r["top_gram_frac"], r["dup_gram_frac"], r["n_grams"]) == (1.0, 0.5, 2)
+    # doc 3 has 3 tokens -> exactly one trigram
+    assert out[(3, 3)]["n_grams"] == 1
+
+
+def test_repetition_signals_short_docs_emit_no_row(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words")], "doc_id long, text string"
+    )
+    out = _by_key(repetition_signals(df).collect())
+    assert (1, 2) not in out and (1, 3) not in out  # 1 token: nothing
+    assert out[(2, 2)]["n_grams"] == 1
+    assert (2, 3) not in out  # 2 tokens: no trigram row
+
+
+def test_word_ngrams_strict_empty_below_n(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    row = df.select(
+        word_ngrams_strict(F.split("text", " "), 3).alias("g")
+    ).first()
+    assert row["g"] == []

@@ -157,3 +157,64 @@ def test_watermark_drops_late_rows(spark, tmp_path_factory):
     days = {str(r["day"]): r["total"] for r in spark.sql("SELECT * FROM late_test").collect()}
     assert days.get("2024-03-10") == 1.0  # finalized once watermark passed it
     assert "2024-03-01" not in days       # late row dropped by the watermark
+
+
+def test_stream_dedup_matches_batch_exact(spark, tmp_path_factory):
+    """Streaming dedup-at-ingest: first occurrence per fingerprint
+    survives; duplicates in the SAME and in LATER micro-batches (within
+    the watermark horizon) are dropped.  Output set == batch
+    exact-dedup keeper set."""
+    import time
+
+    from mcm_problem_f_data_wrangling_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path_factory.mktemp("dedup_stream"))
+
+    def write_file(rows):
+        (
+            spark.createDataFrame(rows, ["doc_id", "text", "ts_s"])
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(1.1)  # distinct mtimes fix file → micro-batch order
+
+    write_file(
+        [
+            (1, "alpha beta gamma", "2024-04-01 10:00:00"),
+            (2, "delta epsilon", "2024-04-01 10:00:05"),
+            (3, "alpha  beta   gamma", "2024-04-01 10:00:10"),  # ws-normalized dup of 1
+        ]
+    )
+    write_file(
+        [
+            (4, "delta epsilon", "2024-04-01 11:00:00"),  # cross-batch dup of 2
+            (5, "zeta eta theta", "2024-04-01 11:00:05"),
+        ]
+    )
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    deduped = dedup_stream(stream)
+    assert deduped.isStreaming
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM dedup_stream_test").collect()
+    assert len(got) == 3  # docs 3 and 4 dropped
+    assert {r["text"] for r in got} == {
+        "alpha beta gamma",
+        "delta epsilon",
+        "zeta eta theta",
+    }
+    # batch mirror keeps the same number of fingerprint groups
+    from mcm_problem_f_data_wrangling_spark.operators.dedup import exact_dedup_groups
+
+    batch = exact_dedup_groups(spark.read.parquet(src))
+    assert batch.count() == 3

@@ -30,6 +30,7 @@ PYTHON_OK = {
     "x4_diagnostics",
     "x5_monte_carlo_fan",
     "x_multimodal_decode_stub",
+    "x_multimodal_feature_extract",
 }
 
 
