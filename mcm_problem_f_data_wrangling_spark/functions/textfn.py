@@ -128,6 +128,37 @@ def portable_hash64(col: Column | str, seed: str = "") -> Column:
     )
 
 
+# PII patterns: kept to syntax valid in BOTH Java regex (Spark) and
+# RE2 (DuckDB) — character classes, \b, non-capturing groups only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails / phones / IPv4s with ``<TYPE>`` placeholders.
+
+    Training-data hygiene pass (engine extension): order matters —
+    emails first so their dotted domains aren't half-eaten by the
+    IPv4 rule.  Pure ``regexp_replace`` chain, whole-stage codegen.
+    """
+    out = _c(col)
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-type PII match counts (dict of int Columns, keyed by type)."""
+    c = _c(col)
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Document fingerprint: 60-bit hash of whitespace-normalized text.
 

@@ -18,9 +18,13 @@ from pyspark.sql import functions as F
 from ..functions.textfn import (
     BPEISH_TOKEN_RE,
     LANG_MARKERS,
+    PII_PATTERNS,
     lang_id,
+    pii_counts,
+    portable_hash64,
     punct_ratio,
     quality_score,
+    redact_pii,
     stopword_ratio,
     token_count_bpeish,
     token_count_ws,
@@ -556,6 +560,66 @@ def x_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 6).alias(
             "embedding_l1"
         ),
+    )
+
+
+def _pii_sql() -> str:
+    em, ph, ip = (PII_PATTERNS[k] for k in ("email", "phone", "ipv4"))
+    red = (
+        "regexp_replace(regexp_replace(regexp_replace(aug, '" + em + "', '<EMAIL>', 'g'), '"
+        + ph + "', '<PHONE>', 'g'), '" + ip + "', '<IPV4>', 'g')"
+    )
+    return (
+        "WITH d AS (\n"
+        "  SELECT doc_id,\n"
+        "         text || ' contact user' || doc_id || '@example.com '\n"
+        "              || printf('555-010-%04d', doc_id % 10000) || ' '\n"
+        "              || '10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) AS aug\n"
+        "  FROM documents\n"
+        ")\n"
+        "SELECT doc_id,\n"
+        f"       CAST(len(regexp_extract_all(aug, '{em}')) AS INT) AS n_email,\n"
+        f"       CAST(len(regexp_extract_all(aug, '{ph}')) AS INT) AS n_phone,\n"
+        f"       CAST(len(regexp_extract_all(aug, '{ip}')) AS INT) AS n_ipv4,\n"
+        f"       {_H60(red)} AS redacted_fp\n"
+        "FROM d"
+    )
+
+
+@_q(
+    "x_text_pii_redact",
+    "PII redaction pass (functions/textfn.py redact_pii): emails / "
+    "phones / IPv4s → <TYPE> placeholders, plus per-type match counts. "
+    "The synthetic corpus carries no PII, so the query injects "
+    "deterministic doc_id-derived PII first; the oracle hash-checks the "
+    "REDACTED text fingerprint, proving byte-identical redaction "
+    "across engines. Pure regexp chain, whole-stage codegen.",
+    _pii_sql(),
+    tags=("M4", "text", "quality"),
+)
+def x_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com "),
+            F.format_string("555-010-%04d", F.col("doc_id") % 10000),
+            F.lit(" 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("aug"),
+    )
+    counts = pii_counts(F.col("aug"))
+    return aug.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        portable_hash64(redact_pii(F.col("aug"))).alias("redacted_fp"),
     )
 
 

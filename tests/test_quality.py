@@ -61,3 +61,38 @@ def test_word_ngrams_strict_empty_below_n(spark):
         word_ngrams_strict(F.split("text", " "), 3).alias("g")
     ).first()
     assert row["g"] == []
+
+
+def test_redact_pii_fixtures(spark):
+    from mcm_problem_f_data_wrangling_spark.functions.textfn import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.smith+x@sub.example.co.uk now"),
+            (2, "call 415-555-0123 or 415.555.0199"),
+            (3, "host 192.168.1.254 is up"),
+            (4, "clean text, no pii at all"),
+            (5, "both bob@x.io and 10.0.0.1"),
+        ],
+        "id long, text string",
+    )
+    c = pii_counts(F.col("text"))
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii("text").alias("red"),
+            c["email"].alias("ne"),
+            c["phone"].alias("np"),
+            c["ipv4"].alias("ni"),
+        ).collect()
+    }
+    assert got[1]["red"] == "mail <EMAIL> now" and got[1]["ne"] == 1
+    assert got[2]["red"] == "call <PHONE> or <PHONE>" and got[2]["np"] == 2
+    assert got[3]["red"] == "host <IPV4> is up" and got[3]["ni"] == 1
+    assert got[4]["red"] == "clean text, no pii at all"
+    assert (got[4]["ne"], got[4]["np"], got[4]["ni"]) == (0, 0, 0)
+    assert got[5]["red"] == "both <EMAIL> and <IPV4>"
