@@ -41,7 +41,9 @@ from ..operators.dedup import (
 from ..operators.diagnostics import run_diagnostics
 from ..operators.forecast import fit_rw_drift_forecast, monte_carlo_forecast
 from ..operators.multimodal import attach_binary_metadata, decode_media, extract_features
+from ..operators.asof import asof_join
 from ..operators.quality import repetition_signals
+from ..operators.sketch import approx_distinct_by, approx_quantiles_by
 from ..operators.skew import salted_group_agg
 from ..operators.similarity import brute_force_topk, ivf_topk, query_vector_of
 from .base import DSUM, MONTHLY_CTE, Query, dsum, monthly_lineitem, table
@@ -561,6 +563,67 @@ def x_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding_l1"
         ),
     )
+
+
+@_q(
+    "x_asof_attribution_join",
+    "As-of join (operators/asof.py): attribute every click to the "
+    "user's latest view at-or-before it.  Spark has no native as-of; "
+    "the naive inequality join plans as BroadcastNestedLoop and dies "
+    "at scale — this union+window formulation is ONE shuffle on the "
+    "key, no range explosion.  Oracle is DuckDB's native ASOF LEFT "
+    "JOIN.",
+    """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+v AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, c.ts,
+       v.ts AS ts_asof, v.event_id AS event_id_asof, v.value AS value_asof
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+""",
+    tags=("J", "asof"),
+)
+def x_asof_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id", "value")
+    return asof_join(clicks, views, on=["user_id"], attach=("event_id", "value"))
+
+
+@_q(
+    "x_bpe_token_stats",
+    "Trained BPE tokenizer (functions/bpe.py): distributed word-count "
+    "pass → driver-side merge learning on the O(vocab) frequency table "
+    "(Sennrich et al. 2016) → distributed Arrow-batched encode with "
+    "per-batch word memoization.  Deterministic merges (count desc, "
+    "pair lexicographic tie-break).  Python encode stage by design → "
+    "rows-only check; algorithmic checks in tests/test_bpe.py.",
+    None,
+    tags=("M4", "text", "tokenizer"),
+)
+def x_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.bpe import bpe_token_stats, corpus_word_counts, learn_bpe_merges
+
+    docs = table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(corpus_word_counts(docs), num_merges=100)
+    return bpe_token_stats(docs, merges).drop("sample_tokens")
+
+
+@_q(
+    "x_sketch_approx_stats",
+    "Sketch aggregates (operators/sketch.py): per-group HyperLogLog++ "
+    "distinct counts + Greenwald-Khanna approximate percentiles — the "
+    "100 TB substitutes for exact COUNT(DISTINCT) / percentile, O(groups) "
+    "state through an ordinary partial/final agg.  Sketch accuracy is "
+    "implementation-defined → no cross-engine oracle; bounded-error-vs-"
+    "exact is asserted in tests/test_sketch.py.  Rows-only check.",
+    None,
+    tags=("scale", "sketch"),
+)
+def x_sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    d = approx_distinct_by(li, ["l_returnflag"], "l_orderkey")
+    q = approx_quantiles_by(li, ["l_returnflag"], "l_extendedprice", (0.5, 0.9, 0.99))
+    return d.join(q, "l_returnflag")
 
 
 def _pii_sql() -> str:

@@ -31,6 +31,7 @@ PYTHON_OK = {
     "x5_monte_carlo_fan",
     "x_multimodal_decode_stub",
     "x_multimodal_feature_extract",
+    "x_bpe_token_stats",
 }
 
 
