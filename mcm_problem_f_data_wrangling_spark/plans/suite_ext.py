@@ -43,6 +43,7 @@ from ..operators.forecast import fit_rw_drift_forecast, monte_carlo_forecast
 from ..operators.multimodal import attach_binary_metadata, decode_media, extract_features
 from ..operators.asof import asof_join
 from ..operators.quality import repetition_signals
+from ..operators.range_join import windowed_range_join
 from ..operators.sketch import approx_distinct_by, approx_quantiles_by
 from ..operators.skew import salted_group_agg
 from ..operators.similarity import brute_force_topk, ivf_topk, query_vector_of
@@ -587,6 +588,44 @@ def x_asof_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id", "value")
     return asof_join(clicks, views, on=["user_id"], attach=("event_id", "value"))
+
+
+@_q(
+    "x_range_join_purchase_window",
+    "Bounded range join (operators/range_join.py): purchases within 1h "
+    "after each error event, per user — binned equi-join (left exploded "
+    "≤2×, right not at all), never BroadcastNestedLoop.  Oracle is the "
+    "plain inequality LEFT JOIN DuckDB can afford at sf0.01.",
+    """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+p AS (SELECT user_id, ts AS p_ts, value AS p_value FROM events WHERE event_type = 'purchase')
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(COUNT(p.p_ts) AS BIGINT) AS n_purchases_1h,
+       ROUND(COALESCE(SUM(p.p_value), 0.0), 6) AS purchase_value_1h
+FROM e LEFT JOIN p
+  ON e.user_id = p.user_id AND p.p_ts >= e.ts AND p.p_ts <= e.ts + INTERVAL 1 HOUR
+GROUP BY 1, 2, 3
+""",
+    tags=("J", "range"),
+)
+def x_range_join_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    pairs = windowed_range_join(errors, purchases, ["user_id"], "ts", "p_ts", 3600.0)
+    agg = pairs.groupBy("event_id").agg(
+        F.count("p_ts").alias("n_purchases_1h"),
+        F.round(F.sum("p_value"), 6).alias("purchase_value_1h"),
+    )
+    return errors.join(agg, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("n_purchases_1h", F.lit(0)).cast("long").alias("n_purchases_1h"),
+        F.coalesce("purchase_value_1h", F.lit(0.0)).alias("purchase_value_1h"),
+    )
 
 
 @_q(

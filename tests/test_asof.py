@@ -69,3 +69,33 @@ def test_asof_join_single_shuffle_no_nested_loop(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_windowed_range_join_hand_computed(spark):
+    from mcm_problem_f_data_wrangling_spark.operators.range_join import (
+        windowed_range_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100.0), (2, "u1", 250.0), (3, "u2", 100.0)],
+        "lid long, user_id string, lts double",
+    ).withColumn("lts", F.timestamp_seconds("lts"))
+    right = spark.createDataFrame(
+        [
+            ("u1", 100.0, "exact-start"),
+            ("u1", 160.0, "in-window-crosses-bin"),  # bin(160//60)=2 vs left bin 1
+            ("u1", 161.0, "past-60s-window"),
+            ("u1", 310.0, "exact-end-for-left2"),
+            ("u2", 90.0, "before-start"),
+        ],
+        "user_id string, rts double, tag string",
+    ).withColumn("rts", F.timestamp_seconds("rts"))
+    pairs = windowed_range_join(left, right, ["user_id"], "lts", "rts", 60.0)
+    got = sorted((r["lid"], r["tag"]) for r in pairs.collect())
+    assert got == [
+        (1, "exact-start"),        # rts == lts included
+        (1, "in-window-crosses-bin"),
+        (2, "exact-end-for-left2"),  # rts == lts + W included
+    ]
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
