@@ -1,0 +1,105 @@
+"""Dataset curation ops: deterministic splits, stratified caps, and
+source mixing (engine extension — BASELINE.json north star: what a
+training-data pipeline does after cleaning/dedup).
+
+Everything is driven by a *portable content hash* rather than
+``rand()`` / ``sample()``:
+
+- reproducible across runs, engines (the DuckDB oracle replays the
+  exact assignment), partitionings, and cluster sizes — Spark's
+  ``sample`` is none of those (it is seed + partition-layout
+  dependent);
+- stable under data growth: a doc keeps its split when the corpus
+  around it changes, so train/val contamination can't creep in on
+  incremental reruns.
+
+Hash fraction = ``portable_hash64(key) / 2^60`` ∈ [0, 1); every op is
+a filter or window on that value — JVM-side, no shuffle beyond what
+the semantics require (split/mix: none; stratified cap: one, on the
+group key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfn import portable_hash64
+
+_HASH_SPACE = float(2**60)
+
+
+def hash_frac(col: Column | str, seed: str = "") -> Column:
+    """Deterministic uniform-ish fraction in [0, 1) from a column's
+    portable 60-bit hash."""
+    return portable_hash64(col, seed=seed) / F.lit(_HASH_SPACE)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: str = "split",
+) -> DataFrame:
+    """Assign a ``split`` label by hash-bucket ranges (e.g.
+    ``{"train": .9, "val": .05, "test": .05}``).  Weights must sum to
+    1; assignment is a pure projection — no shuffle, no rand()."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    frac = hash_frac(F.col(key_col).cast("string"), seed=seed)
+    expr = None
+    acc = 0.0
+    labels = list(weights.items())
+    for name, w in labels[:-1]:
+        acc += w
+        expr = F.when(frac < acc, name) if expr is None else expr.when(frac < acc, name)
+    expr = (
+        F.lit(labels[0][0]) if expr is None else expr.otherwise(labels[-1][0])
+    )
+    return df.withColumn("split", expr)
+
+
+def stratified_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    cap: int,
+    key_col: str = "doc_id",
+    seed: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    hash order (not arbitrarily by partition layout).  One shuffle on
+    the group key; the rank is a plain window."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        portable_hash64(F.col(key_col).cast("string"), seed=seed), key_col
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
+def source_mix(
+    df: DataFrame,
+    source_col: str,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    default_rate: float = 1.0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Down-weight sources to target sampling ``rates`` (e.g. keep 30%
+    of crawl, 100% of curated) — the mixing step that shapes a training
+    corpus.  Pure filter on the hash fraction: no shuffle."""
+    frac = hash_frac(F.col(key_col).cast("string"), seed=seed)
+    rate = None
+    for name, r in rates.items():
+        rate = (
+            F.when(F.col(source_col) == name, F.lit(float(r)))
+            if rate is None
+            else rate.when(F.col(source_col) == name, F.lit(float(r)))
+        )
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(
+        F.lit(float(default_rate))
+    )
+    return df.filter(frac < rate)

@@ -42,6 +42,7 @@ from ..operators.diagnostics import run_diagnostics
 from ..operators.forecast import fit_rw_drift_forecast, monte_carlo_forecast
 from ..operators.multimodal import attach_binary_metadata, decode_media, extract_features
 from ..operators.asof import asof_join
+from ..operators.curation import hash_split, source_mix, stratified_cap
 from ..operators.quality import repetition_signals
 from ..operators.range_join import windowed_range_join
 from ..operators.sketch import approx_distinct_by, approx_quantiles_by
@@ -563,6 +564,103 @@ def x_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 6).alias(
             "embedding_l1"
         ),
+    )
+
+
+# shared split/mix parameters — the oracle SQL is generated from the
+# SAME floats (repr) so both engines compare against identical doubles
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_MIX_RATES = {"src0": 0.3, "src1": 0.5}
+_CAP_PER_LANG = 30
+
+
+def _hash_frac_sql(key: str, seed: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{seed}' || CAST({key} AS VARCHAR)), 1, 15) AS BIGINT)"
+        " / 1152921504606846976.0"
+    )
+
+
+def _split_case_sql() -> str:
+    acc, whens = 0.0, []
+    labels = list(_SPLIT_WEIGHTS.items())
+    for name, w in labels[:-1]:
+        acc += w
+        whens.append(f"WHEN f < {acc!r} THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{labels[-1][0]}' END"
+
+
+def _mix_rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {r!r}" for s, r in _MIX_RATES.items()
+    )
+    return f"CASE {whens} ELSE 1.0 END"
+
+
+@_q(
+    "x_curation_hash_split",
+    "Deterministic train/val/test split (operators/curation.py): "
+    "hash-bucket assignment from the portable content hash — "
+    "reproducible across runs/engines/partitionings, stable under "
+    "corpus growth (no rand()/sample()).  Pure projection, no shuffle "
+    "before the reporting agg.",
+    f"""
+WITH d AS (SELECT *, {_hash_frac_sql('doc_id', 'split')} AS f FROM documents),
+s AS (SELECT source, {_split_case_sql()} AS split, n_chars FROM d)
+SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY 1, 2
+""",
+    tags=("M4", "curation"),
+)
+def x_curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", _SPLIT_WEIGHTS)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@_q(
+    "x_curation_stratified_mix",
+    "Corpus mixing + stratified cap (operators/curation.py): "
+    "down-sample sources to target rates (hash-threshold filter, no "
+    "shuffle), then keep a deterministic hash-ordered cap per language "
+    "(one shuffle).  min/max kept doc_id are part of the oracle so the "
+    "EXACT kept set is verified, not just counts.",
+    f"""
+WITH m AS (
+  SELECT * FROM documents
+  WHERE {_hash_frac_sql('doc_id', 'mix')} < {_mix_rate_sql()}
+),
+r AS (
+  SELECT lang, source, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                    doc_id
+         ) AS rk
+  FROM m
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM r WHERE rk <= {_CAP_PER_LANG}
+GROUP BY 1
+""",
+    tags=("M4", "curation"),
+)
+def x_curation_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    mixed = source_mix(docs, "source", _MIX_RATES)
+    capped = stratified_cap(mixed, ["lang"], _CAP_PER_LANG)
+    return capped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
     )
 
 

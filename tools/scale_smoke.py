@@ -31,8 +31,15 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from mcm_problem_f_data_wrangling_spark.operators.asof import asof_join  # noqa: E402
 from mcm_problem_f_data_wrangling_spark.operators.dedup import (  # noqa: E402
     minhash_signatures,
+)
+from mcm_problem_f_data_wrangling_spark.operators.quality import (  # noqa: E402
+    repetition_signals,
+)
+from mcm_problem_f_data_wrangling_spark.operators.range_join import (  # noqa: E402
+    windowed_range_join,
 )
 from mcm_problem_f_data_wrangling_spark.operators.skew import (  # noqa: E402
     salted_group_agg,
@@ -158,12 +165,33 @@ def main() -> None:
         def minhash():
             return minhash_signatures(docs).count()
 
+        def asof():
+            # odd events as "clicks", even as "views": 1M x 1M per-key as-of
+            clicks = ev.filter(ev.event_id % 2 == 1).select("event_id", "user_id", "ts")
+            views = ev.filter(ev.event_id % 2 == 0).select("user_id", "ts", "value")
+            return asof_join(clicks, views, on=["user_id"], attach=("value",)).count()
+
+        def range_join():
+            errors = ev.filter(ev.event_id % 2 == 1).select("event_id", "user_id", "ts")
+            purch = ev.filter(ev.event_id % 2 == 0).select(
+                "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+            )
+            return windowed_range_join(
+                errors, purch, ["user_id"], "ts", "p_ts", 3600.0
+            ).count()
+
+        def repetition():
+            return repetition_signals(docs).count()
+
         timed("flagship_conditional_agg", flagship)
         timed("j3_broadcast_join_agg", j3)
         t_plain = timed("group_sum_hot_key_plain", plain_agg)
         t_salted = timed("group_sum_hot_key_salted", salted_agg)
         timed("sessionize_batch_2m_events", sessions)
         timed("minhash_200k_docs", minhash)
+        timed("asof_join_1m_x_1m", asof)
+        timed("range_join_1h_window_1m_x_1m", range_join)
+        timed("repetition_signals_200k_docs", repetition)
         print(
             json.dumps(
                 {
