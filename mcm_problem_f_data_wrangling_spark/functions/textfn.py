@@ -96,14 +96,22 @@ def lang_id(col: Column | str) -> Column:
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """k-word shingles (array<string>) for MinHash/Jaccard dedup."""
+    """k-word shingles (array<string>) for MinHash/Jaccard dedup.
+
+    ``zip_with`` over k shifted slices — O(tokens) per row (the
+    per-index ``slice`` in a ``transform`` alternative is O(tokens·k)
+    with an allocation per shingle).  Short texts (< k tokens) fall
+    back to one whole-text shingle so every doc has a signature.
+    """
     toks = tokens(col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    m = F.greatest(n - k + 1, F.lit(0))
+    out = F.slice(toks, 1, m)
+    for i in range(1, k):
+        out = F.zip_with(
+            out, F.slice(toks, i + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(n >= k, out).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:

@@ -81,8 +81,12 @@ def synth(spark, n_li: int, n_ev: int, base: str) -> None:
     ev = spark.range(n_ev).select(
         F.col("id").alias("event_id"),
         ((F.col("id") * MIX) % 100_000).alias("user_id"),
+        # ts must NOT be a linear function of id: user_id already is,
+        # and any linear pair keeps same-user time deltas on a >=4000s
+        # lattice (gcd(100000-user modulus, 30d in seconds) = 4000) —
+        # the 1h range-join smoke would structurally find ZERO pairs.
         F.timestamp_seconds(
-            F.lit(1704067200) + (F.col("id") * MIX) % (30 * 86400)
+            F.lit(1704067200) + F.pmod(F.xxhash64("id"), F.lit(30 * 86400))
         ).alias("ts"),
         ((F.col("id") % 97) / 7.0).alias("value"),
     )
@@ -165,15 +169,20 @@ def main() -> None:
         def minhash():
             return minhash_signatures(docs).count()
 
+        # side split must be independent of user_id: the user modulus
+        # (100000) is EVEN, so id-parity splits put every user entirely
+        # on one side (user classes mod an even number preserve parity)
+        # and both time joins would structurally find zero matches.
+        side = F.pmod(F.xxhash64("event_id", F.lit(1)), F.lit(2))
+
         def asof():
-            # odd events as "clicks", even as "views": 1M x 1M per-key as-of
-            clicks = ev.filter(ev.event_id % 2 == 1).select("event_id", "user_id", "ts")
-            views = ev.filter(ev.event_id % 2 == 0).select("user_id", "ts", "value")
+            clicks = ev.filter(side == 1).select("event_id", "user_id", "ts")
+            views = ev.filter(side == 0).select("user_id", "ts", "value")
             return asof_join(clicks, views, on=["user_id"], attach=("value",)).count()
 
         def range_join():
-            errors = ev.filter(ev.event_id % 2 == 1).select("event_id", "user_id", "ts")
-            purch = ev.filter(ev.event_id % 2 == 0).select(
+            errors = ev.filter(side == 1).select("event_id", "user_id", "ts")
+            purch = ev.filter(side == 0).select(
                 "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
             )
             return windowed_range_join(
