@@ -1137,3 +1137,98 @@ def f09_14_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.greatest(F.col("l_quantity") - 25.0, F.lit(0.0))).alias("clipped_qty_sum"),
         dsum(charged).alias("charged"),
     )
+
+
+@_q(
+    "u04_rollup_hierarchy",
+    "ROLLUP grouping sets over (returnflag, linestatus): subtotals and "
+    "grand total in ONE partial/final hash-agg pass — no grouping sets "
+    "exist in the reference (SURVEY.md §2.4 note); at scale this beats "
+    "N separate aggregations + union by reusing one shuffle. GROUPING() "
+    "flags disambiguate real NULL keys from subtotal rows.",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       {DSUM('l_quantity')} AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("M1", "groupingsets"),
+)
+def u04_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        "l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n_rows"
+    )
+
+
+@_q(
+    "u05_cube_order_matrix",
+    "CUBE over (orderstatus, orderpriority): all 4 grouping sets from "
+    "one shuffle (engine extension — SURVEY.md §2.4 note).",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("M1", "groupingsets"),
+)
+def u05_cube_order_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("total_price"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+        "n_orders", "total_price",
+    )
+
+
+@_q(
+    "w14_pivot_event_matrix",
+    "Pivot day × event_type value sums (engine extension: the reference "
+    "splits-then-aggregates instead of pivoting, SURVEY.md §2 hard-parts "
+    "note). Spark .pivot() with an EXPLICIT value list — omitting it "
+    "costs an extra distinct-scan job to discover columns, and a "
+    "high-cardinality pivot column would explode the schema; oracle is "
+    "the equivalent conditional aggregation.",
+    """
+SELECT CAST(ts AS DATE) AS day,
+       ROUND(COALESCE(SUM(CASE WHEN event_type = 'click' THEN value END), 0.0), 6) AS click,
+       ROUND(COALESCE(SUM(CASE WHEN event_type = 'view' THEN value END), 0.0), 6) AS view,
+       ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0.0), 6) AS purchase,
+       ROUND(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN value END), 0.0), 6) AS signup,
+       ROUND(COALESCE(SUM(CASE WHEN event_type = 'error' THEN value END), 0.0), 6) AS error
+FROM events GROUP BY 1
+""",
+    tags=("M1", "pivot"),
+)
+def w14_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.select(F.col("ts").cast("date").alias("day"), "event_type", "value")
+        .groupBy("day")
+        .pivot("event_type", kinds)
+        .agg(F.round(F.sum("value"), 6))
+    )
+    # a (day, type) combo with no rows is a NULL cell after pivot (the
+    # per-group agg never ran) — pin to 0.0 like the oracle's COALESCE
+    return out.select(
+        "day", *[F.coalesce(F.col(k), F.lit(0.0)).alias(k) for k in kinds]
+    )
