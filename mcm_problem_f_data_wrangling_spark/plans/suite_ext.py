@@ -925,6 +925,51 @@ def s09_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "s10_session_window_native",
+    "Native session_window sessionization — the built-in alternative to "
+    "the lag→cumsum formulation (s09) and the stateful streaming "
+    "operator; one shuffle, sessions merged by Spark's own gap logic "
+    "(closes at delta >= gap).  Oracle replays that exact semantic in "
+    "integer microseconds (epoch_us), where s09's uses > on floored "
+    "seconds — deltas sit >=0.5s from the 6h boundary at every SF, so "
+    "both formulations agree on this data.",
+    f"""
+WITH flagged AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+                   >= CAST(21600000000 AS BIGINT)
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), sids AS (
+  SELECT key, ts, value,
+         SUM(brk) OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT key, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events, {DSUM('value')} AS total_value
+FROM sids GROUP BY key, sid
+""",
+    tags=("M2", "streaming"),
+)
+def s10_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id").cast("string").alias("key"),
+            F.session_window("ts", "6 hours").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "key",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@_q(
     "s08_tumbling_window_rollup",
     "Batch mirror of the Structured Streaming tumbling-window rollup "
     "(streaming variant with watermark lives in streaming/monthly_rollup "

@@ -217,3 +217,45 @@ def test_jsonl_round_trip_partitioned(spark, tmp_path):
         spark, path, schema="doc_id long, text string, source string, n_chars long, lang string"
     ).filter(F.col("lang") == one)
     assert pruned.count() == a[one]
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from mcm_problem_f_data_wrangling_spark.sources.writers import compact_parquet
+    import glob as _g
+
+    src = str(tmp_path / "fragmented")
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs.repartition(32).write.parquet(src)  # simulate small-file ingest
+    assert len(_g.glob(src + "/*.parquet")) == 32
+
+    out = str(tmp_path / "compacted")
+    n_files = compact_parquet(spark, src, out, target_file_bytes=1 << 30)
+    assert n_files == 1
+    assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_compact_parquet_clusters_for_pruning(spark, tmp_path):
+    from mcm_problem_f_data_wrangling_spark.sources.writers import compact_parquet
+
+    src = str(tmp_path / "frag2")
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs.repartition(16).write.parquet(src)
+    out = str(tmp_path / "clustered")
+    # tiny target -> several files, each sorted by doc_id
+    compact_parquet(spark, src, out, target_file_bytes=16 * 1024, cluster_by=["doc_id"])
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    import pyarrow.parquet as pq
+    import glob as _g
+
+    ranges = []
+    for f in sorted(_g.glob(out + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col = md.row_group(0).column(0)
+        assert md.schema.column(0).name == "doc_id"
+        ranges.append((col.statistics.min, col.statistics.max))
+    assert len(ranges) > 1
+    # within-file sort => tight zone maps (file min/max spans don't all
+    # cover the whole id range)
+    full = (docs.agg(F.min("doc_id"), F.max("doc_id")).first())
+    assert any(hi - lo < (full[1] - full[0]) * 0.9 for lo, hi in ranges)
