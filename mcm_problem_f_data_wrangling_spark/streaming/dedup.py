@@ -40,3 +40,33 @@ def dedup_stream(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fp"])
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lookback_seconds: float,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right rows within ``lookback_seconds``
+    BEFORE each left row, per key (e.g. attribute a click to the views
+    that preceded it while both are in flight).
+
+    Both sides carry watermarks and the join condition time-bounds the
+    match, so each side's buffered state is evicted once the other
+    side's watermark passes ``lookback + watermark`` — without the
+    time bound a stream-stream join buffers FOREVER (state = whole
+    stream), which is the classic way this operator falls over in
+    production.  Caller supplies distinct column names across sides.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    lsec = F.col(left_ts).cast("double")
+    rsec = F.col(right_ts).cast("double")
+    cond = (rsec >= lsec - F.lit(float(lookback_seconds))) & (rsec <= lsec)
+    for k in on:
+        cond = cond & (l[k] == r[k])
+    return l.join(r, cond, "inner")

@@ -218,3 +218,59 @@ def test_stream_dedup_matches_batch_exact(spark, tmp_path_factory):
 
     batch = exact_dedup_groups(spark.read.parquet(src))
     assert batch.count() == 3
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path_factory):
+    """Inner stream-stream join with time bound: full availableNow drain
+    emits exactly the batch join's pairs."""
+    from mcm_problem_f_data_wrangling_spark.streaming.dedup import (
+        stream_stream_interval_join,
+    )
+
+    base = tmp_path_factory.mktemp("ssj")
+    clicks_dir, views_dir = str(base / "clicks"), str(base / "views")
+    clicks = spark.createDataFrame(
+        [
+            (1, "u1", "2024-05-01 10:30:00"),
+            (2, "u1", "2024-05-01 12:00:00"),
+            (3, "u2", "2024-05-01 10:30:00"),
+        ],
+        ["click_id", "c_user", "ts_s"],
+    ).withColumn("c_ts", F.to_timestamp("ts_s")).drop("ts_s")
+    views = spark.createDataFrame(
+        [
+            (10, "u1", "2024-05-01 10:00:00"),  # 30min before click 1 ✓
+            (11, "u1", "2024-05-01 10:29:00"),  # 1min before click 1 ✓
+            (12, "u1", "2024-05-01 11:45:00"),  # 15min before click 2 ✓
+            (13, "u2", "2024-05-01 11:00:00"),  # AFTER u2's click ✗
+            (14, "u3", "2024-05-01 10:00:00"),  # no clicks ✗
+        ],
+        ["view_id", "v_user", "ts_s"],
+    ).withColumn("v_ts", F.to_timestamp("ts_s")).drop("ts_s")
+    clicks.coalesce(1).write.parquet(clicks_dir)
+    views.coalesce(1).write.parquet(views_dir)
+
+    ls = spark.readStream.schema(clicks.schema).parquet(clicks_dir)
+    rs = spark.readStream.schema(views.schema).parquet(views_dir)
+    joined = stream_stream_interval_join(
+        ls.withColumnRenamed("c_user", "user_id"),
+        rs.withColumnRenamed("v_user", "user_id"),
+        on=["user_id"],
+        left_ts="c_ts",
+        right_ts="v_ts",
+        lookback_seconds=3600.0,
+    ).select("click_id", "view_id")
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["click_id"], r["view_id"])
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    }
+    assert got == {(1, 10), (1, 11), (2, 12)}
