@@ -188,3 +188,29 @@ def read_jsonl(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_jsonl_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSONL scan that SURVIVES malformed lines — crawl-scale corpora
+    always contain some.
+
+    PERMISSIVE mode parses what it can and lands the raw text of
+    unparseable lines in ``corrupt_col`` (which must be declared in
+    the schema as string — Spark only populates it when the column
+    exists).  Callers split the result: ``filter(col(corrupt_col).
+    isNull())`` is the clean feed, the rest goes to a quarantine sink
+    for inspection — never silently dropped (FAILFAST would kill a
+    100 TB job for one bad line; DROPMALFORMED loses data invisibly).
+    """
+    full_schema = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

@@ -259,3 +259,24 @@ def test_compact_parquet_clusters_for_pruning(spark, tmp_path):
     # cover the whole id range)
     full = (docs.agg(F.min("doc_id"), F.max("doc_id")).first())
     assert any(hi - lo < (full[1] - full[0]) * 0.9 for lo, hi in ranges)
+
+
+def test_read_jsonl_permissive_quarantines_bad_lines(spark, tmp_path):
+    from mcm_problem_f_data_wrangling_spark.sources.readers import (
+        read_jsonl_permissive,
+    )
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good line"}\n'
+        '{"doc_id": 2, "text": "also good"}\n'
+        'not json at all {{{\n'
+        '{"doc_id": "NOT_A_NUMBER", "text": "type mismatch"}\n'
+    )
+    df = read_jsonl_permissive(spark, str(p), "doc_id long, text string")
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    quarantined = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+    bad = [r["_corrupt_record"] for r in quarantined.collect()]
+    assert len(bad) == 2  # both the syntax error and the type mismatch
+    assert any("not json" in b for b in bad)
