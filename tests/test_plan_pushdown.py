@@ -1,0 +1,86 @@
+"""Scan-efficiency guarantees: filters reach the parquet reader and
+projection prunes the read schema — the two properties that keep a
+100 TB scan from reading 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _scan_node(plan: str) -> str:
+    for chunk in plan.split("\n\n"):
+        if "FileScan parquet" in chunk:
+            return chunk
+    return plan
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = _scan_node(plan)
+    assert "PushedFilters" in scan
+    assert "GreaterThan(l_quantity,45.0)" in scan
+
+
+def test_projection_prunes_read_schema(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = _scan_node(plan)
+    i = scan.index("ReadSchema")
+    read_schema = scan[i : i + 400]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    # the wide columns must NOT be read
+    assert "l_extendedprice" not in read_schema
+    assert "l_shipdate" not in read_schema
+
+
+def test_partition_pruning_on_hive_layout(spark, tmp_path):
+    path = str(tmp_path / "parts")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.write.partitionBy("lang").parquet(path)
+    pruned = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = _scan_node(plan)
+    # partition filter shows up as PartitionFilters, and only en/ dirs scan
+    assert "PartitionFilters" in scan and "lang" in scan
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert pruned.count() == n_en
+
+
+def test_text_pipeline_stays_jvm_side(spark):
+    """The text-quality pipeline must not cross into Python.
+
+    Note: it is NOT whole-stage-codegen'd either — higher-order
+    functions (F.filter/F.transform lambdas) are CodegenFallback in
+    Spark, so these expressions evaluate interpreted-but-JVM.  That's
+    the documented cost of HOF-based tokenization; the boundary that
+    actually matters at scale (JVM↔Python serialization) stays closed.
+    """
+    from mcm_problem_f_data_wrangling_spark.functions.textfn import (
+        quality_score,
+        token_count_ws,
+    )
+
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            token_count_ws("text").alias("n"),
+            quality_score("text").alias("q"),
+        )
+        .filter(F.col("q") > 0.5)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # pure-scalar pipelines DO codegen — guard that baseline too
+    scalar = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    # executedPlan toString marks codegen stages with a '*(n)' prefix
+    assert "*(1)" in scalar._jdf.queryExecution().executedPlan().toString()
