@@ -1232,3 +1232,34 @@ def w14_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "day", *[F.coalesce(F.col(k), F.lit(0.0)).alias(k) for k in kinds]
     )
+
+
+@_q(
+    "p14_json_props_extract",
+    "Semi-structured extraction (engine extension): parse the events "
+    "JSON props column with an EXPLICIT from_json schema (schema "
+    "inference would cost a discovery pass and drift with the data) "
+    "and aggregate the extracted field.  Stays in whole-stage codegen; "
+    "at scale the parse cost rides the scan, no extra pass.",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(DISTINCT CAST(props->>'k' AS INT)) AS BIGINT) AS n_distinct_k
+FROM events
+GROUP BY 1
+""",
+    tags=("M1", "json"),
+)
+def p14_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json("props", "k int")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
