@@ -207,3 +207,37 @@ def embedding_neardup_pairs(
         .filter(F.col("rn") <= top_per_band)
         .select("band", "vec_id_1", "vec_id_2", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    name_col: str,
+    band_cols: list[str],
+    id_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Fuzzy-duplicate candidate pairs by edit distance, banded.
+
+    The all-pairs comparison is O(n²) and impossible at scale; banding
+    on ``band_cols`` (a category, a length bucket, a first-token hash …)
+    turns it into an equi-join whose candidate space is the sum of
+    squared band sizes — the same blocking strategy as the LSH dedup
+    path, with ``levenshtein`` as the verifier instead of Jaccard.
+    Both sides of a pair appear once (``id <`` dedup).
+    """
+    a = df.select(
+        *band_cols,
+        F.col(id_col).alias("id_1"),
+        F.col(name_col).alias("name_1"),
+    )
+    b = df.select(
+        *band_cols,
+        F.col(id_col).alias("id_2"),
+        F.col(name_col).alias("name_2"),
+    )
+    return (
+        a.join(b, band_cols)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .withColumn("dist", F.levenshtein("name_1", "name_2"))
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -31,6 +31,7 @@ from ..functions.textfn import (
     tokens,
 )
 from ..operators.dedup import (
+    edit_distance_pairs,
     embedding_neardup_pairs,
     exact_dedup_groups,
     lsh_candidate_pairs,
@@ -595,6 +596,32 @@ def _mix_rate_sql() -> str:
         f"WHEN source = '{s}' THEN {r!r}" for s, r in _MIX_RATES.items()
     )
     return f"CASE {whens} ELSE 1.0 END"
+
+
+@_q(
+    "x_fuzzy_name_match",
+    "Banded edit-distance fuzzy matching (operators/dedup.py "
+    "edit_distance_pairs): candidate pairs via a p_type-band equi-join "
+    "(the LSH-style blocking strategy; never an all-pairs cross join), "
+    "verified with levenshtein <= 2, summarized per (band, distance).",
+    """
+SELECT a.p_type, CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM part a JOIN part b
+  ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+GROUP BY 1, 2
+""",
+    tags=("M4", "dedup", "fuzzy"),
+)
+def x_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    pairs = edit_distance_pairs(
+        part, "p_name", ["p_type"], "p_partkey", max_dist=2
+    )
+    return pairs.groupBy("p_type", F.col("dist").cast("int").alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
 
 
 @_q(

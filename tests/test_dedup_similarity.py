@@ -151,3 +151,28 @@ def test_ivf_trained_cells_recall(spark):
     r2 = {r["vec_id"] for r in ivf_topk(assigned, q, k=10, cell_col="cell", n_probe=2).collect()}
     assert len(exact & r1) / 10 >= 0.7
     assert len(exact & r2) / 10 >= 0.9
+
+
+def test_edit_distance_pairs_banded(spark):
+    from mcm_problem_f_data_wrangling_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "red widget", "A"),
+            (2, "red widgets", "A"),   # dist 1, same band ✓
+            (3, "red widget", "B"),    # identical text, DIFFERENT band ✗
+            (4, "blue bolt", "A"),     # dist > 2 from widgets ✗
+            (5, "red midget", "A"),    # dist 1 from 1, 2 from 2 ✓
+        ],
+        "pid long, name string, band string",
+    )
+    pairs = {
+        (r["id_1"], r["id_2"]): r["dist"]
+        for r in edit_distance_pairs(df, "name", ["band"], "pid", max_dist=2).collect()
+    }
+    assert pairs == {(1, 2): 1, (1, 5): 1, (2, 5): 2}
+    plan_df = edit_distance_pairs(df, "name", ["band"], "pid", max_dist=2)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
