@@ -29,8 +29,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     bench_set = headline_queries()
-    # warmup: JVM codegen + parquet footer caches (not timed)
-    for q in bench_set[:2]:
+    # warmup: JVM codegen + parquet footer caches (not timed).  Every
+    # query runs once untimed — warming only a subset leaves the rest
+    # paying first-run codegen inside their timed run, which showed up
+    # as ±40% run-to-run noise on the suite total.
+    for q in bench_set:
         q.spark(spark, sf_dir).count()
 
     timings: dict[str, float] = {}

@@ -1263,3 +1263,88 @@ def p14_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("k").alias("n_distinct_k"),
         )
     )
+
+
+@_q(
+    "j08_semi_anti_join",
+    "LEFT SEMI / LEFT ANTI joins (J-ext): orders with vs without "
+    "lineitems, summarized per status.  Semi/anti ship only the LEFT "
+    "side's columns through the join — at scale that halves the "
+    "shuffled bytes vs inner-join-then-distinct, and the anti side is "
+    "the idiomatic referential-integrity audit.",
+    """
+WITH w AS (
+  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_with
+  FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+  GROUP BY 1
+), wo AS (
+  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_without
+  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+  GROUP BY 1
+)
+SELECT COALESCE(w.o_orderstatus, wo.o_orderstatus) AS o_orderstatus,
+       COALESCE(n_with, 0) AS n_with, COALESCE(n_without, 0) AS n_without
+FROM w FULL OUTER JOIN wo ON w.o_orderstatus = wo.o_orderstatus
+""",
+    tags=("M1", "join"),
+)
+def j08_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    semi = (
+        o.join(li, o.o_orderkey == li.k, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_with"))
+    )
+    anti = (
+        o.join(li, o.o_orderkey == li.k, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_without"))
+    )
+    return (
+        semi.join(anti, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            F.coalesce("n_with", F.lit(0)).alias("n_with"),
+            F.coalesce("n_without", F.lit(0)).alias("n_without"),
+        )
+    )
+
+
+@_q(
+    "w15_ntile_price_quartiles",
+    "NTILE bucketing (W-ext): per-returnflag price quartiles — the "
+    "windowed bucketing used for percentile-band features.  One "
+    "shuffle+sort per partition key.",
+    f"""
+WITH t AS (
+  SELECT l_returnflag, l_extendedprice,
+         ntile(4) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS q
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(q AS INT) AS quartile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(l_extendedprice), 2) AS price_lo,
+       ROUND(MAX(l_extendedprice), 2) AS price_hi
+FROM t GROUP BY 1, 2
+""",
+    tags=("M1", "window"),
+)
+def w15_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("l_returnflag", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("price_lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("price_hi"),
+        )
+    )
