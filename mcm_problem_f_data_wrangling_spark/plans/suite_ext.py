@@ -881,6 +881,49 @@ def x_quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_multimodal_frame_pipeline",
+    "End-to-end multimodal pipeline: decode (stubbed codec, real "
+    "Arrow-batched plumbing) → resize geometry (JVM) → frame-sample "
+    "plan (sequence+explode, JVM) → per-media frame counts.  The only "
+    "Python stage is the decode stub; everything downstream of it is "
+    "whole-plan Spark.  Rows-only check (stub decode is Python-side).",
+    None,
+    tags=("M4", "multimodal"),
+)
+def x_multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample_plan, resize_plan
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        # deterministic media-type mix so the video path (n_frames>1)
+        # is exercised
+        F.element_at(
+            F.array(F.lit("image"), F.lit("video"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+    )
+    decoded = decode_media(docs)
+    resized = resize_plan(decoded)
+    frames = frame_sample_plan(decoded, every_n=10)
+    per_media = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_sampled_frames"),
+        F.max("frame_idx").alias("last_frame_idx"),
+    )
+    return (
+        resized.join(per_media, "media_id", "left")
+        .select(
+            "media_id",
+            "media_type",
+            "width",
+            "height",
+            F.coalesce("n_sampled_frames", F.lit(0)).alias("n_sampled_frames"),
+            F.coalesce("last_frame_idx", F.lit(-1)).alias("last_frame_idx"),
+        )
+    )
+
+
+@_q(
     "x_skew_salted_group_sum",
     "Skew-resistant two-stage aggregation (operators/skew.py): map-side "
     "salt into 16 shards → partial agg on (key, salt) → final agg on "

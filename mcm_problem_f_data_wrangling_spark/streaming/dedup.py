@@ -70,3 +70,26 @@ def stream_stream_interval_join(
     for k in on:
         cond = cond & (l[k] == r[k])
     return l.join(r, cond, "inner")
+
+
+def foreach_batch_idempotent_parquet(
+    stream: DataFrame, path: str, checkpoint: str
+):
+    """Exactly-once-ish parquet sink via ``foreachBatch``: each
+    micro-batch lands in its own ``epoch=<id>`` directory with
+    ``overwrite`` mode, so a RE-DELIVERED epoch (restart between sink
+    write and offset commit — Structured Streaming's at-least-once
+    window) overwrites its own output instead of appending duplicates.
+    Idempotent-by-epoch is the standard recipe when the sink has no
+    transactional commit protocol of its own.
+
+    Returns the (unstarted) ``DataStreamWriter``.
+    """
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -274,3 +274,40 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path_factory):
         for r in spark.sql("SELECT * FROM ssj_test").collect()
     }
     assert got == {(1, 10), (1, 11), (2, 12)}
+
+
+def test_foreach_batch_sink_idempotent_on_redelivery(spark, tmp_path_factory):
+    from mcm_problem_f_data_wrangling_spark.streaming.dedup import (
+        foreach_batch_idempotent_parquet,
+    )
+
+    base = tmp_path_factory.mktemp("fbsink")
+    src, out, ckpt = str(base / "src"), str(base / "out"), str(base / "ckpt")
+    rows = [(i, float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    df.repartition(2).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        foreach_batch_idempotent_parquet(stream, out, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.option("basePath", out).parquet(out)
+    assert back.count() == 20
+    assert {r["id"] for r in back.select("id").collect()} == set(range(20))
+
+    # simulate epoch re-delivery: re-write epoch 0's content again —
+    # overwrite semantics must leave the total unchanged
+    import glob as _g
+
+    epochs = sorted(_g.glob(out + "/epoch=*"))
+    assert len(epochs) >= 2  # one per file micro-batch
+    # materialize first: writing over the directory a lazy plan still
+    # reads from would delete its own input mid-job
+    rows0 = spark.read.parquet(epochs[0]).drop("epoch").collect()
+    redelivered = spark.createDataFrame(rows0, "id long, v double")
+    redelivered.write.mode("overwrite").parquet(epochs[0])
+    again = spark.read.option("basePath", out).parquet(out)
+    assert again.count() == 20  # no duplicates after re-delivery

@@ -32,6 +32,7 @@ PYTHON_OK = {
     "x_multimodal_decode_stub",
     "x_multimodal_feature_extract",
     "x_bpe_token_stats",
+    "x_multimodal_frame_pipeline",
 }
 
 
