@@ -995,6 +995,66 @@ def s09_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sql_flagship_via_spark_sql",
+    "The flagship pipeline through the spark.sql() entrypoint (temp "
+    "views + one SQL string) instead of the DataFrame builder — same "
+    "logical plan once Catalyst is done with both, proving the SQL API "
+    "is a first-class way into this engine.  Oracle: the flagship's "
+    "own DuckDB SQL re-aliased.",
+    """
+WITH filt AS (
+  SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+         p.p_brand, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE regexp_matches(l.l_returnflag, '^[AR]$')
+    AND (coalesce(p.p_type, '') IN ('PROMO', 'ECONOMY', 'STANDARD')
+         OR starts_with(coalesce(p.p_type, ''), 'PROMO')
+         OR starts_with(coalesce(p.p_type, ''), 'ECONOMY')
+         OR starts_with(coalesce(p.p_type, ''), 'STANDARD'))
+), per_brand AS (
+  SELECT month, p_brand,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS w_dec,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS p
+  FROM filt GROUP BY 1, 2
+)
+SELECT month,
+       CAST(SUM(w_dec) AS DOUBLE) AS total_qty,
+       ROUND(SUM(p * CAST(w_dec AS DOUBLE)) / SUM(CAST(w_dec AS DOUBLE)), 4)
+         AS avg_price_weighted
+FROM per_brand GROUP BY month
+""",
+    tags=("M1", "sql-api"),
+)
+def sql_flagship_via_spark_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+WITH filt AS (
+  SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+         p.p_brand, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_returnflag RLIKE '^[AR]$'
+    AND (coalesce(p.p_type, '') IN ('PROMO', 'ECONOMY', 'STANDARD')
+         OR startswith(coalesce(p.p_type, ''), 'PROMO')
+         OR startswith(coalesce(p.p_type, ''), 'ECONOMY')
+         OR startswith(coalesce(p.p_type, ''), 'STANDARD'))
+), per_brand AS (
+  SELECT month, p_brand,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS w_dec,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS p
+  FROM filt GROUP BY 1, 2
+)
+SELECT month,
+       CAST(SUM(w_dec) AS DOUBLE) AS total_qty,
+       ROUND(SUM(p * CAST(w_dec AS DOUBLE)) / SUM(CAST(w_dec AS DOUBLE)), 4)
+         AS avg_price_weighted
+FROM per_brand GROUP BY month
+"""
+    )
+
+
+@_q(
     "s10_session_window_native",
     "Native session_window sessionization — the built-in alternative to "
     "the lag→cumsum formulation (s09) and the stateful streaming "

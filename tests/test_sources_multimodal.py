@@ -280,3 +280,17 @@ def test_read_jsonl_permissive_quarantines_bad_lines(spark, tmp_path):
     bad = [r["_corrupt_record"] for r in quarantined.collect()]
     assert len(bad) == 2  # both the syntax error and the type mismatch
     assert any("not json" in b for b in bad)
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Lake reality: files written before a column existed must coexist
+    with newer files. mergeSchema unifies; old rows read NULL."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path + "/batch1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(path + "/batch2")
+    df = spark.read.option("mergeSchema", "true").parquet(path + "/batch1", path + "/batch2")
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows[1] is None and rows[2] == 9.5
