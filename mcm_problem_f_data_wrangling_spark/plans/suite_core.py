@@ -1348,3 +1348,26 @@ def w15_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).alias("price_hi"),
         )
     )
+
+
+@_q(
+    "a08_nested_array_agg",
+    "Nested-result aggregation (A-ext): per-status sorted array of "
+    "distinct priorities + its cardinality.  collect_list/list() order "
+    "is partition-dependent in BOTH engines — sort_array/list_sort "
+    "pins it (the only deterministic way to hash-compare nested "
+    "results cross-engine).",
+    """
+SELECT o_orderstatus,
+       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+       CAST(len(list(DISTINCT o_orderpriority)) AS INT) AS n_priorities
+FROM orders GROUP BY 1
+""",
+    tags=("M1", "nested"),
+)
+def a08_nested_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.size(F.collect_set("o_orderpriority")).alias("n_priorities"),
+    )

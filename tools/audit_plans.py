@@ -9,13 +9,21 @@ scale red flags:
 - ``BatchEvalPython`` — row-at-a-time Python UDF in the plan (only
   Arrow-batched ``ArrowEvalPython`` / ``FlatMapGroupsInPandas`` /
   ``MapInPandas`` stages are acceptable, and only in the model /
-  multimodal queries).
+  multimodal queries);
+- **shuffle regressions** — each query's Exchange count is compared to
+  the committed snapshot ``tools/plan_shuffles.json``; a query that
+  suddenly shuffles MORE than it used to fails the audit (an extra
+  Exchange that is invisible at sf0.01 is a new network stage at
+  100 TB).  Refresh the snapshot deliberately with ``--snapshot``
+  after reviewing why a plan changed.
 
-Usage: python tools/audit_plans.py [sf_dir]
+Usage: python tools/audit_plans.py [sf_dir] [--snapshot]
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -36,13 +44,24 @@ PYTHON_OK = {
 }
 
 
+SNAPSHOT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_shuffles.json")
+
+
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--snapshot"]
+    snapshot_mode = "--snapshot" in sys.argv[1:]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    baseline: dict[str, int] = {}
+    if not snapshot_mode and os.path.exists(SNAPSHOT_PATH):
+        with open(SNAPSHOT_PATH) as f:
+            baseline = json.load(f)
     spark = get_spark("plan_audit", shuffle_partitions=8)
     failures = []
+    counts: dict[str, int] = {}
     for name, q in REGISTRY.items():
         plan = q.spark(spark, sf)._jdf.queryExecution().executedPlan().toString()
         n_ex = plan.count("Exchange")
+        counts[name] = n_ex
         n_py = (
             plan.count("ArrowEvalPython")
             + plan.count("FlatMapGroupsInPandas")
@@ -51,11 +70,17 @@ def main() -> int:
         hits = [f for f in RED_FLAGS if f in plan]
         if n_py and name not in PYTHON_OK:
             hits.append("unexpected-python-stage")
+        if name in baseline and n_ex > baseline[name]:
+            hits.append(f"shuffle-regression({baseline[name]}→{n_ex})")
         status = "FLAG " + ",".join(hits) if hits else "ok"
         print(f"{status:6s} {name:40s} exchanges={n_ex} pythonStages={n_py}")
         if hits:
             failures.append(name)
     print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} clean")
+    if snapshot_mode:
+        with open(SNAPSHOT_PATH, "w") as f:
+            json.dump(counts, f, indent=0, sort_keys=True)
+        print(f"snapshot written: {SNAPSHOT_PATH} ({len(counts)} queries)")
     return 1 if failures else 0
 
 
