@@ -87,3 +87,46 @@ def test_bucketed_join_is_shuffle_free(spark, skewed):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_fact_b")
         spark.sql("DROP TABLE IF EXISTS t_dim_b")
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """AQE skew-join handling: with a 90%-hot key and thresholds scaled
+    to test data, the final adaptive plan must mark the skewed
+    partition split (skew=true) — this is the runtime half of the skew
+    story (operators/skew.py salting is the compile-time half)."""
+    restore = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        left = spark.range(100_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 7 ELSE id % 1000 END AS k",
+            "id AS payload",
+        )
+        right = spark.range(1000).selectExpr("id AS k", "id * 2 AS attr")
+        joined = left.join(right, "k")
+        # execute through THIS frame's own QueryExecution (count()/write
+        # build separate query trees whose adaptive plans finalize
+        # independently) — toPandas collects via the same _jdf
+        n = len(joined.toPandas())
+        assert n == 100_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in restore.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
