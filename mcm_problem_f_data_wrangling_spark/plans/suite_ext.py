@@ -599,6 +599,35 @@ def _mix_rate_sql() -> str:
 
 
 @_q(
+    "x_top_terms_corpus",
+    "Corpus heavy-hitters: top-50 terms by document frequency — the "
+    "canonical explode→count→top-k shape.  Map-side combine collapses "
+    "the shuffle to one row per distinct term per partition, and the "
+    "final top-k is a TakeOrdered (no global sort of the term table); "
+    "ties break lexicographically so the result set is deterministic.",
+    f"""
+WITH t AS (
+  SELECT unnest(list_distinct({_TOKS})) AS term FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM t GROUP BY term
+ORDER BY doc_freq DESC, term
+LIMIT 50
+""",
+    tags=("M4", "text"),
+)
+def x_top_terms_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.array_distinct(tokens("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "term")
+        .limit(50)
+    )
+
+
+@_q(
     "x_fuzzy_name_match",
     "Banded edit-distance fuzzy matching (operators/dedup.py "
     "edit_distance_pairs): candidate pairs via a p_type-band equi-join "
