@@ -628,6 +628,59 @@ def x_top_terms_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_tfidf_top_terms_per_doc",
+    "TF-IDF featurization: top-3 terms per document by tf·idf "
+    "(ln(N/df) idf, raw-count tf).  Two map-side-combinable counts "
+    "(term-in-doc, docs-per-term) + one broadcast-sized join on term "
+    "+ a per-doc window top-k; ties break (term asc) so the kept set "
+    "is deterministic.  The standard featurization pass a text "
+    "pipeline runs after cleaning.",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3
+""",
+    tags=("M4", "text", "features"),
+)
+def x_tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one cheap metadata-scale action; a literal in the plan
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 3)
+        .drop("__rk")
+    )
+
+
+@_q(
     "x_fuzzy_name_match",
     "Banded edit-distance fuzzy matching (operators/dedup.py "
     "edit_distance_pairs): candidate pairs via a p_type-band equi-join "
