@@ -40,6 +40,7 @@ from ..operators.dedup import (
     simhash16,
 )
 from ..operators.diagnostics import run_diagnostics
+from ..operators.graph import duplicate_clusters
 from ..operators.forecast import fit_rw_drift_forecast, monte_carlo_forecast
 from ..operators.multimodal import attach_binary_metadata, decode_media, extract_features
 from ..operators.asof import asof_join
@@ -678,6 +679,61 @@ def x_tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rk") <= 3)
         .drop("__rk")
     )
+
+
+@_q(
+    "x_dedup_clusters_cc",
+    "Duplicate-CLUSTER resolution: exact-fingerprint star edges + "
+    "length-banded Jaccard pairs → distributed connected components "
+    "(min-label propagation with pointer jumping, O(log d) rounds, "
+    "operators/graph.py) → one deterministic survivor (min doc_id) per "
+    "cluster.  Near-duplication is transitive; a pairwise keep-rule "
+    "under-deletes.  Oracle = recursive-CTE min-reachable-id closure "
+    "over the identical edge set.",
+    f"""
+WITH RECURSIVE
+fpt AS (
+  SELECT doc_id, {_H60(f"array_to_string({_TOKS}, ' ')")} AS fingerprint
+  FROM documents
+),
+fpg AS (SELECT fingerprint, MIN(doc_id) AS keep FROM fpt GROUP BY 1),
+star AS (
+  SELECT f.doc_id AS src, g.keep AS dst
+  FROM fpt f JOIN fpg g USING (fingerprint)
+  WHERE f.doc_id != g.keep
+),
+jd AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS tok,
+         CAST(n_chars // 64 AS BIGINT) AS bucket
+  FROM documents
+),
+jac AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM jd a JOIN jd b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+          / CAST(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        >= 0.2
+),
+edges AS (SELECT * FROM star UNION ALL SELECT * FROM jac),
+sym AS (
+  SELECT src AS a, dst AS b FROM edges WHERE src != dst
+  UNION
+  SELECT dst, src FROM edges WHERE src != dst
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node
+  WHERE r.comp < s.b
+)
+SELECT node AS doc_id, MIN(comp) AS cluster_id,
+       CAST(CASE WHEN MIN(comp) = node THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+FROM reach GROUP BY node
+""",
+    tags=("M4", "dedup", "graph"),
+)
+def x_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_clusters(table(spark, sf_dir, "documents"))
 
 
 @_q(

@@ -1,0 +1,111 @@
+"""Connected components: property-check against a union-find reference.
+
+The Spark implementation (operators/graph.py) is iterative min-label
+propagation with pointer jumping; the reference below is a classic
+driver-side disjoint-set.  Agreement on random graphs (including
+isolated vertices, self-loops, duplicate and reversed edges) pins the
+semantics; a chain graph pins the O(log d) claim by converging well
+under the max_iter rail.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from mcm_problem_f_data_wrangling_spark.operators.graph import (
+    connected_components,
+    duplicate_clusters,
+    symmetrize_edges,
+)
+
+
+def _union_find_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min node in component
+    comp: dict[int, int] = {}
+    roots: dict[int, int] = {}
+    for v in range(n_nodes):
+        r = find(v)
+        roots.setdefault(r, min(u for u in range(n_nodes) if find(u) == r))
+        comp[v] = roots[r]
+    return comp
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cc_matches_union_find_on_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    # adversarial extras: duplicates, reversals, self-loops
+    edges += [(b, a) for a, b in edges[:5]] + [(7, 7), (edges[0][0], edges[0][1])]
+    expected = _union_find_components(n, edges)
+
+    edges_df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges_df, nodes=nodes_df).collect()
+    }
+    assert got == expected
+
+
+def test_cc_chain_converges_fast(spark):
+    # a 64-long path has diameter 63; pointer jumping must close it in
+    # far fewer than 63 rounds (log2(63) ≈ 6 plus constant slack)
+    edges_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src bigint, dst bigint"
+    )
+    labels = connected_components(edges_df, max_iter=10)
+    rows = labels.collect()
+    assert len(rows) == 64
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_cc_isolated_nodes_are_singletons(spark):
+    edges_df = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    nodes_df = spark.createDataFrame([(i,) for i in range(5)], "node bigint")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges_df, nodes=nodes_df).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_symmetrize_drops_self_loops(spark):
+    edges_df = spark.createDataFrame([(1, 1), (1, 2)], "src bigint, dst bigint")
+    rows = {(r["a"], r["b"]) for r in symmetrize_edges(edges_df).collect()}
+    assert rows == {(1, 2), (2, 1)}
+
+
+def test_duplicate_clusters_covers_all_docs_once(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", 22),
+            (2, "alpha  beta gamma delta", 23),  # exact dup after ws-normalize
+            (3, "alpha beta gamma delta epsilon", 28),  # near-dup of 1/2
+            (4, "totally unrelated words here", 28),
+            (5, "x", 1),
+        ],
+        "doc_id bigint, text string, n_chars bigint",
+    )
+    out = duplicate_clusters(docs).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3, 4, 5]
+    by_id = {r["doc_id"]: r for r in out}
+    # 1,2 exact-dup; 3 near-dups into the same cluster transitively
+    assert by_id[2]["cluster_id"] == 1 and by_id[3]["cluster_id"] == 1
+    assert by_id[4]["cluster_id"] == 4 and by_id[5]["cluster_id"] == 5
+    kept = {r["doc_id"] for r in out if r["is_kept"] == 1}
+    assert kept == {1, 4, 5}
