@@ -114,6 +114,25 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return F.when(n >= k, out).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def strict_word_shingles(col: Column | str, k: int = 8) -> Column:
+    """k-word shingles with NO short-text fallback (array<string>).
+
+    Documents shorter than k tokens yield an empty array — required by
+    decontamination (operators/decontam.py), where a whole-short-text
+    pseudo-shingle would flag spurious overlaps.  Same O(tokens)
+    zip_with construction as ``word_shingles``.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    m = F.greatest(n - k + 1, F.lit(0))
+    out = F.slice(toks, 1, m)
+    for i in range(1, k):
+        out = F.zip_with(
+            out, F.slice(toks, i + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(n >= k, out).otherwise(F.array().cast("array<string>"))
+
+
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
     """Character n-grams (array<string>)."""
     c = _c(col)

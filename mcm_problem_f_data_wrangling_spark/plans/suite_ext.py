@@ -40,6 +40,7 @@ from ..operators.dedup import (
     simhash16,
 )
 from ..operators.diagnostics import run_diagnostics
+from ..operators.decontam import ngram_decontaminate
 from ..operators.graph import duplicate_clusters
 from ..operators.forecast import fit_rw_drift_forecast, monte_carlo_forecast
 from ..operators.multimodal import attach_binary_metadata, decode_media, extract_features
@@ -679,6 +680,43 @@ def x_tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rk") <= 3)
         .drop("__rk")
     )
+
+
+@_q(
+    "x_decontaminate_ngram_overlap",
+    "Train/eval decontamination (operators/decontam.py): flag training "
+    "docs sharing any 8-word shingle with the eval holdout (doc_id %% "
+    "10 == 0 here; any eval table in production).  Eval (doc, "
+    "shingle-hash) pairs are broadcast — the 100 TB train side streams "
+    "through a broadcast-hash join, no big-side shuffle.  Docs shorter "
+    "than 8 tokens contribute no shingles (strict — no whole-text "
+    "fallback).",
+    f"""
+WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(toks) >= 8
+           THEN list_transform(generate_series(1, len(toks) - 7),
+                               i -> array_to_string(toks[i:i+7], ' '))
+           ELSE [] END)) AS ng
+  FROM toks_t
+),
+hp AS (SELECT doc_id, {_H60('ng')} AS h FROM sh),
+ev AS (SELECT doc_id AS eval_id, h FROM hp WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, h FROM hp WHERE doc_id % 10 != 0)
+SELECT tr.doc_id,
+       CAST(COUNT(DISTINCT tr.h) AS BIGINT) AS n_shared_ngrams,
+       CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+FROM tr JOIN ev ON tr.h = ev.h
+GROUP BY tr.doc_id
+""",
+    tags=("M4", "decontam"),
+)
+def x_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    return ngram_decontaminate(tr, ev, k=8)
 
 
 @_q(
