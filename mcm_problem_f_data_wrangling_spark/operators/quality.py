@@ -80,3 +80,45 @@ def repetition_signals(
         ),
         F.sum("count").cast("long").alias("n_grams"),
     )
+
+
+def filter_funnel(df: DataFrame, stages: list[tuple[str, Column]]) -> DataFrame:
+    """Per-stage survivor report for a chain of cleaning filters, in
+    ONE scan.
+
+    The naive report (``df.filter(s1).count()``, then
+    ``df.filter(s1 & s2).count()``, …) re-reads the corpus once per
+    stage — at 100 TB that is S full scans.  Here each stage's
+    cumulative pass flag is a conditional-sum column in a single
+    aggregation, so the whole funnel costs one scan and one 1-row
+    shuffle; the row-per-stage reshape happens on the aggregated
+    (S-column, 1-row) result via posexplode, i.e. for free.
+
+    Output: (stage_idx, stage, n_in, n_kept, n_dropped) — ``n_in`` of
+    stage i is ``n_kept`` of stage i-1 (corpus size for stage 1), the
+    C4/Gopher-paper "data pipeline table" shape.
+    """
+    cum = F.lit(True)
+    sums = [F.count(F.lit(1)).alias("__in0")]
+    for i, (name, cond) in enumerate(stages):
+        # NULL predicate (e.g. a ratio over an empty doc) means "drop",
+        # matching SQL WHERE semantics
+        cum = cum & F.coalesce(cond, F.lit(False))
+        sums.append(F.sum(cum.cast("bigint")).alias(f"__kept{i}"))
+    agg = df.agg(*sums)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("bigint").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col("__in0" if i == 0 else f"__kept{i-1}").alias("n_in"),
+                F.col(f"__kept{i}").alias("n_kept"),
+            )
+            for i, (name, _) in enumerate(stages)
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .withColumn("n_dropped", F.col("n_in") - F.col("n_kept"))
+    )

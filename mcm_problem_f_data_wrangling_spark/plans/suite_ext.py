@@ -682,6 +682,63 @@ def x_tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_SW = (
+    f"CAST(len(list_filter(toks, t -> list_contains({LANG_MARKERS['en']}, lower(t)))) AS DOUBLE)"
+    " / greatest(len(toks), 1)"
+)
+
+
+@_q(
+    "x_quality_filter_funnel",
+    "One-scan quality filter funnel (operators/quality.py "
+    "filter_funnel): per-stage kept/dropped report for a 4-stage "
+    "cleaning chain (lang==en, >=20 tokens, <=300 chars, stopword "
+    "ratio >= 0.02) via conditional aggregation — the naive "
+    "count-per-stage re-scans the corpus S times; this is one scan, "
+    "one 1-row shuffle, reshape by posexplode.  The C4/Gopher-paper "
+    "pipeline-table shape.",
+    f"""
+WITH d AS (SELECT lang, n_chars, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT COALESCE(lang = 'en', false) AS c1,
+         COALESCE(len(toks) >= 20, false) AS c2,
+         COALESCE(n_chars <= 300, false) AS c3,
+         COALESCE({_FUNNEL_SW} >= 0.02, false) AS c4
+  FROM d
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS in0,
+         CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(SUM(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+         CAST(SUM(CASE WHEN c1 AND c2 AND c3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+         CAST(SUM(CASE WHEN c1 AND c2 AND c3 AND c4 THEN 1 ELSE 0 END) AS BIGINT) AS k4
+  FROM m
+)
+SELECT stage_idx, stage, n_in, n_kept, n_in - n_kept AS n_dropped
+FROM (
+  SELECT CAST(1 AS BIGINT) AS stage_idx, 'lang_en' AS stage, in0 AS n_in, k1 AS n_kept FROM a
+  UNION ALL SELECT 2, 'min_tokens', k1, k2 FROM a
+  UNION ALL SELECT 3, 'len_cap', k2, k3 FROM a
+  UNION ALL SELECT 4, 'stopword_floor', k3, k4 FROM a
+)
+""",
+    tags=("M4", "quality"),
+)
+def x_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import filter_funnel
+
+    docs = table(spark, sf_dir, "documents")
+    return filter_funnel(
+        docs,
+        [
+            ("lang_en", F.col("lang") == "en"),
+            ("min_tokens", F.size(tokens("text")) >= 20),
+            ("len_cap", F.col("n_chars") <= 300),
+            ("stopword_floor", stopword_ratio("text") >= 0.02),
+        ],
+    )
+
+
 @_q(
     "x_decontaminate_ngram_overlap",
     "Train/eval decontamination (operators/decontam.py): flag training "

@@ -96,3 +96,32 @@ def test_redact_pii_fixtures(spark):
     assert got[4]["red"] == "clean text, no pii at all"
     assert (got[4]["ne"], got[4]["np"], got[4]["ni"]) == (0, 0, 0)
     assert got[5]["red"] == "both <EMAIL> and <IPV4>"
+
+
+def test_filter_funnel_single_scan_report(spark):
+    from mcm_problem_f_data_wrangling_spark.operators.quality import filter_funnel
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 30, "a"), (3, 30, "b"), (4, None, "b"), (5, 50, "a")],
+        "id bigint, v int, cat string",
+    )
+    out = filter_funnel(
+        df,
+        [
+            ("cat_a", F.col("cat") == "a"),
+            ("v_big", F.col("v") >= 30),  # NULL v on id=4 must count as drop
+        ],
+    ).collect()
+    rows = {r["stage"]: r for r in out}
+    assert [r["stage_idx"] for r in sorted(out, key=lambda r: r["stage_idx"])] == [1, 2]
+    assert rows["cat_a"]["n_in"] == 5 and rows["cat_a"]["n_kept"] == 3
+    assert rows["v_big"]["n_in"] == 3 and rows["v_big"]["n_kept"] == 2
+    assert rows["v_big"]["n_dropped"] == 1
+
+
+def test_filter_funnel_null_predicate_drops(spark):
+    from mcm_problem_f_data_wrangling_spark.operators.quality import filter_funnel
+
+    df = spark.createDataFrame([(None,), (1,)], "v int")
+    out = filter_funnel(df, [("nonnull_pass", F.col("v") > 0)]).collect()
+    assert out[0]["n_kept"] == 1 and out[0]["n_dropped"] == 1
