@@ -1333,6 +1333,44 @@ def s10_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "s11_rollup_cascade",
+    "Hypertable-style rollup cascade (operators/rollup_cascade.py): "
+    "hour from raw, day from hour, week from day — the raw table is "
+    "scanned ONCE for the whole grain hierarchy (continuous-aggregate "
+    "pattern); totals stay decimal through the cascade so re-summing "
+    "is exact.  Long output (grain, bucket, event_type, n, total).",
+    """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS dtotal
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT date_trunc('day', bucket) AS bucket, event_type,
+         CAST(SUM(n) AS BIGINT) AS n, SUM(dtotal) AS dtotal
+  FROM h GROUP BY 1, 2
+),
+w AS (
+  SELECT date_trunc('week', bucket) AS bucket, event_type,
+         CAST(SUM(n) AS BIGINT) AS n, SUM(dtotal) AS dtotal
+  FROM d GROUP BY 1, 2
+)
+SELECT 'hour' AS grain, bucket, event_type, n, CAST(dtotal AS DOUBLE) AS total FROM h
+UNION ALL
+SELECT 'day', bucket, event_type, n, CAST(dtotal AS DOUBLE) FROM d
+UNION ALL
+SELECT 'week', bucket, event_type, n, CAST(dtotal AS DOUBLE) FROM w
+""",
+    tags=("M2", "timeseries"),
+)
+def s11_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup_cascade import rollup_cascade
+
+    return rollup_cascade(table(spark, sf_dir, "events"))
+
+
+@_q(
     "s08_tumbling_window_rollup",
     "Batch mirror of the Structured Streaming tumbling-window rollup "
     "(streaming variant with watermark lives in streaming/monthly_rollup "
