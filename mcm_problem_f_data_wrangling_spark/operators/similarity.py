@@ -151,6 +151,85 @@ def train_ivf_cells(
     return assigned, centroids
 
 
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    n_probe: int = 1,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """kNN JOIN: top-k cosine neighbors for EVERY query vector.
+
+    ``brute_force_topk``/``ivf_topk`` serve one query vector; bulk
+    similarity (embedding near-dup sweeps, retrieval eval) needs all-N
+    queries at once, and N × brute-force is O(N·M).  Here both sides
+    carry a cell assignment and candidates are generated by an
+    equi-join on cell — one shuffle keyed on cell id, never a cross
+    join — then ranked per query with a window top-k.
+
+    With ``centroids`` (the trained codebook, a driver-side literal),
+    each query probes its ``n_probe`` max-cosine cells; without, it
+    probes its own ``cell_col`` cell (n_probe=1, fully deterministic —
+    the cross-engine-oracle configuration).  Self-pairs (same id) are
+    excluded.  Skew note: a hot cell concentrates its candidates in
+    one task; cap cell sizes at build time or salt the corpus side
+    (operators/skew.py) if a cell exceeds a task's budget.
+    """
+    from pyspark.sql import Window
+
+    if centroids is not None:
+        choices = F.array(
+            *[
+                F.struct(
+                    cosine_similarity(
+                        F.col(vec_col), F.array(*[F.lit(float(v)) for v in c])
+                    ).alias("c"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        probes = F.slice(F.reverse(F.array_sort(choices)), 1, n_probe)
+        q = queries.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(probes).alias("__probe"),
+        ).select("__qid", "__qvec", F.col("__probe")["cell"].alias("__qcell"))
+    else:
+        q = queries.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+            F.col(cell_col).alias("__qcell"),
+        )
+    c = corpus.select(
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).alias("__nvec"),
+        F.col(cell_col).alias("__qcell"),
+    )
+    pairs = (
+        q.join(c, "__qcell")
+        .filter(F.col("__qid") != F.col("__nid"))
+        .select(
+            "__qid",
+            "__nid",
+            cosine_similarity(F.col("__qvec"), F.col("__nvec")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cos_raw"), "__nid")
+    return (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            F.col("__qid").alias(id_col),
+            F.col("__nid").alias("neighbor_id"),
+            F.round("cos_raw", 6).alias("cos_sim"),
+        )
+    )
+
+
 def query_vector_of(df: DataFrame, vec_id: int, vec_col: str = "embedding", id_col: str = "vec_id") -> list[float]:
     """Driver-side fetch of one vector to use as a query literal."""
     row: Row | None = df.filter(F.col(id_col) == vec_id).select(vec_col).head()

@@ -50,7 +50,12 @@ from ..operators.quality import repetition_signals
 from ..operators.range_join import windowed_range_join
 from ..operators.sketch import approx_distinct_by, approx_quantiles_by
 from ..operators.skew import salted_group_agg
-from ..operators.similarity import brute_force_topk, ivf_topk, query_vector_of
+from ..operators.similarity import (
+    brute_force_topk,
+    ivf_knn_join,
+    ivf_topk,
+    query_vector_of,
+)
 from .base import DSUM, MONTHLY_CTE, Query, dsum, monthly_lineitem, table
 
 QUERIES: list[Query] = []
@@ -314,6 +319,39 @@ def x_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qid = emb.agg(F.min("vec_id")).head()[0]
     qvec = query_vector_of(emb, qid)
     return ivf_topk(emb, qvec, k=5)
+
+
+@_q(
+    "x_sim_knn_join",
+    "kNN JOIN (operators/similarity.py ivf_knn_join): top-3 cosine "
+    "neighbors for EVERY vector at once — candidates from an equi-join "
+    "on the IVF cell (one shuffle keyed on cell, never a cross join), "
+    "ranked per query by a window top-k.  Own-cell probing here "
+    "(deterministic, oracle-checkable); multi-probe over trained "
+    "centroids is property-tested for recall instead.",
+    """
+WITH e AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         SUM(a.val * b.val) AS dot,
+         SQRT(SUM(a.val * a.val)) AS na, SQRT(SUM(b.val * b.val)) AS nb
+  FROM e a JOIN e b ON a.label = b.label AND a.pos = b.pos
+                   AND a.vec_id != b.vec_id
+  GROUP BY 1, 2
+)
+SELECT qid AS vec_id, nid AS neighbor_id, ROUND(dot / (na * nb), 6) AS cos_sim
+FROM p
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dot / (na * nb) DESC, nid) <= 3
+""",
+    tags=("M4", "similarity"),
+)
+def x_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_knn_join(emb, emb, k=3)
 
 
 # --------------------------------------------------------------------------

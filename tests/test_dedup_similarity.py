@@ -176,3 +176,49 @@ def test_edit_distance_pairs_banded(spark):
     plan_df = edit_distance_pairs(df, "name", ["band"], "pid", max_dist=2)
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_knn_join_recall_on_clustered_vectors(spark):
+    import math
+    import random
+
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import ivf_knn_join
+
+    rng = random.Random(7)
+    base = [
+        [10.0 if d == c else 0.0 for d in range(8)] for c in range(4)
+    ]
+    rows = []
+    for i in range(48):
+        c = i % 4
+        rows.append((i, [base[c][d] + rng.uniform(-1, 1) for d in range(8)], c))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+
+    # exact top-3: everything in one cell == brute-force kNN join
+    exact_df = df.withColumn("label", F.lit(0))
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in ivf_knn_join(exact_df, exact_df, k=3).collect()
+    }
+    # multi-probe over the TRUE centroids (stand-in for a trained codebook)
+    approx = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in ivf_knn_join(df, df, k=3, centroids=base, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_ivf_knn_join_excludes_self_and_respects_k(spark):
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import ivf_knn_join
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], 0) for i in range(5)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    out = ivf_knn_join(df, df, k=2).collect()
+    assert all(r["vec_id"] != r["neighbor_id"] for r in out)
+    from collections import Counter
+
+    per_q = Counter(r["vec_id"] for r in out)
+    assert set(per_q.values()) == {2}
