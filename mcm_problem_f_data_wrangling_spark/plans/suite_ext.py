@@ -1371,6 +1371,60 @@ def s10_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "s12_event_funnel",
+    "Ordered event funnel (operators/funnel.py): users completing "
+    "view, then click strictly after their first view (within 1 day), "
+    "then purchase after that click (within 1 day).  Cascaded "
+    "conditional window-mins over ONE "
+    "partitionBy(user) exchange — the textbook SQL formulation "
+    "(mirrored in the oracle) joins events once per step.",
+    """
+WITH u AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN u USING (user_id)
+  WHERE e.event_type = 'click' AND u.t1 IS NOT NULL
+    AND e.ts > u.t1 AND e.ts <= u.t1 + INTERVAL 1 DAY
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1 DAY
+  GROUP BY e.user_id
+),
+c AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS total,
+         (SELECT CAST(COUNT(t1) AS BIGINT) FROM u) AS n1,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
+)
+SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, n1 AS n_users, total AS n_entered FROM c
+UNION ALL SELECT 2, 'click', n2, n1 FROM c
+UNION ALL SELECT 3, 'purchase', n3, n2 FROM c
+""",
+    tags=("M2", "events"),
+)
+def s12_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_conversion
+
+    ev = table(spark, sf_dir, "events")
+    return funnel_conversion(
+        ev,
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        within_seconds=86400,
+    )
+
+
+@_q(
     "s11_rollup_cascade",
     "Hypertable-style rollup cascade (operators/rollup_cascade.py): "
     "hour from raw, day from hour, week from day — the raw table is "
