@@ -1371,6 +1371,38 @@ def s10_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "s13_retention_cohorts",
+    "Weekly cohort retention triangle (operators/retention.py): users "
+    "cohorted by first-active week; n_active per (cohort, week "
+    "offset); cohort_size rides along as a window-max over the "
+    "offset-0 row.  One user-keyed exchange — distinct (user, week) "
+    "reduction, window-min cohort attach (same partitioning, no "
+    "join), then a small re-aggregation.",
+    """
+WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+coh AS (
+  SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cw FROM act
+),
+agg AS (
+  SELECT cw AS cohort_period,
+         CAST(date_diff('day', cw, wk) / 7 AS BIGINT) AS period_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM coh GROUP BY 1, 2
+)
+SELECT CAST(cohort_period AS TIMESTAMP) AS cohort_period, period_offset, n_active,
+       CAST(MAX(CASE WHEN period_offset = 0 THEN n_active END)
+            OVER (PARTITION BY cohort_period) AS BIGINT) AS cohort_size
+FROM agg
+""",
+    tags=("M2", "events"),
+)
+def s13_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retention import retention_cohorts
+
+    return retention_cohorts(table(spark, sf_dir, "events"))
+
+
+@_q(
     "s12_event_funnel",
     "Ordered event funnel (operators/funnel.py): users completing "
     "view, then click strictly after their first view (within 1 day), "
