@@ -10,31 +10,33 @@ nothing like this (its dedup surface is ``drop_duplicates``,
 SURVEY.md §2.2 P11); this is an engine extension on the BASELINE.json
 north star, same family as GraphFrames/GraphX connectedComponents.
 
-Algorithm: **min-label propagation with pointer jumping**, pure
-DataFrame ops (no RDDs, no Python in the loop):
+Algorithm: **hash-min label propagation with pointer-edge doubling**,
+pure DataFrame ops (no RDDs, no Python in the loop).  State is one
+(node, comp) table, comp = smallest node id known reachable.  Each
+round the label table is joined against an edge set that is the graph
+PLUS the label table's own pointer edges (node→comp and comp→node), so
+a node receives comp(comp(v)) as well as its neighbors' labels — the
+pointer-doubling shortcut folded into the one equi-join, closing long
+chains in O(log length) rounds.  Convergence is detected with a
+one-number aggregate: labels only decrease, so SUM(comp) is strictly
+monotone and stalls exactly at the fixpoint.
 
-- state is one (node, comp) table, comp = smallest node id known
-  reachable; each round does (1) a neighbor step — every node offers
-  its comp to its neighbors via one equi-join on the symmetrized edge
-  table — and (2) a pointer-jumping step — comp := comp(comp), which
-  short-circuits chains so convergence is O(log diameter) rounds, not
-  O(diameter).
-- every round ends in ``localCheckpoint(eager=True)``: iterative
-  DataFrame algorithms otherwise accumulate an exponentially deep
-  lineage that re-executes from the scan each round and eventually
-  overflows the planner.
-- convergence is detected with a one-number aggregate: labels only
-  ever decrease, so SUM(comp) is strictly monotone and stalls exactly
-  at the fixpoint.  No row-wise "changed?" join, no driver-side
-  collect of labels.
-
-At 100 TB the per-round cost is two shuffles keyed on node id (the
-neighbor join and the groupBy-min) over state that is one row per
-node — the edge table, typically the larger side, is cached once and
-re-shuffled on a stable key, and component count drops geometrically.
+Iteration state lives in PARQUET, re-read each round.  This is
+deliberate and load-bearing: ``localCheckpoint``/``checkpoint`` do NOT
+reliably truncate lineage for this loop shape on Spark 4.1 — the label
+plan references the previous round's labels four times, and once
+truncation fails the recompute tree grows ~4^rounds (measured: flat
+~1 s/round through round 17, then 2.2 s, 4 s, 9 s, 22 s, 57 s).  With
+parquet state every round is a fresh scan: measured flat ~1 s/round to
+fixpoint on a 200k-node/190k-edge chain+random graph.  At cluster
+scale the work dir is a distributed-FS path and the per-round write is
+one row per node — the same pattern GraphX uses for iterative state.
 """
 
 from __future__ import annotations
+
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -55,7 +57,8 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     node_col: str = "node",
-    max_iter: int = 25,
+    max_iter: int = 60,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of an undirected graph → (node, component).
 
@@ -64,57 +67,75 @@ def connected_components(
     vertices (no incident edges); otherwise the vertex set is derived
     from the edges.
 
-    ``max_iter`` is a safety rail: pointer jumping converges in
-    O(log d) rounds (d = graph diameter), so 25 covers diameters past
-    a million; hitting the rail raises rather than returning a
-    half-merged labeling.
+    ``work_dir`` holds per-round parquet state (see module docstring);
+    default is a local temp dir, removed afterwards — on a cluster
+    pass a distributed-FS path.  ``max_iter`` is a safety rail;
+    hitting it raises rather than returning a half-merged labeling.
     """
+    spark = edges.sparkSession
     sym = symmetrize_edges(edges, src, dst)
     if nodes is None:
         vertices = sym.select(F.col("a").alias(node_col)).dropDuplicates()
     else:
-        vertices = nodes.select(F.col(node_col)).dropDuplicates()
         # edges may mention vertices absent from `nodes`; the union keeps
         # the label table closed over everything the joins will touch
-        vertices = vertices.unionByName(
-            sym.select(F.col("a").alias(node_col))
-        ).dropDuplicates()
-    sym = sym.localCheckpoint(eager=True)  # reused every round: cut lineage once
-    labels = vertices.select(
-        F.col(node_col), F.col(node_col).alias("component")
-    ).localCheckpoint(eager=True)
-
-    def total(lab: DataFrame) -> int:
-        # decimal(38) accumulator: SUM over bigint node ids can exceed int64
-        return lab.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("t")
-        ).collect()[0]["t"]
-
-    prev = total(labels)
-    for _ in range(max_iter):
-        # 1. neighbor step: each node offers its component to neighbors
-        offers = sym.join(
-            labels, sym["a"] == labels[node_col], "inner"
-        ).select(F.col("b").alias(node_col), "component")
-        merged = (
-            labels.unionByName(offers)
-            .groupBy(node_col)
-            .agg(F.min("component").alias("component"))
+        vertices = (
+            nodes.select(F.col(node_col))
+            .unionByName(sym.select(F.col("a").alias(node_col)))
+            .dropDuplicates()
         )
-        # 2. pointer jump: component := component(component).  Every comp
-        # value is itself a node id, so the self-join always hits.
-        parent = merged.select(
-            F.col(node_col).alias("p_node"), F.col("component").alias("p_comp")
+
+    base = work_dir or tempfile.mkdtemp(prefix="cc_state_")
+    own_dir = work_dir is None
+    try:
+        sym.write.mode("overwrite").parquet(f"{base}/edges")
+        sym = spark.read.parquet(f"{base}/edges")
+        vertices.select(
+            F.col(node_col), F.col(node_col).alias("component")
+        ).write.mode("overwrite").parquet(f"{base}/labels_0")
+        labels = spark.read.parquet(f"{base}/labels_0")
+
+        def total(lab: DataFrame):
+            # decimal(38) accumulator: SUM over bigint ids can exceed int64
+            return lab.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("t")
+            ).collect()[0]["t"]
+
+        prev = total(labels)
+        for i in range(max_iter):
+            # graph edges + label pointer edges (both ways): the rtr edge
+            # (comp→node) delivers comp(comp(v)) — pointer doubling —
+            # through the same single equi-join as the neighbor step
+            ptr = labels.select(
+                F.col(node_col).alias("a"), F.col("component").alias("b")
+            )
+            rtr = labels.select(
+                F.col("component").alias("a"), F.col(node_col).alias("b")
+            )
+            gr = sym.unionByName(ptr).unionByName(rtr)
+            offers = gr.join(labels, gr["a"] == labels[node_col], "inner").select(
+                F.col("b").alias(node_col), "component"
+            )
+            nxt = (
+                labels.unionByName(offers)
+                .groupBy(node_col)
+                .agg(F.min("component").alias("component"))
+            )
+            nxt.write.mode("overwrite").parquet(f"{base}/labels_{i + 1}")
+            labels = spark.read.parquet(f"{base}/labels_{i + 1}")
+            cur = total(labels)
+            if cur == prev:
+                # fixpoint; materialize the result off the state dir
+                # before it is deleted
+                final = labels.localCheckpoint(eager=True)
+                return final
+            prev = cur
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
         )
-        jumped = merged.join(
-            parent, merged["component"] == parent["p_node"], "inner"
-        ).select(F.col(node_col), F.col("p_comp").alias("component"))
-        labels = jumped.localCheckpoint(eager=True)
-        cur = total(labels)
-        if cur == prev:
-            return labels
-        prev = cur
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        if own_dir:
+            shutil.rmtree(base, ignore_errors=True)
 
 
 def duplicate_clusters(

@@ -197,10 +197,88 @@ def main() -> None:
         t_plain = timed("group_sum_hot_key_plain", plain_agg)
         t_salted = timed("group_sum_hot_key_salted", salted_agg)
         timed("sessionize_batch_2m_events", sessions)
+        def connected_comp():
+            from mcm_problem_f_data_wrangling_spark.operators.graph import (
+                connected_components,
+            )
+
+            n = 2_000_000
+            ids = spark.range(n)
+            # chain edges with geometric break points (~75% density -> avg
+            # component ~4, with a heavy tail), plus sparse random
+            # long-range edges so pointer jumping has real work
+            chain = ids.filter(F.pmod(F.xxhash64("id"), F.lit(4)) != 0).select(
+                F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+            )
+            longr = ids.filter(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(50)) == 0).select(
+                F.col("id").alias("src"),
+                F.pmod(F.xxhash64("id", F.lit(9)), F.lit(n)).alias("dst"),
+            )
+            return connected_components(chain.unionByName(longr)).count()
+
+        def knn_join():
+            from mcm_problem_f_data_wrangling_spark.operators.similarity import (
+                ivf_knn_join,
+            )
+
+            vecs = spark.range(100_000).select(
+                F.col("id").alias("vec_id"),
+                F.array(
+                    *[
+                        (F.pmod(F.xxhash64("id", F.lit(i)), F.lit(1000)) / 500.0 - 1.0)
+                        for i in range(16)
+                    ]
+                ).alias("embedding"),
+                F.pmod(F.xxhash64("id", F.lit(99)), F.lit(1024)).cast("int").alias("label"),
+            )
+            return ivf_knn_join(vecs, vecs, k=5).count()
+
+        def funnel_2m():
+            from mcm_problem_f_data_wrangling_spark.operators.funnel import (
+                funnel_conversion,
+            )
+
+            typed = ev.withColumn(
+                "event_type",
+                F.element_at(
+                    F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                    (F.pmod(F.xxhash64("event_id", F.lit(3)), F.lit(3)) + 1).cast("int"),
+                ),
+            )
+            return funnel_conversion(
+                typed,
+                [
+                    ("view", F.col("event_type") == "view"),
+                    ("click", F.col("event_type") == "click"),
+                    ("purchase", F.col("event_type") == "purchase"),
+                ],
+                within_seconds=86400,
+            ).count()
+
+        def retention_2m():
+            from mcm_problem_f_data_wrangling_spark.operators.retention import (
+                retention_cohorts,
+            )
+
+            return retention_cohorts(ev).count()
+
+        def cascade_2m():
+            from mcm_problem_f_data_wrangling_spark.operators.rollup_cascade import (
+                rollup_cascade,
+            )
+
+            typed = ev.withColumn("event_type", (F.pmod(F.xxhash64("event_id"), F.lit(5))).cast("string"))
+            return rollup_cascade(typed, grains=("minute", "hour", "day")).count()
+
         timed("minhash_200k_docs", minhash)
         timed("asof_join_1m_x_1m", asof)
         timed("range_join_1h_window_1m_x_1m", range_join)
         timed("repetition_signals_200k_docs", repetition)
+        timed("connected_components_2m_nodes", connected_comp)
+        timed("ivf_knn_join_100k_x_1024cells", knn_join)
+        timed("event_funnel_2m", funnel_2m)
+        timed("retention_cohorts_2m", retention_2m)
+        timed("rollup_cascade_2m", cascade_2m)
         print(
             json.dumps(
                 {
