@@ -727,6 +727,40 @@ _FUNNEL_SW = (
 
 
 @_q(
+    "x_pack_sequences",
+    "Sequence packing (operators/packing.py): contiguous assignment of "
+    "docs to 512-token training bins per source — bin = floor("
+    "exclusive token cumsum / capacity), the standard distributed "
+    "approximation of first-fit (boundary docs overflow into the "
+    "earlier bin).  One source-keyed window cumsum; deterministic "
+    "given (source, doc_id).",
+    f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+    PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM d
+)
+SELECT doc_id, source, n_tokens,
+       CAST(excl // 512 AS BIGINT) AS bin_id,
+       CAST(excl % 512 AS BIGINT) AS bin_offset
+FROM c
+""",
+    tags=("M4", "packing"),
+)
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count_ws("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, "n_tokens", capacity=512)
+
+
+@_q(
     "x_quality_filter_funnel",
     "One-scan quality filter funnel (operators/quality.py "
     "filter_funnel): per-stage kept/dropped report for a 4-stage "
