@@ -80,6 +80,26 @@ def stratified_cap(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    key_col: str = "doc_id",
+    seed: str = "wsample",
+) -> DataFrame:
+    """Keep each row with probability = its weight (clamped to [0, 1]),
+    deterministically: hash_frac(key) < weight.
+
+    The per-ROW generalization of :func:`source_mix` — the weight is
+    any Column (a quality score, a domain prior, an importance weight
+    from a reweighting model), so the kept corpus is biased toward
+    high-value documents while staying exactly reproducible: the same
+    doc is kept or dropped regardless of partitioning, cluster size,
+    or what else is in the corpus.  Pure filter, no shuffle."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    bounded = F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0))
+    return df.filter(hash_frac(F.col(key_col).cast("string"), seed=seed) < bounded)
+
+
 def source_mix(
     df: DataFrame,
     source_col: str,

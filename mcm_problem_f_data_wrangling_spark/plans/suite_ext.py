@@ -957,6 +957,38 @@ def x_curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_SQL = f"""(
+  (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END)
+  + (1.0 - least(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1) * 4, 1.0))
+  + least(CAST(len(list_filter({_TOKS}, t -> list_contains({LANG_MARKERS['en']}, lower(t)))) AS DOUBLE)
+          / greatest(len({_TOKS}), 1) * 5, 1.0)
+) / 3.0"""
+
+
+@_q(
+    "x_curation_weighted_sample",
+    "Per-row weighted sampling (operators/curation.py weighted_sample): "
+    "keep probability = the doc's quality score, decided by the "
+    "portable content hash — biases the kept corpus toward high-value "
+    "docs while staying exactly reproducible across engines/"
+    "partitionings (oracle verifies the EXACT kept set).  Pure filter, "
+    "no shuffle.",
+    f"""
+SELECT doc_id, source
+FROM documents
+WHERE {_hash_frac_sql('doc_id', 'wsample')}
+      < least(greatest({_QUALITY_SQL}, 0.0), 1.0)
+""",
+    tags=("M4", "curation"),
+)
+def x_curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import weighted_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return weighted_sample(docs, quality_score("text")).select("doc_id", "source")
+
+
 @_q(
     "x_curation_stratified_mix",
     "Corpus mixing + stratified cap (operators/curation.py): "

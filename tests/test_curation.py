@@ -58,3 +58,31 @@ def test_source_mix_hits_target_rates(spark, docs):
     rest_kept = sum(v for k, v in per.items() if k != "src1")
     rest_orig = sum(v for k, v in orig.items() if k not in ("src0", "src1"))
     assert abs(rest_kept / rest_orig - 0.5) < 0.1
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    from mcm_problem_f_data_wrangling_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 0.5 if i % 2 else 0.0) for i in range(200)], "doc_id bigint, w double"
+    )
+    kept1 = sorted(r["doc_id"] for r in weighted_sample(df, "w").collect())
+    kept2 = sorted(
+        r["doc_id"] for r in weighted_sample(df.repartition(7), "w").collect()
+    )
+    assert kept1 == kept2                       # partitioning-independent
+    assert all(i % 2 for i in kept1)            # weight 0 rows never kept
+    assert 0 < len(kept1) < 100                 # ~half of the weight-0.5 rows
+    # raising every weight only ADDS docs (hash threshold is fixed per doc)
+    kept_hi = {r["doc_id"] for r in weighted_sample(df, F.col("w") * 2).collect()}
+    assert set(kept1) <= kept_hi
+
+
+def test_weighted_sample_clamps_weights(spark):
+    from mcm_problem_f_data_wrangling_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -3.0)], "doc_id bigint, w double"
+    )
+    kept = {r["doc_id"] for r in weighted_sample(df, "w").collect()}
+    assert kept == {1}  # >1 clamps to always-keep; <0 clamps to never
