@@ -1437,6 +1437,36 @@ def s10_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "s14_rolling_wau",
+    "Exact rolling 7-day distinct actives (operators/sketch.py "
+    "rolling_distinct_exact): rolling COUNT(DISTINCT) can't compose "
+    "from daily counts, so each distinct (user, day) pair is exploded "
+    "to the 7 report days it serves, then distinct-counted per day "
+    "(report days restricted to observed days).  The HLL-sketch "
+    "variant (rolling_distinct_hll: one fixed-size sketch per day + "
+    "window union) is the 100 TB path, bounded-error tested.",
+    """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+spine AS (SELECT DISTINCT day FROM pairs),
+contrib AS (
+  SELECT user_id, day + CAST(off AS INTEGER) AS wday
+  FROM pairs CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off)
+)
+SELECT c.wday AS day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_users
+FROM contrib c JOIN spine s ON s.day = c.wday
+GROUP BY 1
+""",
+    tags=("M2", "events", "sketch"),
+)
+def s14_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import rolling_distinct_exact
+
+    return rolling_distinct_exact(table(spark, sf_dir, "events"))
+
+
+@_q(
     "s13_retention_cohorts",
     "Weekly cohort retention triangle (operators/retention.py): users "
     "cohorted by first-active week; n_active per (cohort, week "
