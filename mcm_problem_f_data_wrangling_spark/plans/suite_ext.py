@@ -1437,6 +1437,46 @@ def s10_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "s15_scd2_history",
+    "SCD type-2 dimension history (operators/scd.py): change events → "
+    "versioned [valid_from, valid_to) intervals per user with no-op "
+    "updates collapsed (lag compare) and intervals closed by lead — "
+    "one key-partitioned window, one shuffle regardless of attribute "
+    "count.  Pairs with the as-of join for fact-time dimension lookup.",
+    """
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev
+  FROM events
+),
+v AS (
+  SELECT user_id, ts, event_type FROM o
+  WHERE prev IS NULL OR event_type != prev
+),
+h AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS valid_to,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_type) AS BIGINT) AS version
+  FROM v
+)
+SELECT user_id, event_type, valid_from, valid_to, version,
+       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM h
+""",
+    tags=("M2", "warehouse"),
+)
+def s15_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_history
+
+    return scd2_history(
+        table(spark, sf_dir, "events"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+    )
+
+
+@_q(
     "s14_rolling_wau",
     "Exact rolling 7-day distinct actives (operators/sketch.py "
     "rolling_distinct_exact): rolling COUNT(DISTINCT) can't compose "
