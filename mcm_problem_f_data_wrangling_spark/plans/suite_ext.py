@@ -1436,6 +1436,50 @@ def s10_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corr_oracle_sql(cols: list[str], scale: int = 6) -> str:
+    from itertools import combinations
+
+    dec = f"DECIMAL(18,{scale})"
+    sums = [f"CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in cols:
+        sums.append(f"CAST(SUM(CAST({c} AS {dec})) AS DOUBLE) AS s_{c}")
+    # product operands widened to DECIMAL(28,6): DuckDB multiplies
+    # DECIMAL(18) in int64 and overflows; 28 forces int128, still exact
+    wide = f"DECIMAL(28,{scale})"
+    for a, b in list(combinations(cols, 2)) + [(c, c) for c in cols]:
+        sums.append(
+            f"CAST(SUM(CAST(CAST({a} AS {wide}) * CAST({b} AS {wide}) AS DECIMAL(38,12))) AS DOUBLE) AS p_{a}_{b}"
+        )
+    sel = []
+    for a, b in combinations(cols, 2):
+        sel.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"ROUND((n * p_{a}_{b} - s_{a} * s_{b}) / "
+            f"sqrt((n * p_{a}_{a} - s_{a} * s_{a}) * (n * p_{b}_{b} - s_{b} * s_{b})), {scale}) AS corr FROM agg"
+        )
+    return "WITH agg AS (\n  SELECT " + ",\n         ".join(sums) + "\n  FROM lineitem\n)\n" + "\nUNION ALL ".join(sel)
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@_q(
+    "x_corr_matrix_one_scan",
+    "Pairwise Pearson correlation matrix over four lineitem measures "
+    "in ONE scan (operators/corrmatrix.py): every correlation derives "
+    "from map-side-combinable sums {n, Σx, Σx², Σxy}, so k columns "
+    "cost one scan + a 1-row shuffle for k(k-1)/2 correlations (the "
+    "per-pair corr() loop scans k²/2 times).  Decimal-exact sums make "
+    "the derived value bit-identical in the oracle.",
+    _corr_oracle_sql(_CORR_COLS),
+    tags=("M3", "stats"),
+)
+def x_corr_matrix_one_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corrmatrix import corr_matrix
+
+    return corr_matrix(table(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
 @_q(
     "s15_scd2_history",
     "SCD type-2 dimension history (operators/scd.py): change events → "
