@@ -761,6 +761,121 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_e2e_training_corpus",
+    "END-TO-END training-corpus build, composed entirely from the "
+    "suite's operators with ONE oracle over the whole pipeline: "
+    "quality gate (lang==en, >=20 tokens, <=300 chars) → exact-dedup "
+    "survivors (min-id per fingerprint) → pairwise near-dup "
+    "suppression (banded Jaccard >= 0.5 drops the greater id; the "
+    "transitive version is x_dedup_clusters_cc) → eval holdout "
+    "removal + 8-gram decontamination → sequence packing (512-token "
+    "bins) → per-source corpus stats (docs, tokens, bins).",
+    f"""
+WITH tok AS (
+  SELECT doc_id, source, lang, n_chars, {_TOKS} AS toks FROM documents
+),
+filt AS (
+  SELECT * FROM tok WHERE lang = 'en' AND len(toks) >= 20 AND n_chars <= 300
+),
+fp AS (
+  SELECT *, {_H60("array_to_string(toks, ' ')")} AS fingerprint FROM filt
+),
+keepfp AS (SELECT fingerprint, MIN(doc_id) AS keep FROM fp GROUP BY 1),
+ex AS (
+  SELECT f.* FROM fp f JOIN keepfp k
+    ON f.fingerprint = k.fingerprint AND f.doc_id = k.keep
+),
+jd AS (
+  SELECT doc_id, list_distinct(toks) AS tok,
+         CAST(n_chars // 64 AS BIGINT) AS bucket
+  FROM ex
+),
+neardrop AS (
+  SELECT DISTINCT b.doc_id FROM jd a JOIN jd b
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+          / CAST(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        >= 0.5
+),
+nd AS (
+  SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM neardrop)
+),
+evng AS (
+  SELECT DISTINCT {_H60('ng')} AS h FROM (
+    SELECT unnest(list_distinct(CASE WHEN len(toks) >= 8
+      THEN list_transform(generate_series(1, len(toks) - 7),
+                          i -> array_to_string(toks[i:i+7], ' '))
+      ELSE [] END)) AS ng
+    FROM tok WHERE doc_id % 10 = 0
+  )
+),
+trng AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8
+    THEN list_transform(generate_series(1, len(toks) - 7),
+                        i -> array_to_string(toks[i:i+7], ' '))
+    ELSE [] END)) AS ng
+  FROM nd WHERE doc_id % 10 != 0
+),
+contam AS (
+  SELECT DISTINCT t.doc_id FROM trng t JOIN evng e ON {_H60('t.ng')} = e.h
+),
+final AS (
+  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM nd
+  WHERE doc_id % 10 != 0 AND doc_id NOT IN (SELECT doc_id FROM contam)
+),
+packed AS (
+  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin_id
+  FROM final
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins
+FROM packed GROUP BY 1
+""",
+    tags=("M4", "pipeline"),
+)
+def x_e2e_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_sequences
+
+    docs = table(spark, sf_dir, "documents")
+    filt = docs.filter(
+        (F.col("lang") == "en")
+        & (token_count_ws("text") >= 20)
+        & (F.col("n_chars") <= 300)
+    )
+    groups = exact_dedup_groups(filt)
+    from ..functions.textfn import doc_fingerprint
+
+    ex = (
+        filt.withColumn("fingerprint", doc_fingerprint("text"))
+        .join(
+            F.broadcast(groups.select("fingerprint", "keep_doc_id")), "fingerprint"
+        )
+        .filter(F.col("doc_id") == F.col("keep_doc_id"))
+        .drop("fingerprint", "keep_doc_id")
+    )
+    neardrop = ngram_jaccard_pairs(ex, threshold=0.5).select(
+        F.col("doc_id_2").alias("doc_id")
+    ).dropDuplicates()
+    nd = ex.join(neardrop, "doc_id", "left_anti")
+    train = nd.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    contam = ngram_decontaminate(train, ev, k=8).select("doc_id")
+    final = train.join(contam, "doc_id", "left_anti").select(
+        "doc_id", "source", token_count_ws("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(final, "n_tokens", capacity=512)
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("bin_id").alias("n_bins"),
+    )
+
+
+@_q(
     "x_quality_filter_funnel",
     "One-scan quality filter funnel (operators/quality.py "
     "filter_funnel): per-stage kept/dropped report for a 4-stage "
