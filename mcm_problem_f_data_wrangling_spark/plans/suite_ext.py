@@ -1808,3 +1808,176 @@ def s08_tumbling_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dsum("value").alias("total"))
         .select(F.col("w.start").cast("date").alias("day"), "event_type", "n", "total")
     )
+
+
+@_q(
+    "s16_cdc_apply",
+    "CDC change-log apply (operators/cdc.py): row-level upserts + "
+    "tombstones collapse to the final snapshot via max(struct(order, "
+    "payload)) — an ordinary combinable aggregate, so map-side partial "
+    "aggregation + ONE key shuffle and no window sort (the row_number "
+    "formulation sorts every partition; struct-max keeps one candidate "
+    "per key per task).  Here events replays as a change log on "
+    "user_id with 'error' as the delete op.",
+    """
+WITH ch AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type, value
+  FROM events
+),
+latest AS (
+  SELECT user_id,
+         MAX({'ts': ts, 't0': event_id, 'op': op,
+              'attrs': {'event_type': event_type, 'value': value}}) AS w
+  FROM ch GROUP BY user_id
+)
+SELECT user_id, w.attrs.event_type AS last_event_type,
+       w.attrs.value AS last_value
+FROM latest WHERE w.op != 'D'
+""",
+    tags=("M2", "warehouse"),
+)
+def s16_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import cdc_apply
+
+    ch = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+    return cdc_apply(
+        ch,
+        key_cols=["user_id"],
+        ts_col="ts",
+        op_col="op",
+        attr_cols=["last_event_type", "last_value"],
+        tiebreak_cols=["event_id"],
+    )
+
+
+@_q(
+    "s17_interval_merge",
+    "Gaps-and-islands interval merge (operators/intervals.py): each "
+    "event opens a 30-minute validity window; overlapping/touching "
+    "windows per user collapse to maximal activity spans.  Running "
+    "max-of-previous-ends flags island starts, a prefix sum labels "
+    "them, one aggregate emits spans — a single exchange on user_id "
+    "(both windows + the groupBy reuse it), no self-join, no O(n²) "
+    "overlap blowup.",
+    """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+),
+m AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+),
+lab AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+)
+SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM lab GROUP BY user_id, island
+""",
+    tags=("M2", "timeseries"),
+)
+def s17_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.intervals import merge_intervals
+
+    iv = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    return merge_intervals(iv, ["user_id"], "s", "e")
+
+
+@_q(
+    "w16_time_range_rolling",
+    "Time-based rolling aggregate (W2 extension): 7-day trailing sum/"
+    "count per user via a RANGE frame over event time — row-count "
+    "frames (W2-W5) are wrong when events are irregularly spaced; the "
+    "RANGE frame bounds by time difference.  Spark side orders by "
+    "unix_micros with rangeBetween(-7d in µs, 0) ≡ DuckDB RANGE "
+    "BETWEEN INTERVAL 7 DAYS PRECEDING.  Decimal-cast before the "
+    "frame sum keeps values bit-identical cross-engine.",
+    """
+SELECT user_id, event_id, ts,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS r7_sum,
+  CAST(COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS r7_n
+FROM events
+""",
+    tags=("M2", "timeseries"),
+)
+def w16_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("r7_sum"),
+        F.count(F.lit(1)).over(w).alias("r7_n"),
+    )
+
+
+@_q(
+    "x_histogram_equi_width",
+    "Equi-width histogram of order totals: 20 fixed $25k buckets with "
+    "per-bucket count + decimal-exact revenue.  The bucket id is pure "
+    "arithmetic (floor(x/w) clamped) — identical IEEE ops on both "
+    "engines — and the aggregation is a plain map-side-combinable "
+    "groupBy, so a 100 TB histogram costs one scan + a 20-row "
+    "shuffle.  (Spark's width_bucket agrees on bucket interiors; the "
+    "arithmetic form pins the exact-boundary and overflow semantics "
+    "cross-engine — asserted in tests/test_cdc_intervals.py.)",
+    """
+SELECT CAST(LEAST(FLOOR(o_totalprice / 25000.0), 19) AS BIGINT) AS bucket,
+       CAST(LEAST(FLOOR(o_totalprice / 25000.0), 19) * 25000.0 AS DOUBLE) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       """
+    + DSUM("o_totalprice")
+    + """ AS total_price
+FROM orders GROUP BY 1, 2
+""",
+    tags=("M3", "stats"),
+)
+def x_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / F.lit(25000.0)), F.lit(19)).cast(
+        "long"
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(25000.0)).alias("bucket_lo"),
+            "n_orders",
+            "total_price",
+        )
+    )
