@@ -123,3 +123,67 @@ def source_mix(
         F.lit(float(default_rate))
     )
     return df.filter(frac < rate)
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    weight_col: str | None = None,
+    key_col: str = "doc_id",
+    seed: str = "tmix",
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-corpus
+    standard: sampling mass per group ∝ size^alpha, alpha<1 flattens
+    dominant groups — XLM-R / mT5 style).
+
+    Per group s with mass ``c_s`` (row count, or exact sum of
+    ``weight_col`` e.g. chars): target budget ``B = budget_frac *
+    Σc``; group keep-rate ``q_s = min(1, B · p_s / c_s)`` with ``p_s ∝
+    c_s^alpha``.  Rows kept via the portable hash — exactly
+    reproducible, and the DuckDB oracle replays the assignment.
+
+    Cross-engine determinism: the group masses are exact integers, the
+    ``^alpha`` powers are decimal-rounded before the normalizing sum
+    (decimal addition is associative — engine sum order can't drift),
+    and alpha=0.5 uses IEEE-correctly-rounded sqrt rather than libm
+    pow.  Cost: one k-row aggregate + a broadcast join back — the big
+    side never shuffles.
+    """
+    from pyspark.sql.functions import broadcast
+
+    mass = (
+        F.sum(F.col(weight_col).cast("long")).alias("__c")
+        if weight_col is not None
+        else F.count(F.lit(1)).alias("__c")
+    )
+    groups = df.groupBy(group_col).agg(mass)
+    p_raw = (
+        F.sqrt(F.col("__c").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("__c").cast("double"), F.lit(alpha))
+    )
+    groups = groups.withColumn("__p", p_raw.cast("decimal(28,12)"))
+    tot = groups.agg(
+        F.sum("__p").alias("__tot_p"), F.sum("__c").alias("__tot_c")
+    )
+    rates = (
+        groups.crossJoin(broadcast(tot))
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0),
+                (
+                    (F.lit(budget_frac) * F.col("__tot_c").cast("double"))
+                    * (F.col("__p").cast("double") / F.col("__tot_p").cast("double"))
+                )
+                / F.col("__c").cast("double"),
+            ).alias("__q"),
+        )
+    )
+    return (
+        df.join(broadcast(rates), on=group_col, how="inner")
+        .filter(hash_frac(F.col(key_col).cast("string"), seed=seed) < F.col("__q"))
+        .drop("__q")
+    )

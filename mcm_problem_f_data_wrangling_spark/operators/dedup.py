@@ -241,3 +241,57 @@ def edit_distance_pairs(
         .withColumn("dist", F.levenshtein("name_1", "name_2"))
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """Sub-document exact dedup at fixed word-chunk granularity
+    (C4/RefinedWeb-style: boilerplate repeated across pages is removed
+    even when whole documents differ).
+
+    Every document splits into consecutive ``chunk_words``-word
+    chunks; only the globally FIRST occurrence of each chunk text
+    (min ``(doc_id, pos)``) survives; surviving chunks reassemble in
+    original order.  Documents whose every chunk was seen elsewhere
+    vanish entirely.
+
+    Scale shape: chunking is a pure projection (non-overlapping
+    slices, O(n) total); first-occurrence is a whole-partition window
+    min of ``struct(id, pos)`` — ONE shuffle on the chunk text (hash
+    partition, no sort frame); reassembly is one groupBy on the doc
+    id.  No self-join, no driver state.  At 100 TB hash-partitioning
+    by chunk is exactly how the dedup must distribute.
+    """
+    from pyspark.sql import Window
+
+    words = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    exploded = df.filter(F.size(words) > 0).select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    )
+    w = Window.partitionBy("chunk")
+    first = F.min(F.struct(id_col, "pos")).over(w)
+    kept = exploded.withColumn("__f", first).filter(
+        (F.col(id_col) == F.col(f"__f.{id_col}")) & (F.col("pos") == F.col("__f.pos"))
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+        lambda s: s["chunk"],
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(ordered, " ").alias("text_dedup"),
+            F.count(F.lit(1)).alias("n_chunks_kept"),
+        )
+    )

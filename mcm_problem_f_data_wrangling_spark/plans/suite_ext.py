@@ -1981,3 +1981,73 @@ def x_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+@_q(
+    "x_dedup_chunks",
+    "Sub-document exact dedup at 8-word-chunk granularity (operators/"
+    "dedup.py chunk_dedup, C4/RefinedWeb-style boilerplate removal): "
+    "chunking is a pure projection (non-overlapping slices, O(n)); "
+    "globally-first occurrence per chunk text = whole-partition window "
+    "min of struct(doc_id, pos) — ONE hash shuffle on the chunk, no "
+    "sort, no self-join; reassembly is one doc-keyed groupBy with "
+    "order restored by array_sort.  Fully-duplicate docs vanish.  The "
+    "oracle replays the exact surviving text.",
+    f"""
+WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ch AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ') AS chunk
+  FROM toks_t, UNNEST(generate_series(1, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS t(i)
+  WHERE len(toks) > 0
+),
+f AS (SELECT chunk, MIN({{'d': doc_id, 'p': pos}}) AS w FROM ch GROUP BY chunk)
+SELECT c.doc_id,
+       string_agg(c.chunk, ' ' ORDER BY c.pos) AS text_dedup,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks_kept
+FROM ch c JOIN f ON c.chunk = f.chunk AND c.doc_id = f.w.d AND c.pos = f.w.p
+GROUP BY c.doc_id
+""",
+    tags=("M4", "dedup"),
+)
+def x_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import chunk_dedup
+
+    return chunk_dedup(table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "x_curation_temperature_mix",
+    "Temperature-based source rebalancing (operators/curation.py "
+    "temperature_mix; XLM-R/mT5-style sampling mass ∝ chars^0.5): "
+    "per-source keep-rates derive from exact integer char masses, "
+    "IEEE-correctly-rounded sqrt, and a decimal normalizing sum "
+    "(associative — engine sum order can't drift), then rows keep via "
+    "the portable hash, so the oracle replays the EXACT kept set.  "
+    "Cost: one 20-row aggregate + broadcast join; the corpus never "
+    "shuffles.",
+    f"""
+WITH g AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS c FROM documents GROUP BY source
+),
+p AS (SELECT source, c, CAST(sqrt(CAST(c AS DOUBLE)) AS DECIMAL(28,12)) AS p FROM g),
+t AS (SELECT CAST(SUM(p) AS DECIMAL(38,12)) AS tot_p, CAST(SUM(c) AS BIGINT) AS tot_c FROM p),
+q AS (
+  SELECT source,
+         LEAST(1.0, ((0.5 * CAST(tot_c AS DOUBLE)) * (CAST(p AS DOUBLE) / CAST(tot_p AS DOUBLE)))
+                    / CAST(c AS DOUBLE)) AS qr
+  FROM p CROSS JOIN t
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN q ON d.source = q.source
+WHERE {_hash_frac_sql('d.doc_id', 'tmix')} < q.qr
+""",
+    tags=("M4", "curation"),
+)
+def x_curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import temperature_mix
+
+    docs = table(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs, "source", alpha=0.5, budget_frac=0.5, weight_col="n_chars"
+    ).select("doc_id", "source", "n_chars")
