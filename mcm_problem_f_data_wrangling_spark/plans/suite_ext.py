@@ -2083,3 +2083,64 @@ def x_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pq_search_rerank(emb, codes, cb, q, k=10, shortlist=50)
     emb.unpersist()
     return out
+
+
+_PR_ITER = """
+SELECT n.node,
+       {base} + (85 * COALESCE(s.s, 0)) // 100 AS rank_fp
+FROM pr_nodes n LEFT JOIN (
+  SELECT e.dst AS node, SUM(r.rank_fp // d.outdeg) AS s
+  FROM pr_e e JOIN {prev} r ON e.src = r.node JOIN pr_deg d ON e.src = d.node
+  GROUP BY e.dst
+) s ON n.node = s.node
+"""
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    edges = "SELECT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem"
+    pre = f"""
+WITH pr_e AS ({edges}),
+pr_nodes AS (SELECT src AS node FROM pr_e UNION SELECT dst FROM pr_e),
+pr_deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM pr_e GROUP BY src),
+pr_n AS (SELECT COUNT(*) AS n FROM pr_nodes),
+pr_0 AS (SELECT node, 1000000000000000 // n AS rank_fp FROM pr_nodes, pr_n)
+"""
+    base = "(1000000000000000 * 15) // 100 // (SELECT n FROM pr_n)"
+    its = ",\n".join(
+        f"pr_{i + 1} AS ({_PR_ITER.format(base=base, prev=f'pr_{i}')})"
+        for i in range(iters)
+    )
+    return (
+        pre
+        + ", "
+        + its
+        + f"""
+SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp,
+       CAST(rank_fp AS DOUBLE) / 1e15 AS rank
+FROM pr_{iters}
+"""
+    )
+
+
+@_q(
+    "x_graph_pagerank",
+    "Fixed-iteration PageRank (operators/graph.py pagerank, Page et "
+    "al. 1999) over the supplier→part purchase graph (duplicate edge "
+    "rows = weights).  Computed in 1e-15 FIXED-POINT INTEGER "
+    "arithmetic: float contribution sums are aggregation-order "
+    "dependent, integers are associative + div-truncation identical "
+    "everywhere — so ranks are bit-identical on any cluster size and "
+    "the oracle replays all 3 unrolled iterations exactly.  Per "
+    "iteration: one dst-keyed shuffle; rank⨝edges co-partitions on "
+    "src.  The curation use: domain-authority quality signals.",
+    _pagerank_oracle_sql(3),
+    tags=("M4", "graph"),
+)
+def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    edges = table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + F.lit(1000000)).alias("dst"),
+    )
+    return pagerank(edges, iters=3, damping=0.85)

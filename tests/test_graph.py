@@ -109,3 +109,44 @@ def test_duplicate_clusters_covers_all_docs_once(spark):
     assert by_id[4]["cluster_id"] == 4 and by_id[5]["cluster_id"] == 5
     kept = {r["doc_id"] for r in out if r["is_kept"] == 1}
     assert kept == {1, 4, 5}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from mcm_problem_f_data_wrangling_spark.operators.graph import pagerank
+
+    # small weighted digraph incl. a dangling node (3) and a hub (0)
+    e = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 0), (4, 3), (0, 3)]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=4).collect()}
+
+    nodes = sorted({x for p in e for x in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for s, _ in e:
+        outdeg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(4):
+        nxt = np.full(n, 0.15 / n)
+        for s, d in e:
+            nxt[idx[d]] += 0.85 * r[idx[s]] / outdeg[idx[s]]
+        r = nxt
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-9, node
+    # hub 2 receives the double-weighted edge mass -> top rank for 0
+    assert got[0] == max(got.values())
+
+
+def test_pagerank_bit_identical_under_repartition(spark):
+    from mcm_problem_f_data_wrangling_spark.operators.graph import pagerank
+
+    e = [(i % 17, (i * 7) % 23) for i in range(300)]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    a = {r["node"]: r["rank_fp"] for r in pagerank(edges, iters=3).collect()}
+    b = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(edges.repartition(13), iters=3).collect()
+    }
+    assert a == b  # exact integer equality, not approximate
