@@ -129,3 +129,51 @@ def tail_slice_flag(partition_cols: list[str], order_col: str, n: int) -> Column
     """
     desc = Window.partitionBy(*partition_cols).orderBy(F.desc(order_col))
     return F.row_number().over(desc) <= n
+
+
+def ewma(
+    col: Column | str,
+    w: WindowSpec,
+    decay: float = 0.5,
+    n_lags: int = 40,
+) -> Column:
+    """Exponentially-weighted moving average (pandas
+    ``ewm(adjust=True)`` semantics, truncated at ``n_lags`` terms).
+
+    ``y_t = Σ_d decay^d·x_{t-d} / Σ_d decay^d`` over present terms.
+    The recursive EWMA form can't be a window aggregate, and the
+    rescaled-cumsum trick (``decay^{-i}`` factors) overflows after a
+    few hundred rows — so this unrolls the ``n_lags`` dominant terms
+    as an explicit lag chain over ONE window sort.  With decay=0.5,
+    terms beyond 40 lags are < 1e-12 of the newest — below double
+    noise.  Both numerator and denominator fold LEFT-TO-RIGHT with
+    driver-computed literal weights, so the value is bit-identical in
+    any engine that evaluates the same chain (the SQL oracle does).
+    O(n_lags) per row, one sort, no shuffle beyond the window's own.
+    """
+    c = _c(col)
+    num = None
+    den = None
+    for d in range(n_lags):
+        weight = F.lit(float(decay**d))
+        x_d = F.lag(c, d).over(w)
+        t_num = F.coalesce(x_d * weight, F.lit(0.0))
+        t_den = F.when(x_d.isNotNull(), weight).otherwise(F.lit(0.0))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    return num / F.nullif(den, F.lit(0.0))
+
+
+def ewma_sql(expr: str, over: str, decay: float = 0.5, n_lags: int = 40) -> str:
+    """DuckDB mirror of :func:`ewma` — the SAME left-to-right chain
+    with the SAME float literals (``repr`` round-trips exactly)."""
+    nums = " + ".join(
+        f"COALESCE(LAG({expr}, {d}) OVER {over} * {decay**d!r}, 0.0)"
+        for d in range(n_lags)
+    )
+    dens = " + ".join(
+        f"(CASE WHEN LAG({expr}, {d}) OVER {over} IS NOT NULL"
+        f" THEN {decay**d!r} ELSE 0.0 END)"
+        for d in range(n_lags)
+    )
+    return f"({nums}) / NULLIF({dens}, 0.0)"

@@ -56,7 +56,8 @@ from ..operators.similarity import (
     ivf_topk,
     query_vector_of,
 )
-from .base import DSUM, MONTHLY_CTE, Query, dsum, monthly_lineitem, table
+from .base import DSUM, MONTH_OF, MONTHLY_CTE, Query, dsum, monthly_lineitem, table
+from ..functions.rolling import ewma_sql
 
 QUERIES: list[Query] = []
 
@@ -2144,3 +2145,134 @@ def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") + F.lit(1000000)).alias("dst"),
     )
     return pagerank(edges, iters=3, damping=0.85)
+
+
+@_q(
+    "w17_ewma_smooth",
+    "EWMA trend smoothing per series (functions/rolling.py ewma; "
+    "pandas ewm(adjust=True) semantics, decay 0.5/step truncated at "
+    "40 lags where terms fall below 1e-12 of the newest): the "
+    "recursion can't be a window aggregate and the rescaled-cumsum "
+    "trick overflows, so the dominant terms unroll as an explicit lag "
+    "chain over ONE window sort — O(40) per row, no extra shuffle.  "
+    "Numerator/denominator fold left-to-right with identical float "
+    "literals on both engines → bit-identical, no rounding needed.",
+    f"""
+WITH {MONTHLY_CTE}
+SELECT flag, month, qty,
+       {ewma_sql('qty', '(PARTITION BY flag ORDER BY month)')} AS qty_ewma
+FROM monthly
+""",
+    tags=("M2", "timeseries"),
+)
+def w17_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.rolling import ewma
+
+    m = monthly_lineitem(spark, sf_dir)
+    w = Window.partitionBy("flag").orderBy("month")
+    return m.select(
+        "flag", "month", "qty", ewma("qty", w).alias("qty_ewma")
+    )
+
+
+@_q(
+    "u06_unpivot_melt",
+    "Wide→long unpivot (pd.melt analogue, §2.6 family): native "
+    "DataFrame.unpivot (Spark's UNPIVOT plan node — a zero-shuffle "
+    "row-local expansion, NOT a union of N scans: one pass emits all "
+    "metric rows).  Oracle = the UNION ALL formulation, value-equal "
+    "by construction.",
+    f"""
+WITH {MONTHLY_CTE}
+SELECT flag, month, 'revenue' AS metric, revenue AS value FROM monthly
+UNION ALL
+SELECT flag, month, 'qty' AS metric, qty AS value FROM monthly
+""",
+    tags=("M1", "setops"),
+)
+def u06_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = monthly_lineitem(spark, sf_dir)
+    return m.unpivot(
+        ids=["flag", "month"],
+        values=["revenue", "qty"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@_q(
+    "w18_rank_family",
+    "Ranking-function family over one window (rank / dense_rank / "
+    "percent_rank / cume_dist per customer by order date): all four "
+    "share a single sort — Catalyst plans ONE Window node, one "
+    "exchange.  row_number is deliberately absent: it is "
+    "nondeterministic among order-date ties; the peer-group-based "
+    "functions are tie-stable and engine-identical (their divisions "
+    "are single IEEE ops on identical integers).",
+    """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(rank() OVER w AS BIGINT) AS rk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drk,
+       percent_rank() OVER w AS prk,
+       cume_dist() OVER w AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+""",
+    tags=("M2", "window"),
+)
+def w18_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+        F.percent_rank().over(w).alias("prk"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@_q(
+    "s18_incremental_rollup",
+    "Incremental aggregate maintenance (operators/incremental.py): "
+    "history (shipdate < 1997) reduces to a mergeable state table "
+    "(count / EXACT decimal sum / min / max per group); the 1997+ "
+    "increment's state merges in WITHOUT rescanning history — the "
+    "daily-rollup pattern where history is PB and the increment is "
+    "GB.  Decimal sums are associative, so the merged result is "
+    "bit-identical to the full recompute: the oracle IS the full "
+    "recompute.  Cost: map-side-combinable groupBys + an O(groups) "
+    "state merge, independent of history size.",
+    f"""
+SELECT l_returnflag AS flag, {MONTH_OF('l_shipdate')} AS month,
+       CAST(COUNT(l_quantity) AS BIGINT) AS n_l_quantity,
+       {DSUM('l_quantity')} AS sum_l_quantity,
+       {DSUM('l_quantity')} / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_l_quantity,
+       MIN(l_quantity) AS min_l_quantity,
+       MAX(l_quantity) AS max_l_quantity
+FROM lineitem
+GROUP BY 1, 2
+""",
+    tags=("M2", "warehouse"),
+)
+def s18_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import finalize, merge_states, partial_aggregate
+
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "month", F.trunc(F.col("l_shipdate").cast("date"), "month")
+    ).withColumnRenamed("l_returnflag", "flag")
+    keys, measures = ["flag", "month"], ["l_quantity"]
+    history = li.filter(F.col("l_shipdate") < "1997-01-01")
+    increment = li.filter(F.col("l_shipdate") >= "1997-01-01")
+    merged = merge_states(
+        partial_aggregate(history, keys, measures),
+        partial_aggregate(increment, keys, measures),
+        keys,
+        measures,
+    )
+    return finalize(merged, keys, measures)

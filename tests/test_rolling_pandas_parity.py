@@ -98,3 +98,30 @@ def test_min_periods_guard_nulls_exact_prefix(series):
     for _, grp in out.groupby("career"):
         assert grp["r"].head(5).isna().all()
         assert grp["r"].iloc[5:].notna().all()
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mcm_problem_f_data_wrangling_spark.functions.rolling import ewma
+
+    vals = [float(((i * 37) % 100) + 1) / 7.0 for i in range(120)]
+    pdf = pd.DataFrame({"k": ["a"] * 60 + ["b"] * 60, "i": list(range(60)) * 2, "x": vals})
+    sdf = spark.createDataFrame(pdf)
+    w = Window.partitionBy("k").orderBy("i")
+    got = (
+        sdf.select("k", "i", ewma("x", w, decay=0.5, n_lags=40).alias("y"))
+        .toPandas()
+        .sort_values(["k", "i"])
+        .reset_index(drop=True)
+    )
+    # pandas ewm: adjust=True with alpha = 1 - decay
+    exp = (
+        pdf.groupby("k", group_keys=False)
+        .apply(lambda g: g.sort_values("i").assign(y=g.sort_values("i")["x"].ewm(alpha=0.5, adjust=True).mean()), include_groups=True)
+        .sort_values(["k", "i"])
+        .reset_index(drop=True)
+    )
+    assert (got["y"] - exp["y"]).abs().max() < 1e-9
