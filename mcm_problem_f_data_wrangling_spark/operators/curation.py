@@ -141,49 +141,52 @@ def temperature_mix(
     Per group s with mass ``c_s`` (row count, or exact sum of
     ``weight_col`` e.g. chars): target budget ``B = budget_frac *
     Σc``; group keep-rate ``q_s = min(1, B · p_s / c_s)`` with ``p_s ∝
-    c_s^alpha``.  Rows kept via the portable hash — exactly
+    c_s^alpha``.  Rows keep via the portable hash — exactly
     reproducible, and the DuckDB oracle replays the assignment.
 
-    Cross-engine determinism: the group masses are exact integers, the
-    ``^alpha`` powers are decimal-rounded before the normalizing sum
-    (decimal addition is associative — engine sum order can't drift),
-    and alpha=0.5 uses IEEE-correctly-rounded sqrt rather than libm
-    pow.  Cost: one k-row aggregate + a broadcast join back — the big
-    side never shuffles.
+    Cross-engine determinism: group masses are exact integers; the
+    ^alpha powers are HALF_UP-rounded to 12 decimals before the
+    normalizing sum (exact decimal addition is associative — sum
+    order can't drift); alpha=0.5 uses IEEE-correctly-rounded sqrt
+    rather than libm pow; the final rate is a fixed-order chain of
+    double ops.  The O(groups) mass table collects to the DRIVER
+    (like ANN codebooks: tiny model state rides the plan as
+    literals), so the corpus-side plan is ONE broadcast hash join +
+    filter — no corpus shuffle, no nested-loop join.
     """
-    from pyspark.sql.functions import broadcast
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     mass = (
         F.sum(F.col(weight_col).cast("long")).alias("__c")
         if weight_col is not None
         else F.count(F.lit(1)).alias("__c")
     )
-    groups = df.groupBy(group_col).agg(mass)
-    p_raw = (
-        F.sqrt(F.col("__c").cast("double"))
-        if alpha == 0.5
-        else F.pow(F.col("__c").cast("double"), F.lit(alpha))
-    )
-    groups = groups.withColumn("__p", p_raw.cast("decimal(28,12)"))
-    tot = groups.agg(
-        F.sum("__p").alias("__tot_p"), F.sum("__c").alias("__tot_c")
-    )
-    rates = (
-        groups.crossJoin(broadcast(tot))
-        .select(
-            group_col,
-            F.least(
-                F.lit(1.0),
-                (
-                    (F.lit(budget_frac) * F.col("__tot_c").cast("double"))
-                    * (F.col("__p").cast("double") / F.col("__tot_p").cast("double"))
-                )
-                / F.col("__c").cast("double"),
-            ).alias("__q"),
+    rows = df.groupBy(group_col).agg(mass).collect()
+    q12 = Decimal("1e-12")
+    masses = {r[group_col]: int(r["__c"]) for r in rows}
+    p_dec = {
+        g: Decimal(
+            math.sqrt(float(c)) if alpha == 0.5 else math.pow(float(c), alpha)
+        ).quantize(q12, rounding=ROUND_HALF_UP)
+        for g, c in masses.items()
+    }
+    tot_p = float(sum(p_dec.values()))
+    tot_c = float(sum(masses.values()))
+    rates = [
+        (
+            g,
+            min(
+                1.0,
+                ((budget_frac * tot_c) * (float(p_dec[g]) / tot_p)) / float(c),
+            ),
         )
-    )
+        for g, c in masses.items()
+    ]
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(rates, [group_col, "__q"])
     return (
-        df.join(broadcast(rates), on=group_col, how="inner")
+        df.join(F.broadcast(rate_df), on=group_col, how="inner")
         .filter(hash_frac(F.col(key_col).cast("string"), seed=seed) < F.col("__q"))
         .drop("__q")
     )
