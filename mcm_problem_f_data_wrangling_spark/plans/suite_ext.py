@@ -2276,3 +2276,113 @@ def s18_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         measures,
     )
     return finalize(merged, keys, measures)
+
+
+@_q(
+    "w19_outlier_zscore",
+    "Per-series z-score outlier flags over the monthly grain: mean "
+    "and sample-variance derive from EXACT decimal Σx/Σx² window "
+    "sums (one partition-wide frame, no sort) — the two-pass 'mean "
+    "then deviations' formulation needs a second shuffle; the "
+    "sum-of-squares identity needs none.  z rounds to 9 decimals "
+    "(several orders above worst-case cross-engine FP error, "
+    "plans/base.py contract); |z|>2 flags anomalous months.",
+    f"""
+WITH {MONTHLY_CTE},
+s AS (
+  SELECT flag, month, qty,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(CAST(qty AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(qty AS DECIMAL(28,6)) * CAST(qty AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sxx
+  FROM monthly
+  WINDOW w AS (PARTITION BY flag)
+)
+SELECT flag, month, qty,
+       ROUND((qty - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 9) AS z,
+       CAST(CASE WHEN abs((qty - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))) > 2
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM s WHERE n > 1
+""",
+    tags=("M3", "stats"),
+)
+def w19_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = monthly_lineitem(spark, sf_dir)
+    w = Window.partitionBy("flag")
+    qd = F.col("qty").cast("decimal(18,6)")
+    s = m.select(
+        "flag",
+        "month",
+        "qty",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(qd).over(w).cast("double").alias("sx"),
+        F.sum(qd * qd).over(w).cast("double").alias("sxx"),
+    ).filter(F.col("n") > 1)
+    z = (F.col("qty") - F.col("sx") / F.col("n")) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    )
+    return s.select(
+        "flag",
+        "month",
+        "qty",
+        F.round(z, 9).alias("z"),
+        F.when(F.abs(z) > 2, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("is_outlier"),
+    )
+
+
+def _profile_col_sql(c: str, kind: str) -> str:
+    if kind == "num":
+        mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+        smn = smx = "CAST(NULL AS VARCHAR)"
+    elif kind == "ts":
+        mn = f"CAST(epoch_us(MIN({c})) AS DOUBLE)"
+        mx = f"CAST(epoch_us(MAX({c})) AS DOUBLE)"
+        smn = smx = "CAST(NULL AS VARCHAR)"
+    else:
+        mn = mx = "CAST(NULL AS DOUBLE)"
+        smn, smx = f"MIN({c})", f"MAX({c})"
+    return (
+        f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+        f"{mn} AS min_num, {mx} AS max_num, {smn} AS min_str, {smx} AS max_str "
+        f"FROM orders"
+    )
+
+
+_PROFILE_KINDS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+@_q(
+    "x_profile_dataset",
+    "One-scan dataset profiler (operators/profile.py): per-column "
+    "n / null-count / typed bounds (numeric→double, string→string, "
+    "timestamp→epoch-micros — engine-portable, no number formatting) "
+    "from a SINGLE map-side-combinable agg + a 1-row explode, so "
+    "profiling cost is one scan + a 1-row shuffle regardless of "
+    "column count (the oracle's per-column UNION ALL formulation "
+    "scans k times — exactly what this operator avoids at 100 TB).  "
+    "HLL++ approx_distinct rides the same scan; estimator-specific, "
+    "so the oracled projection drops it and tests bound its error.",
+    "\nUNION ALL\n".join(_profile_col_sql(c, k) for c, k in _PROFILE_KINDS),
+    tags=("M3", "profiling"),
+)
+def x_profile_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_dataset
+
+    return profile_dataset(table(spark, sf_dir, "orders")).select(
+        F.col("column").alias("col_name"),
+        "n",
+        "n_null",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )
