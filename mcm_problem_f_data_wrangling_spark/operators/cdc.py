@@ -74,3 +74,53 @@ def cdc_apply(
             ],
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Table diff between two snapshots: the inverse of ``cdc_apply``.
+
+    Returns one row per changed key with ``change_type`` in
+    ``('insert', 'delete', 'update')`` plus ``old_<c>`` / ``new_<c>``
+    for every compared column; unchanged keys are dropped.  This is
+    the lakehouse "what did this batch change" primitive (Delta CDF /
+    Iceberg changelog derivation, snapshot-based replication diffing).
+
+    Scale shape: ONE full-outer shuffle join on the key — both sides
+    hash-partition once, comparison is row-local (null-safe ``<=>``
+    so NULL→value and value→NULL both count as updates), and the
+    unchanged majority is filtered before anything else happens, so
+    the output stays proportional to the churn, not the table.
+    """
+    compare_cols = compare_cols or [
+        c for c in old.columns if c not in key_cols and c in new.columns
+    ]
+    o = old.select(
+        *key_cols, *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    ).withColumn("__o", F.lit(1))
+    n = new.select(
+        *key_cols, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    ).withColumn("__n", F.lit(1))
+    j = o.join(n, on=key_cols, how="full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change_type = (
+        F.when(F.col("__o").isNull(), F.lit("insert"))
+        .when(F.col("__n").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *key_cols,
+            "change_type",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )

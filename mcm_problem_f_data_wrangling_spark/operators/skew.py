@@ -68,3 +68,43 @@ def salt_replicated_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted_fact.join(replicated_dim, [key, "_salt"], how).drop("_salt")
+
+
+def key_skew_profile(df: DataFrame, key_cols: list[str], top_k: int = 5) -> DataFrame:
+    """Shuffle-key skew report: top-``top_k`` heavy hitters plus global
+    distribution stats — the diagnostic you run BEFORE picking a
+    partition/join key at 100 TB (a skew_factor ≫ 1 means the hottest
+    key pins one reducer and you want salting/AQE-skew-split).
+
+    Output per heavy hitter: the key, its row count, its share of all
+    rows, and the table-wide (n_keys, n_rows, max_cnt, skew_factor =
+    max_cnt / mean_cnt).
+
+    Scale shape: per-key counts are ONE partial-agg shuffle; the
+    top-k is ``orderBy(...).limit(k)`` which Spark executes as
+    TakeOrderedAndProject (per-partition heaps + driver merge, no
+    global sort shuffle); the three global stats are a second one-row
+    aggregate over the per-key counts, collected to the driver and
+    attached as literals — a 1-row broadcast join would plan as a
+    nested-loop cartesian, which is the one join shape we ban.
+    """
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    # Two passes over per_key (stats now, top-k when the caller runs the
+    # plan); a production caller persists per_key first — not done here
+    # so the returned plan holds no cache reference across reruns.
+    n_keys, n_rows, max_cnt = per_key.agg(
+        F.count(F.lit(1)), F.sum("cnt"), F.max("cnt")
+    ).first()
+    skew = float(max_cnt) * float(n_keys) / float(n_rows)
+    topk = per_key.orderBy(
+        F.col("cnt").desc(), *[F.col(c) for c in key_cols]
+    ).limit(top_k)
+    return topk.select(
+        *key_cols,
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.lit(float(n_rows)), 9).alias("share"),
+        F.lit(n_keys).cast("long").alias("n_keys"),
+        F.lit(n_rows).cast("long").alias("n_rows"),
+        F.lit(max_cnt).cast("long").alias("max_cnt"),
+        F.round(F.lit(skew), 9).alias("skew_factor"),
+    )

@@ -2386,3 +2386,253 @@ def x_profile_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_str",
         "max_str",
     )
+
+
+def _check_sql(name: str, vexpr: str, table_sql: str = "orders") -> str:
+    return (
+        f"SELECT '{name}' AS check_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST({vexpr} AS BIGINT) AS n_violations, "
+        f"CAST(CASE WHEN {vexpr} = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed "
+        f"FROM {table_sql}"
+    )
+
+
+@_q(
+    "x_expectations_report",
+    "Declarative data-quality gate (operators/expectations.py): "
+    "not-null / range / set-membership checks compile into ONE "
+    "conditional-agg scan regardless of check count; uniqueness is a "
+    "partial-agg COUNT DISTINCT shuffle; referential integrity is a "
+    "broadcast LEFT join + conditional agg (LEFT not ANTI so the "
+    "total and orphan counts share the scan, and no 1-row cartesian "
+    "appears).  Report: (check_name, n_rows, n_violations, passed) "
+    "with BIGINT 0/1 — the publish/quarantine decision for an "
+    "ingestion batch at 100 TB.",
+    "\nUNION ALL\n".join(
+        [
+            _check_sql("not_null:o_custkey", "COUNT(*) - COUNT(o_custkey)"),
+            _check_sql(
+                "range:o_totalprice",
+                "COUNT(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 400000)",
+            ),
+            _check_sql(
+                "in_set:o_orderstatus",
+                "COUNT(*) FILTER (WHERE NOT o_orderstatus IN ('O', 'F'))",
+            ),
+            _check_sql("unique:o_orderkey", "COUNT(*) - COUNT(DISTINCT o_orderkey)"),
+            _check_sql(
+                "fk:o_custkey",
+                "(SELECT COUNT(*) FROM orders o WHERE NOT EXISTS "
+                "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))",
+            ),
+        ]
+    ),
+    tags=("M3", "quality"),
+)
+def x_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import expectations_report
+
+    return expectations_report(
+        table(spark, sf_dir, "orders"),
+        not_null=("o_custkey",),
+        ranges={"o_totalprice": (0, 400000)},
+        in_set={"o_orderstatus": ("O", "F")},
+        unique=(("o_orderkey",),),
+        references=(("o_custkey", table(spark, sf_dir, "customer"), "c_custkey"),),
+    )
+
+
+@_q(
+    "s19_snapshot_diff",
+    "Snapshot diff (operators/cdc.py snapshot_diff — the inverse of "
+    "s16_cdc_apply): old/new table states derived deterministically "
+    "from orders by key residue (%7==0 missing from old → inserts, "
+    "%7==1 dropped from new → deletes, %7==2 price-bumped → updates); "
+    "ONE full-outer shuffle join on the key, null-safe <=> compare, "
+    "unchanged keys filtered before projection so output scales with "
+    "churn, not table size.  This is the Delta-CDF / changelog-"
+    "derivation primitive.",
+    """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 != 0
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 2 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 != 1
+), diff AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'update'
+         END AS change_type,
+         o.o_totalprice AS old_o_totalprice,
+         n.o_totalprice AS new_o_totalprice
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT * FROM diff WHERE change_type IS NOT NULL
+""",
+    tags=("M2", "cdc"),
+)
+def s19_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import snapshot_diff
+
+    orders = table(spark, sf_dir, "orders")
+    res = F.col("o_orderkey") % 7
+    old = orders.filter(res != 0).select("o_orderkey", "o_totalprice")
+    new = orders.filter(res != 1).select(
+        "o_orderkey",
+        F.when(res == 2, F.col("o_totalprice") + F.lit(1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
+@_q(
+    "s20_event_transitions",
+    "First-order Markov transition matrix over per-user event "
+    "sequences: lag(event_type) over (user, ts, event_id) — the "
+    "tiebreak key makes the order total, so the answer is exact, not "
+    "order-dependent — then count per (prev, next) and normalize "
+    "within prev via SUM-over-window.  Three shuffles by necessity "
+    "(user partition, pair agg, prev partition) but the last two move "
+    "only the 25-row transition matrix.  Division double-vs-double "
+    "with exact integer operands → bit-identical across engines.",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE), 9) AS p
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+    tags=("M2", "sequence"),
+)
+def s20_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    tr = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return tr.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wp).cast("double"), 9
+        ).alias("p"),
+    )
+
+
+@_q(
+    "x_key_skew_profile",
+    "Shuffle-key skew diagnostic (operators/skew.py "
+    "key_skew_profile): per-key counts in one partial-agg shuffle, "
+    "top-5 heavy hitters via TakeOrderedAndProject (per-partition "
+    "heaps, no global sort), global (n_keys, n_rows, max_cnt, "
+    "skew_factor = max/mean) attached as exact driver-collected "
+    "literals (a 1-row join would plan as a nested-loop cartesian).  "
+    "Run this BEFORE choosing a join/partition key at 100 TB; "
+    "skew_factor ≫ 1 → salt or AQE-skew-split (x_skew_salted_"
+    "group_sum is the remedy this diagnoses for).",
+    """
+WITH per_key AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM per_key
+)
+SELECT o_custkey, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 9) AS share,
+       n_keys, n_rows, max_cnt,
+       ROUND(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             / CAST(n_rows AS DOUBLE), 9) AS skew_factor
+FROM per_key, tot
+ORDER BY cnt DESC, o_custkey
+LIMIT 5
+""",
+    tags=("M3", "scale"),
+)
+def x_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import key_skew_profile
+
+    return key_skew_profile(table(spark, sf_dir, "orders"), ["o_custkey"], top_k=5)
+
+
+@_q(
+    "w20_mad_outliers",
+    "Robust (median/MAD) outlier flags per series — the w19 z-score's "
+    "breakdown-resistant sibling: exact interpolated percentile(0.5) "
+    "over the flag partition (Spark percentile ≡ DuckDB "
+    "quantile_cont), then the median absolute deviation over the SAME "
+    "partition — two Window nodes, one exchange (Spark reuses the "
+    "hash partitioning; the second window only re-sorts).  "
+    "mad=0 → robust_z pinned to SQL NULL on both engines "
+    "(SURVEY §7 zero-denominator contract); |0.6745·dev/mad| > 3.5 "
+    "flags.",
+    f"""
+WITH {MONTHLY_CTE},
+m AS (
+  SELECT flag, month, qty,
+         quantile_cont(qty, 0.5) OVER (PARTITION BY flag) AS med
+  FROM monthly
+), d AS (
+  SELECT flag, month, qty, med,
+         quantile_cont(abs(qty - med), 0.5) OVER (PARTITION BY flag) AS mad
+  FROM m
+)
+SELECT flag, month, qty, ROUND(med, 9) AS med, ROUND(mad, 9) AS mad,
+       ROUND(CASE WHEN mad = 0 THEN NULL
+                  ELSE CAST(0.6745 AS DOUBLE) * (qty - med) / mad END, 9) AS robust_z,
+       CAST(CASE WHEN mad != 0
+                  AND abs(CAST(0.6745 AS DOUBLE) * (qty - med) / mad) > 3.5
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM d
+""",
+    tags=("M3", "stats"),
+)
+def w20_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = monthly_lineitem(spark, sf_dir)
+    w = Window.partitionBy("flag")
+    step1 = m.select(
+        "flag",
+        "month",
+        "qty",
+        F.percentile("qty", F.lit(0.5)).over(w).alias("med"),
+    )
+    dev = F.abs(F.col("qty") - F.col("med"))
+    step2 = step1.withColumn("mad", F.percentile(dev, F.lit(0.5)).over(w))
+    z = F.when(
+        F.col("mad") != 0,
+        F.lit(0.6745) * (F.col("qty") - F.col("med")) / F.col("mad"),
+    )
+    return step2.select(
+        "flag",
+        "month",
+        "qty",
+        F.round("med", 9).alias("med"),
+        F.round("mad", 9).alias("mad"),
+        F.round(z, 9).alias("robust_z"),
+        F.when((F.col("mad") != 0) & (F.abs(z) > 3.5), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_outlier"),
+    )
