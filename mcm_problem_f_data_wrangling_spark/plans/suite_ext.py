@@ -2636,3 +2636,155 @@ def w20_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_outlier"),
     )
+
+
+_OLS_X = "CAST(xi AS DECIMAL(10,0))"
+_OLS_Y = "CAST(qty AS DECIMAL(18,6))"
+_OLS_ND = "CAST(n AS DOUBLE)"
+_OLS_NUM = f"({_OLS_ND} * sxy - sx * sy)"
+_OLS_DEN = f"({_OLS_ND} * sxx - sx * sx)"
+_OLS_SSY = f"({_OLS_ND} * syy - sy * sy)"
+
+
+@_q(
+    "w22_ols_trend",
+    "Per-series OLS trend fit (operators/trend.py): slope/intercept/R² "
+    "per flag from {n, Σx, Σx², Σy, Σy², Σxy} — all map-side-"
+    "combinable, so a million series cost ONE partial-agg shuffle (no "
+    "per-group iterative fit).  Sums are decimal-exact (x as "
+    "DECIMAL(10,0) keeps x·y inside DECIMAL(38) without Spark's "
+    "precision-loss fallback), formulas run in IEEE double on those "
+    "exact sums → bit-identical oracle.  Zero x/y variance → NULLs "
+    "per the zero-denominator contract.",
+    f"""
+WITH {MONTHLY_CTE},
+pts AS (
+  SELECT flag, CAST(year(month) * 12 + month(month) AS BIGINT) AS xi, qty
+  FROM monthly
+), agg AS (
+  SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({_OLS_X}) AS DOUBLE) AS sx,
+         CAST(SUM({_OLS_X} * {_OLS_X}) AS DOUBLE) AS sxx,
+         CAST(SUM({_OLS_Y}) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(qty AS DECIMAL(28,6)) * CAST(qty AS DECIMAL(28,6))
+                        AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         CAST(SUM({_OLS_X} * {_OLS_Y}) AS DOUBLE) AS sxy
+  FROM pts GROUP BY flag
+)
+SELECT flag, n,
+       ROUND(CASE WHEN {_OLS_DEN} != 0
+                  THEN {_OLS_NUM} / {_OLS_DEN} END, 9) AS slope,
+       ROUND(CASE WHEN {_OLS_DEN} != 0
+                  THEN (sy - ({_OLS_NUM} / {_OLS_DEN}) * sx) / {_OLS_ND} END, 9) AS intercept,
+       ROUND(CASE WHEN {_OLS_DEN} != 0 AND {_OLS_SSY} != 0
+                  THEN {_OLS_NUM} * {_OLS_NUM} / ({_OLS_DEN} * {_OLS_SSY}) END, 9) AS r2
+FROM agg
+""",
+    tags=("M3", "stats"),
+)
+def w22_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trend import ols_trend
+
+    m = monthly_lineitem(spark, sf_dir)
+    x = (F.year("month") * 12 + F.month("month")).cast("bigint")
+    return ols_trend(m, ["flag"], x, F.col("qty"))
+
+
+@_q(
+    "w21_sliding_window_rollup",
+    "Sliding-window rollup (6h window / 3h slide) via native "
+    "F.window — the overlapping-window generalization of "
+    "s08_tumbling_window_rollup and the batch mirror of a "
+    "writeStream sliding agg.  Spark expands each event into "
+    "window/slide = 2 window assignments map-side then partial-aggs; "
+    "the oracle mirrors that expansion explicitly "
+    "(generate_series(0,1) over floor-aligned epoch-micros starts — "
+    "integer arithmetic, so window identity is exact cross-engine).  "
+    "Sums decimal-exact; distinct users exact.",
+    f"""
+WITH expanded AS (
+  SELECT make_timestamp(((epoch_us(ts) // 10800000000) - i) * 10800000000)
+           AS window_start,
+         user_id, value
+  FROM events, generate_series(0, 1) AS t(i)
+)
+SELECT window_start,
+       window_start + INTERVAL 6 HOUR AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {DSUM('value')} AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM expanded GROUP BY window_start
+""",
+    tags=("M2", "streaming"),
+)
+def w21_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+from ..functions.zorder import zorder_value_sql as _zv_sql
+
+_ZORDER_ORACLE = f"""
+WITH dims AS (
+  SELECT o_custkey AS xk,
+         epoch_us(o_orderdate) // 86400000000 AS yk
+  FROM orders
+)
+SELECT {_zv_sql(['xk', 'yk'], bits=16)} >> 16 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(xk) AS min_cust, MAX(xk) AS max_cust,
+       MIN(yk) AS min_day, MAX(yk) AS max_day
+FROM dims GROUP BY 1
+"""
+
+
+@_q(
+    "x_zorder_locality",
+    "Z-order (Morton) multi-dimensional clustering key "
+    "(functions/zorder.py): interleave customer-key and order-day "
+    "bits into one BIGINT — pure shiftleft/and/or, whole-stage "
+    "codegen, no UDF — and report per curve-segment (z >> 16) the "
+    "row count and BOTH dimensions' min/max: every segment covers a "
+    "small rectangle, which is exactly why range-clustering files on "
+    "z (write_zordered) makes parquet footer pruning work on EITHER "
+    "column's predicate at 100 TB (Delta OPTIMIZE ZORDER BY).  "
+    "Bit arithmetic is mirrored term-for-term in the oracle.",
+    _ZORDER_ORACLE,
+    tags=("M3", "scale"),
+)
+def x_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.zorder import zorder_value
+
+    o = table(spark, sf_dir, "orders")
+    dims = o.select(
+        F.col("o_custkey").alias("xk"),
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("yk"),
+    )
+    z = zorder_value([F.col("xk"), F.col("yk")], bits=16)
+    return (
+        dims.withColumn("bucket", F.shiftright(z, 16))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("xk").alias("min_cust"),
+            F.max("xk").alias("max_cust"),
+            F.min("yk").alias("min_day"),
+            F.max("yk").alias("max_day"),
+        )
+    )
