@@ -295,3 +295,100 @@ def chunk_dedup(
             F.count(F.lit(1)).alias("n_chunks_kept"),
         )
     )
+
+
+def jaccard_join_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join via prefix filtering (AllPairs /
+    PPJoin; Bayardo et al. WWW'07, Xiao et al. WWW'08).
+
+    The length-banded ``ngram_jaccard_pairs`` above is a heuristic (a
+    near-dup pair straddling a bucket boundary is missed); this one is
+    complete: every pair with shingle-set Jaccard >= ``threshold`` is
+    returned, without an O(n²) cross join.  The filter: order each
+    doc's tokens by ascending global document frequency (rarest
+    first, ties by token string — a deterministic total order); a doc
+    with n tokens exposes only its first ``n - ceil(t*n) + 1`` tokens
+    as join keys.  Two sets with Jaccard >= t MUST share a token
+    within both prefixes, so the equi-join on prefix tokens loses no
+    pairs, and its fan-out is governed by RARE-token document
+    frequencies — the stopword-squared blowup of a naive token join
+    never happens.  Candidates then pass a size-compatibility check
+    (least(n1,n2) >= t * greatest(n1,n2)) and an exact
+    intersection-count verify that joins candidate pairs back to the
+    full token table (work proportional to candidates, not corpus²).
+
+    Three key shuffles at scale: token df agg, per-doc prefix window
+    sort, and the candidate join; the verify reuses token-keyed
+    partitioning.  All-integer counts; jaccard = inter/(n1+n2-inter)
+    in one IEEE division, so the brute-force oracle hash-matches.
+    Output: (doc_id_1, doc_id_2, n_1, n_2, n_common, jaccard).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(text_col, k=shingle_k))).alias(
+            "token"
+        ),
+    )
+    cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    prefix = (
+        tok.join(dfreq, "token")
+        .join(cnt, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= prefix_len)
+        .select("doc_id", "token", "n")
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.token") == F.col("pb.token"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .where(
+            F.least(F.col("pa.n"), F.col("pb.n"))
+            >= F.lit(threshold) * F.greatest(F.col("pa.n"), F.col("pb.n"))
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_id_1"),
+            F.col("pb.doc_id").alias("doc_id_2"),
+            F.col("pa.n").alias("n_1"),
+            F.col("pb.n").alias("n_2"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            tok.select(F.col("doc_id").alias("doc_id_1"), "token"), "doc_id_1"
+        )
+        .join(
+            tok.select(F.col("doc_id").alias("doc_id_2"), "token"),
+            ["doc_id_2", "token"],
+        )
+        .groupBy("doc_id_1", "doc_id_2", "n_1", "n_2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_1") + F.col("n_2") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.where(jac >= F.lit(threshold))
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "n_1",
+            "n_2",
+            "n_common",
+            F.round(jac, 9).alias("jaccard"),
+        )
+    )

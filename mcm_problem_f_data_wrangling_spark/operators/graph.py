@@ -247,3 +247,88 @@ def pagerank(
     return ranks.select(
         "node", "rank_fp", (F.col("rank_fp").cast("double") / F.lit(1.0e15)).alias("rank")
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts (node, triangles).
+
+    The node-iterator-with-degree-ordering algorithm (Schank & Wagner
+    2005, the MapReduce form of Suri & Vassilvitskii 2011): orient
+    every undirected edge from its lower-(degree, id) endpoint to the
+    higher, enumerate wedges only FROM each edge's low-degree apex,
+    and close them against the oriented edge set.  Orientation caps
+    every out-degree at O(sqrt(m)), so wedge count is O(m^1.5)
+    total — without it one celebrity node with degree d contributes
+    d^2 wedges and the self-join explodes at 100 TB scale.
+
+    All-integer pipeline: the (degree, id) order is packed into one
+    BIGINT key ``deg * 1e9 + id`` (requires non-negative ids < 1e9),
+    so orientation, the wedge self-join, and the closing join are
+    plain equi-joins on BIGINTs — exact on any engine and any
+    partitioning.  The wedge join and closing join each shuffle once
+    on their equi-keys (apex, then (b, c)); counts are a partial-agg
+    over an exploded corner column.
+
+    The oriented edge list feeds THREE plan branches (both wedge
+    sides and the closing probe), so it is persisted
+    (MEMORY_AND_DISK) — without that, each branch re-derives the
+    distinct + degree joins from the raw edges and the plan triples
+    its shuffles.  16 bytes/row, the same materialize-the-frontier
+    call GraphX's TriangleCount makes.
+
+    The curation use: triangle density / clustering coefficient as a
+    graph-quality signal over co-occurrence graphs (same family as
+    pagerank above).  Engine extension — the reference has no graph
+    surface (SURVEY.md §2.3 covers hash equi-joins only).
+    """
+    e0 = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ku = (F.col("du") * F.lit(1000000000) + F.col("u")).alias("ku")
+    kv = (F.col("dv") * F.lit(1000000000) + F.col("v")).alias("kv")
+    oriented = (
+        e0.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select(ku, kv)
+        .select(
+            F.least("ku", "kv").alias("a"), F.greatest("ku", "kv").alias("b")
+        )
+    )
+    from pyspark import StorageLevel
+
+    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
+    wedges = (
+        oriented.alias("e1")
+        .join(
+            oriented.alias("e2"),
+            (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("wb"),
+            F.col("e2.b").alias("wc"),
+        )
+    )
+    tri = wedges.join(
+        oriented.select(F.col("a").alias("wb"), F.col("b").alias("wc")),
+        ["wb", "wc"],
+    )
+    corners = tri.select(
+        F.explode(F.array("a", "wb", "wc")).alias("k")
+    )
+    return corners.groupBy(
+        (F.col("k") % F.lit(1000000000)).alias("node")
+    ).agg(F.count(F.lit(1)).alias("triangles"))

@@ -2788,3 +2788,106 @@ def x_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("yk").alias("max_day"),
         )
     )
+
+
+_TRI_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                  greatest(a.l_partkey, b.l_partkey) AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+  GROUP BY node
+),
+ork AS (
+  SELECT least(du.d * 1000000000 + e0.u, dv.d * 1000000000 + e0.v) AS a,
+         greatest(du.d * 1000000000 + e0.u, dv.d * 1000000000 + e0.v) AS b
+  FROM e0 JOIN deg du ON e0.u = du.node JOIN deg dv ON e0.v = dv.node
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM ork e1
+  JOIN ork e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN ork e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+corners AS (SELECT a AS k FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+SELECT CAST(k % 1000000000 AS BIGINT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS triangles
+FROM corners GROUP BY 1
+"""
+
+
+@_q(
+    "x_graph_triangles",
+    "Per-node triangle counts (operators/graph.py triangle_counts) "
+    "over the parts-co-purchased-in-one-order graph: degree-ordered "
+    "orientation (Schank-Wagner node-iterator) caps every out-degree "
+    "at O(sqrt(m)) so the wedge self-join is O(m^1.5) instead of "
+    "celebrity-degree², then wedges close against the oriented edge "
+    "set.  The (degree, id) total order packs into one BIGINT "
+    "(deg*1e9 + id) so the whole pipeline is integer equi-joins — "
+    "exact on any engine/partitioning; the oracle replays it "
+    "term-for-term.  Curation use: triangle density as a graph "
+    "quality/community signal (clustering coefficient numerator).",
+    _TRI_ORACLE,
+    tags=("M4", "graph"),
+)
+def x_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return triangle_counts(edges)
+
+
+_JPREFIX_ORACLE = f"""
+WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks_t),
+tok AS (SELECT doc_id, unnest(list_distinct(shingles)) AS token FROM sh),
+cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_1, doc_id_2, ca.n AS n_1, cb.n AS n_2, n_common,
+       ROUND(CAST(n_common AS DOUBLE)
+             / CAST(ca.n + cb.n - n_common AS DOUBLE), 9) AS jaccard
+FROM inter
+JOIN cnt ca ON doc_id_1 = ca.doc_id
+JOIN cnt cb ON doc_id_2 = cb.doc_id
+WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.3
+"""
+
+
+@_q(
+    "x_dedup_jaccard_prefix",
+    "EXACT all-pairs shingle-Jaccard join >= 0.3 via prefix filtering "
+    "(operators/dedup.py jaccard_join_prefix; AllPairs/PPJoin).  "
+    "Unlike the length-banded heuristic (x_dedup_ngram_jaccard), this "
+    "is complete — docs ordered rarest-token-first expose only a "
+    "(1-t)-fraction prefix as join keys, and any pair with Jaccard "
+    ">= t provably shares a prefix token — while the candidate join "
+    "fans out on RARE-token frequencies, never stopwords².  "
+    "Candidates pass a size-ratio gate then an exact intersection "
+    "verify proportional to candidate count.  The oracle is the "
+    "brute-force token join: hash-equality IS the completeness proof "
+    "at sf0.01.",
+    _JPREFIX_ORACLE,
+    tags=("M4", "dedup"),
+)
+def x_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_join_prefix
+
+    return jaccard_join_prefix(table(spark, sf_dir, "documents"))

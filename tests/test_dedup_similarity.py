@@ -222,3 +222,45 @@ def test_ivf_knn_join_excludes_self_and_respects_k(spark):
 
     per_q = Counter(r["vec_id"] for r in out)
     assert set(per_q.values()) == {2}
+
+
+def test_jaccard_prefix_complete_vs_brute_force(spark):
+    """Prefix filtering must lose NO pair >= threshold (AllPairs
+    completeness), including pairs the length-banded heuristic misses."""
+    import itertools
+    import random
+
+    from mcm_problem_f_data_wrangling_spark.operators.dedup import (
+        jaccard_join_prefix,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for i in range(40):
+        n = rng.randint(3, 30)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant exact + near dups at very different positions
+    docs.append((100, docs[0][1]))
+    docs.append((101, docs[5][1] + " extra trailing words here"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t = 0.3
+    got = {
+        (r["doc_id_1"], r["doc_id_2"]): (r["n_common"], r["jaccard"])
+        for r in jaccard_join_prefix(df, threshold=t, shingle_k=3).collect()
+    }
+
+    def shingles(text):
+        toks = text.split()
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sets = {i: shingles(tx) for i, tx in docs}
+    want = {}
+    for i, j in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[i] & sets[j])
+        union = len(sets[i] | sets[j])
+        if union and inter / union >= t:
+            want[(i, j)] = (inter, round(inter / union, 9))
+    assert got == want and (0, 100) in got

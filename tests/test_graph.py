@@ -150,3 +150,43 @@ def test_pagerank_bit_identical_under_repartition(spark):
         for r in pagerank(edges.repartition(13), iters=3).collect()
     }
     assert a == b  # exact integer equality, not approximate
+
+
+def test_triangle_counts_known_graph(spark):
+    from mcm_problem_f_data_wrangling_spark.operators.graph import triangle_counts
+
+    # K4 on {0,1,2,3}: every node sits in C(3,2)=3 triangles; plus a
+    # pendant edge (3,4) and an isolated triangle-free path (5,6).
+    e = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (5, 6)]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_brute_force_and_hub(spark):
+    import itertools
+
+    from mcm_problem_f_data_wrangling_spark.operators.graph import triangle_counts
+
+    # pseudo-random graph plus a degree-200 hub (orientation stress):
+    e = {(min(a, b), max(a, b)) for a, b in
+         (((i * 7) % 29, (i * 13 + 3) % 29) for i in range(150)) if a != b}
+    e |= {(100, i) for i in range(29)}  # hub adjacent to every node
+    edges = spark.createDataFrame(sorted(e), "src bigint, dst bigint")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    adj = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {n: 0 for n in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                want[n] += 1
+    assert got == {n: k for n, k in want.items() if k > 0}
+    # duplicate + reversed edges must not change counts
+    doubled = edges.unionAll(
+        edges.selectExpr("dst as src", "src as dst")
+    ).unionAll(edges)
+    got2 = {r["node"]: r["triangles"] for r in triangle_counts(doubled).collect()}
+    assert got2 == got
