@@ -19,6 +19,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _epoch_sec(df: DataFrame, colname: str) -> F.Column:
+    """Order key as DOUBLE seconds.  TIMESTAMP_NTZ cannot cast straight
+    to a numeric type; route it through TIMESTAMP (exact under the
+    session's pinned UTC zone).  Numeric columns pass through."""
+    if "timestamp" in dict(df.dtypes)[colname]:
+        return F.unix_micros(F.col(colname).cast("timestamp")) / F.lit(1e6)
+    return F.col(colname).cast("double")
+
+
 def windowed_range_join(
     left: DataFrame,
     right: DataFrame,
@@ -34,8 +43,8 @@ def windowed_range_join(
     at all.
     """
     w = float(window_seconds)
-    lsec = F.col(left_ts).cast("double")
-    rsec = F.col(right_ts).cast("double")
+    lsec = _epoch_sec(left, left_ts)
+    rsec = _epoch_sec(right, right_ts)
     r = right.withColumn("__bin", F.floor(rsec / w).cast("long"))
     l = left.withColumn(
         "__bin",

@@ -1931,7 +1931,7 @@ def w16_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-7 * 86400 * 1_000_000, 0)
     )
     return table(spark, sf_dir, "events").select(

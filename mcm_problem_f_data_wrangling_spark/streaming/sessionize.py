@@ -70,9 +70,12 @@ def sessionize_batch(
     """Batch sessionization: lag → gap flag → running-sum session id →
     aggregate.  Emits ALL sessions (batch input is complete)."""
     w = Window.partitionBy(key_col).orderBy(ts_col)
-    ts_s = F.col(ts_col).cast("long")
+    # TIMESTAMP_NTZ cannot cast straight to BIGINT; route through
+    # TIMESTAMP (exact under the session's pinned UTC zone) and compare
+    # in integer microseconds.
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     new_session = F.when(
-        ts_s - F.lag(ts_s).over(w) > gap_seconds, F.lit(1)
+        ts_us - F.lag(ts_us).over(w) > gap_seconds * 1_000_000, F.lit(1)
     ).otherwise(F.lit(0))
     sid = F.sum(new_session).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
