@@ -80,6 +80,52 @@ def force_complete_month_grid(
     return spine.join(df, keys + [month_col], "left")
 
 
+def interpolate_linear(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-series linear interpolation of NULL values between the
+    nearest non-null neighbors (pandas ``Series.interpolate
+    (method='index')`` over the numeric ``x_col`` axis) — the natural
+    companion to :func:`force_complete_month_grid`, whose gap rows it
+    fills.  Leading/trailing NULLs (no neighbor on one side) stay NULL,
+    matching pandas' default ``limit_direction='forward'`` head
+    behavior on both ends when no extrapolation is requested.
+
+    Two frame scans over ONE ``(keys)``-partitioned sort — no
+    self-joins, no spine re-shuffle: ``last(non-null (x,y) struct)``
+    over the preceding frame and ``first`` over the following frame
+    give both anchor points; the weight ``(x-x0)/(x1-x0)`` and the
+    blend are plain double arithmetic on identical inputs in any
+    engine.  ``x_col`` must be numeric (callers materialize e.g. a
+    month index) so the weight math stays engine-portable.
+    """
+    from pyspark.sql import Window
+
+    out_col = out_col or y_col
+    y, x = F.col(y_col), F.col(x_col).cast("double")
+    anchor = F.when(y.isNotNull(), F.struct(x.alias("x"), y.alias("y")))
+    w = Window.partitionBy(*keys).orderBy(x_col)
+    prev = F.last(anchor, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = F.first(anchor, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    frac = (x - prev["x"]) / (nxt["x"] - prev["x"])
+    filled = (
+        F.when(y.isNotNull(), y)
+        .when(
+            prev.isNotNull() & nxt.isNotNull(),
+            prev["y"] + (nxt["y"] - prev["y"]) * frac,
+        )
+    )
+    return df.withColumn(out_col, filled)
+
+
 def ensure_monthly_index(
     df: DataFrame,
     value_cols: list[str],

@@ -151,6 +151,48 @@ def train_ivf_cells(
     return assigned, centroids
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public arXiv method): coarse k-means cells bound
+    the pair space, then within each cell a vector is dropped when an
+    earlier (lower-id) cell-mate sits above the cosine threshold.
+
+    The survivor rule — keep ``v`` iff NO lower-id vector in the same
+    cell has ``cos > threshold`` with it — is order-free and
+    deterministic given the cell assignment (no greedy sweep whose
+    result depends on visit order).  Plan shape: one broadcast-literal
+    map for assignment, one (cell)-keyed self-join whose fan-out is
+    bounded by cell size (~n/k), one left-anti join back.  The O(n²)
+    all-pairs comparison never appears; at 100 TB the cell join is the
+    same shape as the LSH-band join in ``operators.dedup``.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    assigned = assign_cells(df, centroids, vec_col).persist()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+            > threshold
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti")
+
+
 def ivf_knn_join(
     queries: DataFrame,
     corpus: DataFrame,

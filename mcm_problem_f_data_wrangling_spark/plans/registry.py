@@ -5,10 +5,13 @@ from __future__ import annotations
 from .base import Query
 from .suite_core import QUERIES as CORE_QUERIES
 from .suite_ext import QUERIES as EXT_QUERIES
+from .suite_more import QUERIES as MORE_QUERIES
 
-REGISTRY: dict[str, Query] = {q.name: q for q in (*CORE_QUERIES, *EXT_QUERIES)}
+REGISTRY: dict[str, Query] = {
+    q.name: q for q in (*CORE_QUERIES, *EXT_QUERIES, *MORE_QUERIES)
+}
 
-if len(REGISTRY) != len(CORE_QUERIES) + len(EXT_QUERIES):  # pragma: no cover
+if len(REGISTRY) != len(CORE_QUERIES) + len(EXT_QUERIES) + len(MORE_QUERIES):  # pragma: no cover
     raise RuntimeError("duplicate query names in suite")
 
 

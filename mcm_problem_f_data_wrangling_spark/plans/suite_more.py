@@ -1,0 +1,401 @@
+"""Round-continuation query suite: interpolation, search-index build,
+equi-depth statistics, semi-structured extraction, corpus rarity
+scoring, and semantic dedup.
+
+Same cross-engine determinism contract as ``plans.base``: decimal-cast
+sums, integer/exact statistics wherever possible, and IEEE-identical
+double formulas on identical inputs for the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfn import tokens
+from ..operators.chunking import chunk_documents
+from ..operators.grid import force_complete_month_grid, interpolate_linear
+from ..operators.index import inverted_index
+from ..operators.similarity import semantic_dedup, train_ivf_cells
+from .base import DSUM, Query, dsum, monthly_lineitem, table
+
+QUERIES: list[Query] = []
+
+
+def _q(name: str, doc: str, sql: str | None = None, headline: bool = False, tags: tuple[str, ...] = ()):
+    def wrap(fn):
+        QUERIES.append(Query(name, doc, fn, sql, headline, tags))
+        return fn
+
+    return wrap
+
+
+_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')"
+
+
+@_q(
+    "w23_interpolate_linear",
+    "Per-series linear interpolation of grid gaps (pandas "
+    "interpolate(method='index') analogue; companion to W12): monthly "
+    "revenue per returnflag with every 3rd month removed, re-gridded, "
+    "then NULLs filled by time-weighted blending of the nearest "
+    "non-null neighbors.  Both anchors come from two frame scans over "
+    "ONE partitioned sort (last/first non-null (x,y) struct with "
+    "IGNORE NULLS) — no self-join, no second shuffle.  The month "
+    "index, weight, and blend are identical IEEE double ops on "
+    "decimal-exact inputs in both engines.",
+    f"""
+WITH m AS (
+  SELECT l_returnflag AS flag, CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         {DSUM('l_extendedprice')} AS revenue
+  FROM lineitem GROUP BY 1, 2
+), gapped AS (
+  SELECT * FROM m WHERE month(month) % 3 <> 0
+), bounds AS (
+  SELECT flag, MIN(month) AS mn, MAX(month) AS mx FROM gapped GROUP BY 1
+), spine AS (
+  SELECT flag, CAST(unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS DATE) AS month
+  FROM bounds
+), grid AS (
+  SELECT s.flag, s.month,
+         CAST(year(s.month) * 12 + month(s.month) AS DOUBLE) AS mi,
+         g.revenue
+  FROM spine s LEFT JOIN gapped g ON g.flag = s.flag AND g.month = s.month
+), anchored AS (
+  SELECT flag, month, mi, revenue,
+    last_value(CASE WHEN revenue IS NOT NULL THEN mi END IGNORE NULLS) OVER (
+      PARTITION BY flag ORDER BY mi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS px,
+    last_value(CASE WHEN revenue IS NOT NULL THEN revenue END IGNORE NULLS) OVER (
+      PARTITION BY flag ORDER BY mi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS py,
+    first_value(CASE WHEN revenue IS NOT NULL THEN mi END IGNORE NULLS) OVER (
+      PARTITION BY flag ORDER BY mi ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx,
+    first_value(CASE WHEN revenue IS NOT NULL THEN revenue END IGNORE NULLS) OVER (
+      PARTITION BY flag ORDER BY mi ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ny
+  FROM grid
+)
+SELECT flag, month,
+  CASE WHEN revenue IS NOT NULL THEN revenue
+       WHEN px IS NOT NULL AND nx IS NOT NULL
+       THEN py + (ny - py) * ((mi - px) / (nx - px))
+  END AS revenue
+FROM anchored
+""",
+    tags=("M2", "timeseries"),
+)
+def w23_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = monthly_lineitem(spark, sf_dir).select("flag", "month", "revenue")
+    gapped = m.filter(F.month("month") % 3 != 0)
+    grid = force_complete_month_grid(gapped, ["flag"], "month").withColumn(
+        "mi", (F.year("month") * 12 + F.month("month")).cast("double")
+    )
+    return interpolate_linear(grid, ["flag"], "mi", "revenue").select(
+        "flag", "month", "revenue"
+    )
+
+
+@_q(
+    "x_inverted_index",
+    "Search-engine inverted index over the corpus: term → document "
+    "frequency, total term frequency, and a capped ascending posting "
+    "list.  (term, doc) term frequencies pre-aggregate map-side so the "
+    "per-term exchange moves one row per DISTINCT (term, doc) — not "
+    "one per occurrence; posting lists assemble after the term-keyed "
+    "shuffle (no global sort) and cap at 20 entries so celebrity terms "
+    "can't blow up the materialized index.  String-joined postings "
+    "keep the value portable across engines.",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), td AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df_count,
+       CAST(SUM(tf) AS BIGINT) AS tf_total,
+       array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
+FROM td GROUP BY term HAVING COUNT(*) >= 5
+""",
+    tags=("llm", "text"),
+)
+def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return inverted_index(docs, tokens("text"), "doc_id", min_df=5, postings_cap=20)
+
+
+@_q(
+    "x_histogram_equi_depth",
+    "Equi-depth (decile) histogram of order totals: NTILE(10) over a "
+    "UNIQUE total order (price, orderkey — ties on price alone would "
+    "make bucket membership nondeterministic), then per-bucket count/"
+    "bounds/decimal-exact revenue.  The total order is a single-"
+    "reducer sort by construction — correct-but-bounded; the 100 TB "
+    "path for equi-depth boundaries is the sketch operator "
+    "(approx_quantiles_by), this pins the exact semantics it "
+    "approximates.",
+    f"""
+WITH d AS (
+  SELECT NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+         o_totalprice
+  FROM orders
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
+       {DSUM('o_totalprice')} AS revenue
+FROM d GROUP BY decile
+""",
+    tags=("M1", "agg"),
+)
+def x_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    d = table(spark, sf_dir, "orders").select(
+        F.ntile(10).over(w).alias("decile"), "o_totalprice"
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+@_q(
+    "x_text_rarity_score",
+    "Corpus-frequency rarity scoring per document (OCR-garbage / "
+    "gibberish detector): global token counts joined back to "
+    "occurrences, then per-doc token count, rarest-token corpus count, "
+    "and mean corpus frequency.  All statistics are integer-exact "
+    "until one final IEEE divide, so the oracle is bit-identical — no "
+    "log() whose last-ulp rounding differs between libm and the JVM.  "
+    "The vocabulary side of the join is tiny (O(distinct terms)) → "
+    "broadcast; the occurrence table never shuffles twice.",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), vocab AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(MIN(v.cnt) AS BIGINT) AS rarest_cnt,
+       CAST(SUM(v.cnt) AS DOUBLE) / COUNT(*) AS mean_corpus_freq
+FROM toks t JOIN vocab v USING (term)
+GROUP BY t.doc_id
+""",
+    tags=("llm", "text"),
+)
+def x_text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.min("cnt").cast("long").alias("rarest_cnt"),
+            (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias(
+                "mean_corpus_freq"
+            ),
+        )
+    )
+
+
+@_q(
+    "x_events_json_extract",
+    "Semi-structured field extraction (S-family extension): pull a "
+    "typed value out of the events JSON props column "
+    "(get_json_object ≡ json_extract_string) and aggregate per event "
+    "type.  The extraction is row-local JVM work feeding a map-side-"
+    "combinable aggregate — the shuffle moves one row per event type.  "
+    "Counts/sums stay integer-exact; the mean is one final IEEE "
+    "divide.",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+FROM events GROUP BY event_type
+""",
+    tags=("M1", "sources"),
+)
+def x_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(k).cast("long").alias("sum_k"),
+            F.max(k).cast("long").alias("max_k"),
+            (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
+
+
+@_q(
+    "x_embed_semdedup",
+    "SemDeDup semantic deduplication (rows-only: the k-means codebook "
+    "is FP-order-dependent, SURVEY.md §4 item 3): coarse cells bound "
+    "the pair space, a vector is dropped when an earlier cell-mate "
+    "exceeds the cosine threshold.  Survivor rule is order-free "
+    "(exists-lower-id semantics), so the kept set is deterministic "
+    "GIVEN the assignment; correctness is property-tested against a "
+    "brute-force reference with PLANTED near-duplicates in tests/"
+    "test_new_ops.py (the driver's synthetic embeddings are near-"
+    "uniform — max pairwise cosine ≈0.51 — so the threshold here sits "
+    "at 0.5 to exercise the drop path at all).",
+    None,
+    tags=("llm", "similarity"),
+)
+def x_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    _, cents = train_ivf_cells(emb, k=8, iters=2)
+    kept = semantic_dedup(emb, cents, threshold=0.5)
+    return kept.select("vec_id", "cell").orderBy("vec_id")
+
+
+@_q(
+    "x_doc_chunking",
+    "Overlapping token-window chunking (RAG context prep / T5-style "
+    "span windowing): 64-token chunks at stride 48 — every token "
+    "covered, tails shorter, no padding.  Tokenize + window starts + "
+    "slices are all row-local array ops feeding ONE posexplode; the "
+    "operator adds zero exchanges, so it composes with downstream "
+    "dedup/packing for free at 100 TB.",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(generate_series(0, len(toks) - 1, 48)) AS start
+  FROM toks WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(start / 48 AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start_token,
+       CAST(least(64, n - start) AS BIGINT) AS n_tokens,
+       array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+FROM s
+""",
+    tags=("llm", "text"),
+)
+def x_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+
+
+@_q(
+    "x_bigram_lm",
+    "Bigram language-model table (MLE conditional probabilities): "
+    "adjacent-token pairs via row-local array zip (no self-join on "
+    "position), pair counts map-side-combine into one (w1,w2) "
+    "exchange, and the denominator — bigrams starting with w1 — is a "
+    "window sum over the ALREADY-aggregated table (the second "
+    "exchange moves one row per distinct pair, not per occurrence).  "
+    "Counts are integer-exact; the probability is one final IEEE "
+    "divide.  min-count 3 bounds the emitted vocabulary.",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+), cnt AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_bigram FROM bg GROUP BY 1, 2
+)
+SELECT w1, w2, n_bigram,
+       CAST(SUM(n_bigram) OVER (PARTITION BY w1) AS BIGINT) AS n_w1,
+       CAST(n_bigram AS DOUBLE) / CAST(SUM(n_bigram) OVER (PARTITION BY w1) AS DOUBLE) AS p_cond
+FROM cnt
+QUALIFY n_bigram >= 3
+""",
+    tags=("llm", "text"),
+)
+def x_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = tokens(F.col("text"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    bg = (
+        table(spark, sf_dir, "documents")
+        .filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n_bigram"))
+    w = Window.partitionBy("w1")
+    return (
+        cnt.withColumn("n_w1", F.sum("n_bigram").over(w).cast("long"))
+        .withColumn(
+            "p_cond", F.col("n_bigram").cast("double") / F.col("n_w1").cast("double")
+        )
+        .filter(F.col("n_bigram") >= 3)
+    )
+
+
+@_q(
+    "q05_star_join_revenue",
+    "TPC-H Q5-shape star join (the multi-join scale benchmark the "
+    "2-dim bridge J1/J2 builds toward): lineitem ⨝ orders (date-"
+    "filtered) ⨝ customer ⨝ nation ⨝ region('ASIA'), revenue per "
+    "nation.  Dimension chain broadcasts end-to-end — region/nation/"
+    "customer are each orders of magnitude under the fact table, so "
+    "the ONLY repartition-scale exchanges are the orders⨝lineitem "
+    "join and the final tiny aggregate; the date filter pushes to the "
+    "orders scan and prunes before the big join.  Revenue rounds the "
+    "per-row double product to DECIMAL(18,6) before the exact sum "
+    "(plans/base.py contract).",
+    """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""",
+    headline=True,
+    tags=("M1", "join"),
+)
+def q05_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = broadcast(
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(dsum(net).alias("revenue"), F.count(F.lit(1)).cast("long").alias("n_items"))
+    )

@@ -1,0 +1,235 @@
+"""Tests for the round-continuation operators: linear interpolation
+(pandas parity), inverted index, semantic dedup (brute-force reference
+with planted near-duplicates), and the stream-static enrichment join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mcm_problem_f_data_wrangling_spark.operators.grid import interpolate_linear
+from mcm_problem_f_data_wrangling_spark.operators.index import inverted_index
+from mcm_problem_f_data_wrangling_spark.operators.similarity import semantic_dedup
+from mcm_problem_f_data_wrangling_spark.functions.textfn import tokens
+
+
+def test_interpolate_linear_matches_pandas(spark):
+    # two series; gaps in the middle, NULL head on s1 and NULL tail on s2
+    rows = [
+        ("s1", 0.0, None),
+        ("s1", 1.0, 10.0),
+        ("s1", 2.0, None),
+        ("s1", 4.0, None),  # irregular spacing: x jumps 2→4→5
+        ("s1", 5.0, 40.0),
+        ("s1", 6.0, 46.0),
+        ("s2", 0.0, 5.0),
+        ("s2", 3.0, None),
+        ("s2", 4.0, 9.0),
+        ("s2", 5.0, None),
+    ]
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    got = {
+        (r["k"], r["x"]): r["y"]
+        for r in interpolate_linear(df, ["k"], "x", "y").collect()
+    }
+    for k in ("s1", "s2"):
+        pdf = pd.DataFrame(
+            [(x, y) for kk, x, y in rows if kk == k], columns=["x", "y"]
+        ).set_index("x")
+        # pandas index-weighted interpolation without extrapolation
+        exp = pdf["y"].interpolate(method="index", limit_area="inside")
+        for x, v in exp.items():
+            g = got[(k, x)]
+            if pd.isna(v):
+                assert g is None, (k, x, g)
+            else:
+                assert g == pytest.approx(v, abs=1e-12), (k, x, g, v)
+
+
+def test_interpolate_preserves_observed_values(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 3.5), ("a", 2.0, None), ("a", 3.0, 4.5)], ["k", "x", "y"]
+    )
+    out = {r["x"]: r["y"] for r in interpolate_linear(df, ["k"], "x", "y").collect()}
+    assert out[1.0] == 3.5 and out[3.0] == 4.5
+    assert out[2.0] == pytest.approx(4.0)
+
+
+def test_inverted_index_small_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a c"),
+            (2, "b c"),
+            (3, "a   a"),  # runs of whitespace produce no empty tokens
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["term"]: (r["df_count"], r["tf_total"], r["postings"])
+        for r in inverted_index(docs, tokens("text"), "doc_id").collect()
+    }
+    assert out["a"] == (2, 4, "1,3")
+    assert out["b"] == (2, 2, "1,2")
+    assert out["c"] == (2, 2, "1,2")
+
+
+def test_inverted_index_min_df_and_cap(spark):
+    docs = spark.createDataFrame(
+        [(i, "common " + ("rare" if i == 0 else "")) for i in range(30)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["term"]: r
+        for r in inverted_index(
+            docs, tokens("text"), "doc_id", min_df=2, postings_cap=5
+        ).collect()
+    }
+    assert "rare" not in out  # df=1 < min_df
+    assert out["common"]["df_count"] == 30
+    assert out["common"]["postings"] == "0,1,2,3,4"  # capped, ascending
+
+
+def _brute_semdedup(X: np.ndarray, cells: np.ndarray, t: float) -> set[int]:
+    """Reference survivor set: v kept iff no lower-id same-cell vector
+    has cosine > t with it."""
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    kept = set()
+    for i in range(len(X)):
+        if not any(
+            S[j, i] > t for j in range(i) if cells[j] == cells[i]
+        ):
+            kept.add(i)
+    return kept
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8))
+    # plant near-duplicates: vectors 40..49 are tiny perturbations of 0..9
+    dup = base[:10] + rng.normal(scale=0.01, size=(10, 8))
+    X = np.vstack([base, dup])
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    centroids = [[float(v) for v in c] for c in (X[0], X[17], X[33])]
+
+    kept = semantic_dedup(df, centroids, threshold=0.95)
+    got = {r["vec_id"] for r in kept.collect()}
+
+    # reproduce the operator's own cell assignment (max-cosine centroid)
+    C = np.array(centroids)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cells = (Xn @ Cn.T).argmax(axis=1)
+    exp = _brute_semdedup(X, cells, 0.95)
+    assert got == exp
+    # only planted duplicates can be dropped (originals are mutually
+    # far apart), and at least some duplicate lands in its original's cell
+    dropped = set(range(len(X))) - got
+    assert dropped, "planted near-duplicates must produce drops"
+    assert dropped <= set(range(40, 50))
+
+
+def test_semantic_dedup_repartition_invariant(spark):
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(30, 6))
+    X[25:] = X[:5] + 1e-3
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[float(v) for v in X[0]], [float(v) for v in X[15]]]
+    a = {r["vec_id"] for r in semantic_dedup(df, cents, 0.95).collect()}
+    b = {
+        r["vec_id"]
+        for r in semantic_dedup(df.repartition(7), cents, 0.95).collect()
+    }
+    assert a == b
+
+
+def test_enrich_stream_matches_batch_join(spark, tmp_path):
+    from mcm_problem_f_data_wrangling_spark.streaming.enrich import enrich_stream
+
+    path = str(tmp_path / "enrich_stream")
+    facts = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(100)], ["event_id", "user_id", "value"]
+    )
+    facts.coalesce(2).write.mode("overwrite").parquet(path)
+    dim = spark.createDataFrame(
+        [(0, "gold"), (1, "silver"), (2, "bronze")], ["user_id", "segment"]
+    )
+
+    expected = {
+        (r["event_id"], r["segment"])
+        for r in facts.join(dim, "user_id", "left").collect()
+    }
+
+    stream = spark.readStream.schema(facts.schema).parquet(path)
+    out = enrich_stream(stream, dim, ["user_id"], "left")
+    assert out.isStreaming
+    # stateless joins emit in append mode (complete is aggregate-only)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_id"], r["segment"])
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    assert got == expected
+    assert any(seg is None for _, seg in got)  # user_id=3 has no dim row
+
+
+def test_enrich_stream_rejects_state_requiring_joins(spark, tmp_path):
+    from mcm_problem_f_data_wrangling_spark.streaming.enrich import enrich_stream
+
+    path = str(tmp_path / "enrich_stream2")
+    df = spark.createDataFrame([(1, 1)], ["a", "user_id"])
+    df.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    with pytest.raises(ValueError):
+        enrich_stream(stream, df, ["user_id"], "full")
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from mcm_problem_f_data_wrangling_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"t{i}" for i in range(100))
+    docs = spark.createDataFrame([(1, text), (2, "a b"), (3, "")], ["doc_id", "text"])
+    rows = chunk_documents(docs, chunk_tokens=10, stride=7).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    assert 3 not in by_doc  # empty doc emits nothing
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b"
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    # starts are 0, 7, 14, ... < 100
+    assert [r["start_token"] for r in c1] == list(range(0, 100, 7))
+    # every token appears in at least one chunk; overlap = 3 tokens
+    covered = set()
+    for r in c1:
+        toks = r["chunk_text"].split(" ")
+        assert len(toks) == r["n_tokens"] <= 10
+        assert toks[0] == f"t{r['start_token']}"
+        covered.update(toks)
+    assert covered == {f"t{i}" for i in range(100)}
+
+
+def test_star_join_plan_broadcasts_dimension_chain(spark):
+    from mcm_problem_f_data_wrangling_spark.plans import REGISTRY
+
+    df = REGISTRY["q05_star_join_revenue"].spark(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the date filter must reach the orders parquet scan
+    assert "PushedFilters" in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "o_orderdate" in optimized
