@@ -17,7 +17,7 @@ from ..operators.chunking import chunk_documents
 from ..operators.grid import force_complete_month_grid, interpolate_linear
 from ..operators.index import inverted_index
 from ..operators.similarity import semantic_dedup, train_ivf_cells
-from .base import DSUM, Query, dsum, monthly_lineitem, table
+from .base import DSUM, MONTHLY_CTE, Query, dsum, monthly_lineitem, table
 
 QUERIES: list[Query] = []
 
@@ -398,4 +398,279 @@ def q05_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dim, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(dsum(net).alias("revenue"), F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+
+
+@_q(
+    "w24_cusum_drift",
+    "CUSUM drift statistic per series (change-point detection prep, "
+    "Page 1954 — the classic mean-shift detector): per-flag monthly "
+    "revenue, per-series mean from decimal-exact sums, then a running "
+    "sum of deviations.  The per-series mean joins back as a window "
+    "aggregate over the SAME partition key the running sum uses — one "
+    "exchange serves both; deviations accumulate in decimal so the "
+    "cross-engine hash is exact (running double sums would drift).",
+    f"""
+WITH {MONTHLY_CTE},
+stats AS (
+  SELECT flag, month, revenue,
+         CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER (PARTITION BY flag) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY flag) AS mu
+  FROM monthly
+)
+SELECT flag, month, revenue,
+       CAST(SUM(CAST(revenue - mu AS DECIMAL(18,6))) OVER (
+         PARTITION BY flag ORDER BY month
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cusum
+FROM stats
+""",
+    tags=("M2", "timeseries"),
+)
+def w24_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = monthly_lineitem(spark, sf_dir).select("flag", "month", "revenue")
+    wp = Window.partitionBy("flag")
+    wo = wp.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mu = (
+        F.sum(F.col("revenue").cast("decimal(18,6)")).over(wp).cast("double")
+        / F.count(F.lit(1)).over(wp)
+    )
+    dev = (F.col("revenue") - mu).cast("decimal(18,6)")
+    return m.select(
+        "flag",
+        "month",
+        "revenue",
+        F.sum(dev).over(wo).cast("double").alias("cusum"),
+    )
+
+
+@_q(
+    "a08_group_mode",
+    "Per-group mode (most frequent value) with deterministic ties: "
+    "count per (group, value), then argmax via lexicographic struct "
+    "max — ties resolve to the LARGER value on both engines, no "
+    "nondeterministic first-row pick.  Two map-side-combinable "
+    "aggregations; the second shuffle moves one row per distinct "
+    "(group, value).",
+    """
+WITH c AS (
+  SELECT l_returnflag AS flag, l_linestatus AS status, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT flag, status AS mode_status, CAST(n AS BIGINT) AS mode_n
+FROM (
+  SELECT flag, status, n,
+         row_number() OVER (PARTITION BY flag ORDER BY n DESC, status DESC) AS rk
+  FROM c
+)
+WHERE rk = 1
+""",
+    tags=("M1", "agg"),
+)
+def a08_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    best = F.max(F.struct(F.col("n"), F.col("status")))
+    return c.groupBy("flag").agg(
+        best["status"].alias("mode_status"),
+        best["n"].cast("long").alias("mode_n"),
+    )
+
+
+@_q(
+    "w25_topk_per_group",
+    "Top-k per group (the grouped-LIMIT every catalog query needs): "
+    "5 longest documents per source via row_number over a UNIQUE "
+    "order (n_chars DESC, doc_id — ties on length alone would be "
+    "nondeterministic).  One exchange on the group key; Spark's "
+    "WindowGroupLimit pushes the rank filter below the sort so "
+    "per-partition state is O(k), never the full group.",
+    """
+SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= 5
+""",
+    tags=("M1", "window"),
+)
+def w25_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        table(spark, sf_dir, "documents")
+        .select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .withColumn("rk", F.col("rk").cast("long"))
+    )
+
+
+@_q(
+    "w26_seasonal_adjust",
+    "Seasonal adjustment by calendar-month means (the notebook's "
+    "seasonal-difference W6 sibling, closer to CES's own X-13 intent): "
+    "per (series, month-of-year) mean from decimal-exact sums, "
+    "deviation = value − seasonal mean.  The seasonal mean is a "
+    "window aggregate over (flag, month(month)) — no join back, one "
+    "exchange; the deviation is one IEEE subtract of cross-engine-"
+    "identical doubles.",
+    f"""
+WITH {MONTHLY_CTE}
+SELECT flag, month, revenue,
+       CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER (PARTITION BY flag, month(month)) AS DOUBLE)
+         / COUNT(*) OVER (PARTITION BY flag, month(month)) AS seasonal_mean,
+       revenue - CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER (PARTITION BY flag, month(month)) AS DOUBLE)
+         / COUNT(*) OVER (PARTITION BY flag, month(month)) AS adjusted
+FROM monthly
+""",
+    tags=("M2", "timeseries"),
+)
+def w26_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = monthly_lineitem(spark, sf_dir).select("flag", "month", "revenue")
+    wp = Window.partitionBy("flag", F.month("month"))
+    smean = (
+        F.sum(F.col("revenue").cast("decimal(18,6)")).over(wp).cast("double")
+        / F.count(F.lit(1)).over(wp)
+    )
+    return m.select(
+        "flag",
+        "month",
+        "revenue",
+        smean.alias("seasonal_mean"),
+        (F.col("revenue") - smean).alias("adjusted"),
+    )
+
+
+@_q(
+    "s21_id_gap_detection",
+    "Sequence-gap detection over event ids (data-quality / loss "
+    "audit): lag over the UNIQUE id order finds every hole; one "
+    "gap row per missing range with its width.  Single exchange on "
+    "nothing — ids are globally ordered, so this demo uses one "
+    "partition-wide window over the id column; at 100 TB the same "
+    "lag runs per shard/partition-key (ids are only comparable "
+    "within a shard anyway) and the window re-partitions by shard.",
+    """
+SELECT gap_start, gap_end, CAST(gap_end - gap_start + 1 AS BIGINT) AS n_missing
+FROM (
+  SELECT lag(event_id) OVER (ORDER BY event_id) + 1 AS gap_start,
+         event_id - 1 AS gap_end
+  FROM events
+)
+WHERE gap_start IS NOT NULL AND gap_end >= gap_start
+""",
+    tags=("M1", "quality"),
+)
+def s21_id_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.orderBy("event_id")
+    g = table(spark, sf_dir, "events").select(
+        (F.lag("event_id").over(w) + 1).alias("gap_start"),
+        (F.col("event_id") - 1).alias("gap_end"),
+    )
+    return g.filter(
+        F.col("gap_start").isNotNull() & (F.col("gap_end") >= F.col("gap_start"))
+    ).select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).cast("long").alias("n_missing"),
+    )
+
+
+@_q(
+    "s22_rapid_duplicate_events",
+    "Near-duplicate event flagging (double-click / retry artifacts): "
+    "an event is a rapid duplicate when the SAME user+type fired "
+    "within 60s before it.  One (user,type)-keyed window; the gap "
+    "compares integer microseconds (NTZ-safe epoch), so the flag is "
+    "exact on both engines.  The aggregate reports per-type totals — "
+    "the shuffle after the window moves one row per type.",
+    """
+WITH flagged AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id) <= 60000000
+              THEN 1 ELSE 0 END AS is_dup
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_dup) AS BIGINT) AS n_rapid_dups
+FROM flagged GROUP BY event_type
+""",
+    tags=("M1", "quality"),
+)
+def s22_rapid_duplicate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    is_dup = F.when(us - F.lag(us).over(w) <= 60_000_000, F.lit(1)).otherwise(F.lit(0))
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_type", is_dup.alias("is_dup"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("is_dup").cast("long").alias("n_rapid_dups"),
+        )
+    )
+
+
+@_q(
+    "s23_new_vs_returning",
+    "Daily new-vs-returning user split (growth accounting): per-user "
+    "first-seen day via a window min, then per-day counts of users "
+    "seen for the first time vs again.  Distinct (user, day) activity "
+    "pre-aggregates before the user-keyed window, and the window and "
+    "the distinct SHARE the user-hash exchange (subset clustering — "
+    "same trick as the retention triangle), so the whole query is one "
+    "user exchange + one tiny day exchange.",
+    """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), tagged AS (
+  SELECT day, CASE WHEN day = MIN(day) OVER (PARTITION BY user_id) THEN 1 ELSE 0 END AS is_new
+  FROM activity
+)
+SELECT day,
+       CAST(SUM(is_new) AS BIGINT) AS new_users,
+       CAST(SUM(1 - is_new) AS BIGINT) AS returning_users
+FROM tagged GROUP BY day
+""",
+    tags=("M1", "analytics"),
+)
+def s23_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    activity = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        # repartition on the window key BEFORE distinct: the distinct's
+        # partial agg still combines map-side, and the user-hash
+        # exchange is shared with the first-seen window (no second
+        # repartition between them)
+        .repartition("user_id")
+        .distinct()
+    )
+    is_new = F.when(
+        F.col("day") == F.min("day").over(Window.partitionBy("user_id")), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        activity.select("day", is_new.alias("is_new"))
+        .groupBy("day")
+        .agg(
+            F.sum("is_new").cast("long").alias("new_users"),
+            F.sum(F.lit(1) - F.col("is_new")).cast("long").alias("returning_users"),
+        )
     )

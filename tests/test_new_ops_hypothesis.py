@@ -1,0 +1,107 @@
+"""Property-based fuzz for the newest operators: linear interpolation
+vs pandas, and chunking coverage invariants vs a pure-Python reference.
+
+Same batching trick as test_rolling_hypothesis: each example packs many
+generated series/documents into ONE DataFrame so the Spark round trip
+is paid per example, not per series.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mcm_problem_f_data_wrangling_spark.operators.chunking import chunk_documents
+from mcm_problem_f_data_wrangling_spark.operators.grid import interpolate_linear
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False,
+    allow_subnormal=False,
+)
+# series of (present?, value); x positions are the list indices (unique,
+# ordered), some y values replaced by NULL
+series_strategy = st.lists(
+    st.one_of(finite, st.none()), min_size=2, max_size=25
+)
+
+
+@pytest.fixture(scope="module")
+def sparkref(spark):
+    return spark
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=st.lists(series_strategy, min_size=1, max_size=6))
+def test_interpolate_matches_pandas_fuzz(sparkref, batch):
+    spark = sparkref
+    rows = [
+        (f"s{si}", float(t), v)
+        for si, series in enumerate(batch)
+        for t, v in enumerate(series)
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {
+        (r["k"], r["x"]): r["y"]
+        for r in interpolate_linear(df, ["k"], "x", "y").collect()
+    }
+    for si, series in enumerate(batch):
+        exp = (
+            pd.Series(series, index=[float(t) for t in range(len(series))], dtype="float64")
+            .interpolate(method="index", limit_area="inside")
+        )
+        for x, v in exp.items():
+            g = got[(f"s{si}", x)]
+            if pd.isna(v):
+                assert g is None
+            else:
+                assert g == pytest.approx(v, rel=1e-12, abs=1e-9)
+
+
+words_strategy = st.lists(
+    st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=0, max_size=40
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(words_strategy, min_size=1, max_size=5),
+    chunk=st.integers(min_value=1, max_value=12),
+    stride=st.integers(min_value=1, max_value=12),
+)
+def test_chunking_invariants_fuzz(sparkref, docs, chunk, stride):
+    spark = sparkref
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], ["doc_id", "text"]
+    )
+    rows = chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, ws in enumerate(docs):
+        if not ws:
+            assert i not in by_doc
+            continue
+        got = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        starts = [r["start_token"] for r in got]
+        assert starts == list(range(0, len(ws), stride))
+        for r in got:
+            s = r["start_token"]
+            ref = ws[s : s + chunk]
+            assert r["chunk_text"] == " ".join(ref)
+            assert r["n_tokens"] == len(ref)
+        if stride <= chunk:
+            # full coverage: every token index inside some window
+            covered = set()
+            for r in got:
+                covered.update(range(r["start_token"], r["start_token"] + r["n_tokens"]))
+            assert covered == set(range(len(ws)))
