@@ -270,12 +270,67 @@ def main() -> None:
             typed = ev.withColumn("event_type", (F.pmod(F.xxhash64("event_id"), F.lit(5))).cast("string"))
             return rollup_cascade(typed, grains=("minute", "hour", "day")).count()
 
+        def chunking_200k():
+            from mcm_problem_f_data_wrangling_spark.operators.chunking import (
+                chunk_documents,
+            )
+
+            return chunk_documents(docs, chunk_tokens=16, stride=12).count()
+
+        def invindex_200k():
+            from mcm_problem_f_data_wrangling_spark.functions.textfn import tokens
+            from mcm_problem_f_data_wrangling_spark.operators.index import (
+                inverted_index,
+            )
+
+            return inverted_index(docs, tokens("text"), "doc_id", min_df=2).count()
+
+        def interpolate_100k_series():
+            from mcm_problem_f_data_wrangling_spark.operators.grid import (
+                interpolate_linear,
+            )
+
+            n_series, months = 100_000, 36
+            s = spark.range(n_series * months).select(
+                F.pmod(F.col("id"), F.lit(n_series)).alias("k"),
+                (F.col("id") / n_series).cast("long").alias("mi"),
+                F.when(
+                    F.pmod(F.xxhash64("id", F.lit(5)), F.lit(4)) != 0,
+                    F.pmod(F.xxhash64("id", F.lit(6)), F.lit(1000)) / 10.0,
+                ).alias("y"),
+            )
+            return interpolate_linear(s, ["k"], "mi", "y").count()
+
+        def semdedup_100k():
+            from mcm_problem_f_data_wrangling_spark.operators.similarity import (
+                semantic_dedup,
+            )
+
+            vecs = spark.range(100_000).select(
+                F.col("id").alias("vec_id"),
+                F.array(
+                    *[
+                        (F.pmod(F.xxhash64("id", F.lit(i)), F.lit(1000)) / 500.0 - 1.0)
+                        for i in range(16)
+                    ]
+                ).alias("embedding"),
+            )
+            cents = [
+                [((i * 31 + j * 17) % 97) / 48.5 - 1.0 for j in range(16)]
+                for i in range(256)
+            ]
+            return semantic_dedup(vecs, cents, threshold=0.99).count()
+
         timed("minhash_200k_docs", minhash)
         timed("asof_join_1m_x_1m", asof)
         timed("range_join_1h_window_1m_x_1m", range_join)
         timed("repetition_signals_200k_docs", repetition)
         timed("connected_components_2m_nodes", connected_comp)
         timed("ivf_knn_join_100k_x_1024cells", knn_join)
+        timed("chunking_200k_docs", chunking_200k)
+        timed("inverted_index_200k_docs", invindex_200k)
+        timed("interpolate_100k_series", interpolate_100k_series)
+        timed("semdedup_100k_vectors_256cells", semdedup_100k)
         timed("event_funnel_2m", funnel_2m)
         timed("retention_cohorts_2m", retention_2m)
         timed("rollup_cascade_2m", cascade_2m)
