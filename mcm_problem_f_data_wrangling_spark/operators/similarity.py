@@ -109,18 +109,26 @@ def assign_cells(
     going 64 → 256 cells on 100k vectors; the transform form stays a
     single code path at any k).
     """
+    return df.withColumn(
+        out_col, F.array_max(_centroid_choices(vec_col, centroids))["cell"]
+    )
+
+
+def _centroid_choices(vec_col: str, centroids: list[list[float]]) -> F.Column:
+    """``array<struct<c: cosine, cell: int>>`` against every centroid —
+    one ``transform`` over an array-of-arrays literal (single code
+    path; see :func:`assign_cells` scale note)."""
     cents = F.array(
         *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
     )
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
-    choices = F.transform(
+    return F.transform(
         idx,
         lambda i: F.struct(
             cosine_similarity(F.col(vec_col), F.element_at(cents, i + 1)).alias("c"),
             i.alias("cell"),
         ),
     )
-    return df.withColumn(out_col, F.array_max(choices)["cell"])
 
 
 def train_ivf_cells(
@@ -238,18 +246,11 @@ def ivf_knn_join(
     from pyspark.sql import Window
 
     if centroids is not None:
-        choices = F.array(
-            *[
-                F.struct(
-                    cosine_similarity(
-                        F.col(vec_col), F.array(*[F.lit(float(v)) for v in c])
-                    ).alias("c"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+        probes = F.slice(
+            F.reverse(F.array_sort(_centroid_choices(vec_col, centroids))),
+            1,
+            n_probe,
         )
-        probes = F.slice(F.reverse(F.array_sort(choices)), 1, n_probe)
         q = queries.select(
             F.col(id_col).alias("__qid"),
             F.col(vec_col).alias("__qvec"),

@@ -674,3 +674,137 @@ def s23_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.lit(1) - F.col("is_new")).cast("long").alias("returning_users"),
         )
     )
+
+
+@_q(
+    "w27_acf_lags",
+    "Autocorrelation function per series at lags 1..6 (the notebook's "
+    "ACF/PACF diagnostic X4, here as pure SQL instead of statsmodels): "
+    "corr(x_t, x_{t-k}) from lag columns — one partitioned sort feeds "
+    "all six lags, no self-joins.  corr is the W4 precedent: rounded "
+    "to 6dp, orders above the cross-engine FP error of the two-pass "
+    "formula.  Output long-form (flag, lag_k, acf).",
+    f"""
+WITH {MONTHLY_CTE},
+lagged AS (
+  SELECT flag, revenue,
+         lag(revenue, 1) OVER w AS l1, lag(revenue, 2) OVER w AS l2,
+         lag(revenue, 3) OVER w AS l3, lag(revenue, 4) OVER w AS l4,
+         lag(revenue, 5) OVER w AS l5, lag(revenue, 6) OVER w AS l6
+  FROM monthly
+  WINDOW w AS (PARTITION BY flag ORDER BY month)
+)
+SELECT flag, lag_k, ROUND(acf, 6) AS acf
+FROM (
+  SELECT flag, 1 AS lag_k, corr(revenue, l1) AS acf FROM lagged GROUP BY flag
+  UNION ALL SELECT flag, 2, corr(revenue, l2) FROM lagged GROUP BY flag
+  UNION ALL SELECT flag, 3, corr(revenue, l3) FROM lagged GROUP BY flag
+  UNION ALL SELECT flag, 4, corr(revenue, l4) FROM lagged GROUP BY flag
+  UNION ALL SELECT flag, 5, corr(revenue, l5) FROM lagged GROUP BY flag
+  UNION ALL SELECT flag, 6, corr(revenue, l6) FROM lagged GROUP BY flag
+)
+""",
+    tags=("M2", "timeseries"),
+)
+def w27_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    m = monthly_lineitem(spark, sf_dir).select("flag", "month", "revenue")
+    w = Window.partitionBy("flag").orderBy("month")
+    lagged = m.select(
+        "flag",
+        "revenue",
+        *[F.lag("revenue", k).over(w).alias(f"l{k}") for k in range(1, 7)],
+    )
+    parts = [
+        lagged.groupBy("flag").agg(
+            F.lit(k).cast("int").alias("lag_k"),
+            F.round(F.corr("revenue", f"l{k}"), 6).alias("acf"),
+        )
+        for k in range(1, 7)
+    ]
+    return reduce(DataFrame.unionByName, parts).select("flag", "lag_k", "acf")
+
+
+@_q(
+    "w28_minmax_scale",
+    "Per-group min-max feature scaling (ML prep: normalize each "
+    "series into [0,1]): group min/max as window aggregates over the "
+    "partition — no join-back — then one IEEE (x-min)/(max-min) on "
+    "identical doubles.  Constant series (max=min) scale to NULL "
+    "rather than dividing by zero, pinned on both engines.",
+    f"""
+WITH {MONTHLY_CTE}
+SELECT flag, month, revenue,
+       CASE WHEN MAX(revenue) OVER w <> MIN(revenue) OVER w
+            THEN (revenue - MIN(revenue) OVER w)
+                 / (MAX(revenue) OVER w - MIN(revenue) OVER w)
+       END AS scaled
+FROM monthly
+WINDOW w AS (PARTITION BY flag)
+""",
+    tags=("M2", "ml-prep"),
+)
+def w28_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = monthly_lineitem(spark, sf_dir).select("flag", "month", "revenue")
+    w = Window.partitionBy("flag")
+    mn, mx = F.min("revenue").over(w), F.max("revenue").over(w)
+    return m.select(
+        "flag",
+        "month",
+        "revenue",
+        F.when(mx != mn, (F.col("revenue") - mn) / (mx - mn)).alias("scaled"),
+    )
+
+
+@_q(
+    "w29_winsorize",
+    "Per-group winsorization at p05/p95 (outlier clipping before "
+    "model fits — the robust sibling of the notebook's rolling-median "
+    "repair W5): exact interpolated percentiles as window aggregates "
+    "over the partition (the w20 MAD precedent), then clip via "
+    "greatest/least.  Percentile interpolation rounds to 6dp before "
+    "the clip so the boundary decision is identical cross-engine.",
+    """
+WITH t AS (
+  SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+         ROUND(quantile_cont(o_totalprice, 0.05) OVER (PARTITION BY o_orderpriority), 6) AS p05,
+         ROUND(quantile_cont(o_totalprice, 0.95) OVER (PARTITION BY o_orderpriority), 6) AS p95
+  FROM orders
+)
+SELECT priority, o_orderkey, o_totalprice,
+       GREATEST(p05, LEAST(p95, o_totalprice)) AS winsorized,
+       CAST(o_totalprice < p05 OR o_totalprice > p95 AS INT) AS clipped
+FROM t
+""",
+    tags=("M2", "ml-prep"),
+)
+def w29_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority")
+    p05 = F.round(F.percentile("o_totalprice", F.lit(0.05)).over(w), 6)
+    p95 = F.round(F.percentile("o_totalprice", F.lit(0.95)).over(w), 6)
+    t = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        "o_totalprice",
+        p05.alias("p05"),
+        p95.alias("p95"),
+    )
+    return t.select(
+        "priority",
+        "o_orderkey",
+        "o_totalprice",
+        F.greatest("p05", F.least("p95", F.col("o_totalprice"))).alias("winsorized"),
+        (
+            (F.col("o_totalprice") < F.col("p05"))
+            | (F.col("o_totalprice") > F.col("p95"))
+        )
+        .cast("int")
+        .alias("clipped"),
+    )
