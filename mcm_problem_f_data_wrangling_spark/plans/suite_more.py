@@ -808,3 +808,88 @@ def w29_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("clipped"),
     )
+
+
+@_q(
+    "q01_pricing_summary",
+    "TPC-H Q1 pricing summary (the canonical scan-heavy aggregate): "
+    "one lineitem scan, date-filtered at the parquet reader, eight "
+    "aggregates per (returnflag, linestatus) — all map-side-"
+    "combinable, so the shuffle moves a handful of rows no matter the "
+    "input size.  Sums are decimal-exact (plans/base.py contract); "
+    "averages divide the exact sums by the exact counts in one IEEE "
+    "op each.",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    headline=True,
+    tags=("M1", "agg"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(charge).alias("sum_charge"),
+        (dsum("l_quantity") / n).alias("avg_qty"),
+        (dsum("l_extendedprice") / n).alias("avg_price"),
+        (dsum("l_discount") / n).alias("avg_disc"),
+        n.cast("long").alias("count_order"),
+    )
+
+
+@_q(
+    "q03_shipping_priority",
+    "TPC-H Q3 shipping priority (filter-join-aggregate-topN): orders "
+    "date-filtered both sides of the join, revenue per (orderkey, "
+    "orderdate, priority), top 10 by revenue with a UNIQUE "
+    "tie-breaker (orderkey) so the limit is deterministic.  Both "
+    "filters push to their parquet scans; the topN runs as "
+    "TakeOrderedAndProject — per-partition heaps then one 10-row "
+    "merge, never a global sort of the aggregate.",
+    """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+    tags=("M1", "join"),
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(net).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
