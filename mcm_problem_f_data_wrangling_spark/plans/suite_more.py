@@ -893,3 +893,83 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
+
+
+@_q(
+    "a09_share_of_total",
+    "Percent-contribution analysis (share of corpus-wide total per "
+    "group): the grand total attaches via a literal-key broadcast "
+    "equi-join of the 1-row aggregate — BroadcastHashJoin, NOT a "
+    "1-row cartesian (BroadcastNestedLoopJoin is the audit red flag "
+    "an empty-partition window or naive cross join would produce).  "
+    "Both numerator and denominator are decimal-exact; the share is "
+    "one IEEE divide.",
+    """
+WITH per_nation AS (
+  SELECT n.n_name,
+         CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS acctbal
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total FROM customer
+)
+SELECT n_name, acctbal, acctbal / total AS share
+FROM per_nation, tot
+""",
+    tags=("M1", "analytics"),
+)
+def a09_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("c_acctbal").alias("acctbal"))
+        .withColumn("__k", F.lit(1))
+    )
+    tot = (
+        c.agg(dsum("c_acctbal").alias("total")).withColumn("__k", F.lit(1))
+    )
+    return (
+        per.join(broadcast(tot), "__k")
+        .select("n_name", "acctbal", (F.col("acctbal") / F.col("total")).alias("share"))
+    )
+
+
+@_q(
+    "s24_peak_hour_profile",
+    "Hour-of-day × event-type activity profile (the ops-dashboard "
+    "heatmap): hour extraction is row-local, the aggregate map-side-"
+    "combines into a ≤24×types-row shuffle, and the per-type hourly "
+    "share divides two exact counts.  At 100 TB this is one scan — "
+    "the profile table never grows with the data.",
+    """
+WITH h AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour_of_day, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS hour_share
+FROM h
+""",
+    tags=("M1", "analytics"),
+)
+def s24_peak_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    h = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.hour("ts").cast("int").alias("hour_of_day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    return h.select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias(
+            "hour_share"
+        ),
+    )
