@@ -8,14 +8,16 @@ implementation:
 - pre-aggregates (term, doc) term frequencies BEFORE the per-term
   group (map-side combinable; the second shuffle moves one row per
   distinct (term, doc), not one per token occurrence);
-- builds posting lists with ``sort_array(collect_list(...))`` — the
-  list is assembled per term AFTER the (term)-keyed exchange, so no
+- builds posting lists per term AFTER the (term)-keyed exchange, so no
   global sort exists anywhere in the plan;
-- caps the materialized posting list at ``k`` entries (the long tail
-  of a posting list is only ever consumed lazily by a real search
-  engine; materializing celebrity-term postings in full is the
-  classic index-build OOM).  ``df_count``/``tf_total`` remain exact
-  over ALL occurrences.
+- caps the materialized posting list at ``k`` entries BEFORE the
+  collect: a per-term ``row_number`` marks the first ``k`` doc ids and
+  ``collect_list`` only sees those (``collect_list`` skips the NULLs
+  the guard produces for the rest), so a celebrity term's aggregation
+  buffer holds ``k`` entries, never its full document list — the
+  classic index-build OOM.  The window and the aggregate share the
+  same term-hash exchange (the window's sort is within partitions).
+  ``df_count``/``tf_total`` remain exact over ALL occurrences.
 
 At 100 TB the plan is one scan + two key-partitioned exchanges whose
 second stage carries O(vocab × avg_df) rows — the same shape Lucene/
@@ -41,19 +43,26 @@ def inverted_index(
     comma-joined string — string form keeps the value portable across
     engines and hash-comparable by the driver.
     """
+    from pyspark.sql import Window
+
     td = (
         docs.select(F.col(id_col), F.explode(tokens_col).alias("term"))
         .groupBy("term", id_col)
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # bound the collect BEFORE aggregation: only the first `cap` doc
+    # ids per term (by rank) reach collect_list's buffer
+    rn = F.row_number().over(Window.partitionBy("term").orderBy(id_col))
+    capped = td.withColumn(
+        "__pid", F.when(rn <= postings_cap, F.col(id_col))
+    )
     return (
-        td.groupBy("term")
+        capped.groupBy("term")
         .agg(
             F.count(F.lit(1)).cast("long").alias("df_count"),
             F.sum("tf").cast("long").alias("tf_total"),
             F.concat_ws(
-                ",",
-                F.slice(F.sort_array(F.collect_list(F.col(id_col))), 1, postings_cap),
+                ",", F.sort_array(F.collect_list(F.col("__pid")))
             ).alias("postings"),
         )
         .filter(F.col("df_count") >= min_df)
