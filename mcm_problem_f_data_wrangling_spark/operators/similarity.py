@@ -321,20 +321,32 @@ def _sq_l2(a, b) -> F.Column:
 def _pq_code_col(vec_col: str, codebooks: list[list[list[float]]]):
     """array<int> of per-subspace nearest-centroid codes — a pure
     projection (argmin over literal centroids per subspace), no
-    shuffle, no explode."""
+    shuffle, no explode.
+
+    Each subspace's argmin is ONE ``transform`` over its k-centroid
+    array literal, not k expanded copies of the squared-L2 tree — the
+    expanded form put m·k distance expressions in one projection and
+    fell out of whole-stage codegen (the assign_cells lesson)."""
     m = len(codebooks)
+    k = len(codebooks[0])
     dsub = len(codebooks[0][0])
+
+    def argmin_fn(subvec, cents):
+        # closure factory: a default-arg lambda would change the
+        # visible arity and break PySpark's lambda-variable binding
+        return lambda j: F.struct(
+            _sq_l2(subvec, F.element_at(cents, j + 1)).alias("d"),
+            j.alias("code"),
+        )
+
     subcodes = []
     for s in range(m):
         subvec = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        choices = F.array(
-            *[
-                F.struct(
-                    _sq_l2(subvec, F.array(*[F.lit(float(v)) for v in c])).alias("d"),
-                    F.lit(j).alias("code"),
-                )
-                for j, c in enumerate(codebooks[s])
-            ]
+        cents = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in codebooks[s]]
+        )
+        choices = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)), argmin_fn(subvec, cents)
         )
         subcodes.append(F.array_min(choices)["code"])
     return F.array(*subcodes)
