@@ -898,12 +898,13 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "a09_share_of_total",
     "Percent-contribution analysis (share of corpus-wide total per "
-    "group): the grand total attaches via a literal-key broadcast "
-    "equi-join of the 1-row aggregate — BroadcastHashJoin, NOT a "
-    "1-row cartesian (BroadcastNestedLoopJoin is the audit red flag "
-    "an empty-partition window or naive cross join would produce).  "
-    "Both numerator and denominator are decimal-exact; the share is "
-    "one IEEE divide.",
+    "group): the grand total is ONE scalar, so it is aggregated "
+    "first and inlined as a driver literal (the temperature_mix "
+    "precedent) — a literal-key equi-join constant-folds to `true` "
+    "and degenerates to the BroadcastNestedLoopJoin the plan audit "
+    "red-flags, and an empty-partition window single-partitions the "
+    "data.  Both numerator and denominator are decimal-exact; the "
+    "share is one IEEE divide.",
     """
 WITH per_nation AS (
   SELECT n.n_name,
@@ -923,18 +924,20 @@ def a09_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    per = (
+    # the grand total is ONE scalar: fetch it driver-side and inline it
+    # as a literal (the temperature_mix precedent).  A literal-key
+    # equi-join constant-folds to `true` and degenerates to a
+    # BroadcastNestedLoopJoin — the audit red flag this avoids.
+    total = float(c.agg(dsum("c_acctbal").alias("t")).collect()[0]["t"])
+    return (
         c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(dsum("c_acctbal").alias("acctbal"))
-        .withColumn("__k", F.lit(1))
-    )
-    tot = (
-        c.agg(dsum("c_acctbal").alias("total")).withColumn("__k", F.lit(1))
-    )
-    return (
-        per.join(broadcast(tot), "__k")
-        .select("n_name", "acctbal", (F.col("acctbal") / F.col("total")).alias("share"))
+        .select(
+            "n_name",
+            "acctbal",
+            (F.col("acctbal") / F.lit(total)).alias("share"),
+        )
     )
 
 
