@@ -149,13 +149,20 @@ def ngram_jaccard_pairs(
     true near-dup pair has near-equal length); the Jaccard itself is
     exact over distinct whitespace tokens.
     Output: (doc_id_1, doc_id_2, jaccard).
+
+    The AllPairs size filter runs before the intersection: J(a,b) ≥ t
+    forces ``min(|a|,|b|) ≥ t·max(|a|,|b|)`` (intersection ≤ min,
+    union ≥ max), so pairs failing the two-integer compare never pay
+    the O(|a|+|b|) ``array_intersect`` — exact, never drops a
+    qualifying pair.
     """
     prepared = df.select(
         F.col(id_col),
         F.array_distinct(tokens(text_col)).alias("tok"),
         (F.col(bucket_col) / bucket_width).cast("long").alias("bucket"),
-    )
+    ).withColumn("n_tok", F.size("tok"))
     a, b = prepared.alias("a"), prepared.alias("b")
+    sa, sb = F.col("a.n_tok"), F.col("b.n_tok")
     inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
     union = F.size(F.col("a.tok")) + F.size(F.col("b.tok")) - inter
     jac = inter.cast("double") / union.cast("double")
@@ -164,6 +171,10 @@ def ngram_jaccard_pairs(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            F.least(sa, sb).cast("double")
+            >= F.lit(threshold) * F.greatest(sa, sb).cast("double")
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_id_1"),
