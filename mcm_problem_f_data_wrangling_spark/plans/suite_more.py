@@ -976,3 +976,94 @@ def s24_peak_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hour_share"
         ),
     )
+
+
+@_q(
+    "x_embed_class_stats",
+    "Per-class embedding statistics in ONE scan (clustering-quality / "
+    "label-noise signal): posexplode to (label, pos, v), decimal-"
+    "exact Σv and Σv² per (label, pos), then per label the centroid "
+    "norm ‖c‖² = Σ_pos (Σv/n)² and mean squared norm E‖x‖² = "
+    "Σ_pos Σv²/n.  Dispersion (mean squared distance to the "
+    "centroid) falls out as E‖x‖² − ‖c‖² because c IS the mean — no "
+    "second pass over the vectors, no join back.  Every division/"
+    "square is one IEEE op on exact sums → bit-identical oracle.",
+    """
+WITH pos AS (
+  SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+), per_pos AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS sv2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pos GROUP BY 1, 2
+)
+SELECT label,
+       CAST(MAX(n) AS BIGINT) AS n_vecs,
+       SUM((sv / n) * (sv / n)) AS centroid_sq_norm,
+       SUM(sv2 / n) AS mean_sq_norm,
+       SUM(sv2 / n) - SUM((sv / n) * (sv / n)) AS dispersion
+FROM per_pos GROUP BY label
+""",
+    tags=("llm", "similarity"),
+)
+def x_embed_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = F.col("v").cast("double")
+    per_pos = (
+        table(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(v.cast("decimal(28,12)")).cast("double").alias("sv"),
+            F.sum((v * v).cast("decimal(28,12)")).cast("double").alias("sv2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    c2 = F.sum((F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n")))
+    m2 = F.sum(F.col("sv2") / F.col("n"))
+    return per_pos.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        c2.alias("centroid_sq_norm"),
+        m2.alias("mean_sq_norm"),
+        (m2 - c2).alias("dispersion"),
+    )
+
+
+@_q(
+    "s25_event_cooccurrence",
+    "Event-type co-occurrence matrix (market-basket shape): which "
+    "event types the SAME user performs.  Distinct (user, type) "
+    "pre-aggregates first — the self-join fans out over ≤|types| "
+    "rows per user, never the raw event count; the ordered pair "
+    "predicate (t1 < t2) emits each unordered pair once.  Both the "
+    "distinct and the join key on user_id, sharing one exchange.",
+    """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_1, b.event_type AS type_2,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+""",
+    tags=("M1", "analytics"),
+)
+def s25_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .repartition("user_id")
+        .distinct()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_1"),
+            F.col("b.event_type").alias("type_2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
