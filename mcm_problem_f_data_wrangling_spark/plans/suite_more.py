@@ -1,6 +1,11 @@
-"""Round-continuation query suite: interpolation, search-index build,
-equi-depth statistics, semi-structured extraction, corpus rarity
-scoring, and semantic dedup.
+"""Round-continuation query suite (beyond suite_core/suite_ext):
+time-series completion (interpolation, CUSUM, seasonal adjust, ACF),
+search/LLM prep (inverted index, chunking, bigram LM, rarity scoring,
+SemDeDup, per-class embedding stats), relational benchmarks (TPC-H
+Q1/Q3/Q5 shapes, equi-depth histogram, mode, top-k per group,
+share-of-total), ML prep (min-max scaling, winsorization), and event
+analytics / data quality (id gaps, rapid duplicates, new-vs-returning,
+hour profile, co-occurrence, JSON extraction).
 
 Same cross-engine determinism contract as ``plans.base``: decimal-cast
 sums, integer/exact statistics wherever possible, and IEEE-identical
@@ -1066,4 +1071,43 @@ def s25_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.event_type").alias("type_2"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@_q(
+    "s26_data_freshness",
+    "Per-partition data-freshness lag (the pipeline-health monitor "
+    "every ingest needs): latest event per type vs the corpus-wide "
+    "high-water mark, lag in exact integer microseconds (NTZ-safe "
+    "epoch).  One scan, map-side-combinable maxes, output bounded by "
+    "the partition count; the global high-water mark is a window max "
+    "over the ALREADY-aggregated per-type table (types-row state, "
+    "not a second scan).",
+    """
+WITH per_type AS (
+  SELECT event_type, MAX(ts) AS latest_ts, CAST(MAX(epoch_us(ts)) AS BIGINT) AS latest_us
+  FROM events GROUP BY 1
+)
+SELECT event_type, latest_ts,
+       CAST(MAX(latest_us) OVER () - latest_us AS BIGINT) AS lag_us
+FROM per_type
+""",
+    tags=("M1", "quality"),
+)
+def s26_data_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_type = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("latest_ts"), F.max(us).alias("latest_us"))
+    )
+    w = Window.partitionBy()
+    return per_type.select(
+        "event_type",
+        "latest_ts",
+        (F.max("latest_us").over(w) - F.col("latest_us"))
+        .cast("long")
+        .alias("lag_us"),
     )
