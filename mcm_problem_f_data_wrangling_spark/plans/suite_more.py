@@ -288,6 +288,7 @@ SELECT doc_id,
        array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
 FROM s
 """,
+    headline=True,
     tags=("llm", "text"),
 )
 def x_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
