@@ -1112,3 +1112,137 @@ def s26_data_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lag_us"),
     )
+
+
+def _minhash_est_sql() -> str:
+    from .suite_ext import _BANDED_SQL, _SIG_CTE
+
+    matches = " + ".join(
+        f"(CASE WHEN s1.s{i} = s2.s{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+WITH {_SIG_CTE},
+banded AS (
+{_BANDED_SQL}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+SELECT p.doc_id_1, p.doc_id_2,
+       CAST({matches} AS BIGINT) AS n_match,
+       CAST({matches} AS DOUBLE) / 16.0 AS jaccard_est
+FROM pairs p
+JOIN sig s1 ON s1.doc_id = p.doc_id_1
+JOIN sig s2 ON s2.doc_id = p.doc_id_2
+"""
+
+
+@_q(
+    "x_dedup_minhash_estimate",
+    "MinHash Jaccard ESTIMATION for LSH candidates — the verification "
+    "step between candidate generation (banding) and expensive exact "
+    "verification: estimated Jaccard = fraction of agreeing signature "
+    "components (the unbiased MinHash estimator, Broder 1997).  The "
+    "estimate reads 16 ints per side — at 100 TB this verifies "
+    "candidates WITHOUT re-reading document text; only pairs passing "
+    "the estimate proceed to exact token comparison.  Signatures "
+    "attach via two joins keyed on doc id (signature table is "
+    "doc-count-sized, broadcastable); agreement count is integer-"
+    "exact, the estimate one IEEE divide.",
+    _minhash_est_sql(),
+    tags=("M4", "dedup"),
+)
+def x_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(sigs)
+    s1 = sigs.select(
+        F.col("doc_id").alias("doc_id_1"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(16)],
+    )
+    s2 = sigs.select(
+        F.col("doc_id").alias("doc_id_2"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(16)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(16)
+    )
+    return (
+        pairs.join(broadcast(s1), "doc_id_1")
+        .join(broadcast(s2), "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            n_match.cast("long").alias("n_match"),
+            (n_match.cast("double") / F.lit(16.0)).alias("jaccard_est"),
+        )
+    )
+
+
+@_q(
+    "w30_seasonal_anomaly",
+    "Seasonal anomaly flags (W26 ∘ W20 composition — library operators "
+    "composing into a detector): deviation from the calendar-month "
+    "seasonal mean, normalized by the per-series MAD of deviations; "
+    "|dev| > 3·MAD flags the anomaly.  Seasonal mean and MAD are both "
+    "window aggregates (no join-backs); MAD interpolation rounds to "
+    "6dp before the boundary compare (w20 precedent) so the flag "
+    "decision is identical cross-engine; MAD=0 series yield NULL "
+    "flags, not divide-by-zero.",
+    f"""
+WITH {MONTHLY_CTE},
+dev AS (
+  SELECT flag, month, revenue,
+         revenue - CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER (PARTITION BY flag, month(month)) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY flag, month(month)) AS deviation
+  FROM monthly
+), scored AS (
+  SELECT flag, month, revenue, deviation,
+         ROUND(quantile_cont(abs(deviation - med), 0.5) OVER (PARTITION BY flag), 6) AS mad
+  FROM (
+    SELECT *, quantile_cont(deviation, 0.5) OVER (PARTITION BY flag) AS med
+    FROM dev
+  )
+)
+SELECT flag, month, revenue, deviation,
+       CASE WHEN mad > 0 THEN CAST(abs(deviation) > 3 * mad AS INT) END AS is_anomaly
+FROM scored
+""",
+    tags=("M2", "timeseries"),
+)
+def w30_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = monthly_lineitem(spark, sf_dir).select("flag", "month", "revenue")
+    ws = Window.partitionBy("flag", F.month("month"))
+    wf = Window.partitionBy("flag")
+    smean = (
+        F.sum(F.col("revenue").cast("decimal(18,6)")).over(ws).cast("double")
+        / F.count(F.lit(1)).over(ws)
+    )
+    dev = m.select(
+        "flag", "month", "revenue", (F.col("revenue") - smean).alias("deviation")
+    )
+    med = F.percentile("deviation", F.lit(0.5)).over(wf)
+    scored = dev.withColumn(
+        "mad",
+        F.round(
+            F.percentile(F.abs(F.col("deviation") - med), F.lit(0.5)).over(wf), 6
+        ),
+    )
+    return scored.select(
+        "flag",
+        "month",
+        "revenue",
+        "deviation",
+        F.when(
+            F.col("mad") > 0,
+            (F.abs("deviation") > 3 * F.col("mad")).cast("int"),
+        ).alias("is_anomaly"),
+    )
