@@ -45,10 +45,11 @@ def pct_change(col: Column | str, w: WindowSpec, periods: int = 1, scale: float 
 
     ``scale=100.0`` reproduces the notebook's ``* 100`` MoM/YoY columns.
     Pinned semantic (SURVEY.md §7): a zero previous value yields SQL
-    NULL (non-ANSI division), where pandas emits ±inf.
+    NULL (``try_divide`` — ANSI-safe under the driver's vanilla
+    session), where pandas emits ±inf.
     """
     c = _c(col)
-    return (c / F.lag(c, periods).over(w) - F.lit(1.0)) * F.lit(scale)
+    return (F.try_divide(c, F.lag(c, periods).over(w)) - F.lit(1.0)) * F.lit(scale)
 
 
 def diff(col: Column | str, w: WindowSpec, periods: int = 1) -> Column:
@@ -94,10 +95,24 @@ def rolling_corr(x: Column | str, y: Column | str, w: WindowSpec, window: int, m
 
     The count guard requires BOTH sides non-null (pandas pairwise
     behavior).
+
+    Computed as ``try_divide(covar_samp(x,y), stddev(x)*stddev(y))``
+    rather than ``F.corr``: under an ANSI-on session (the driver's
+    vanilla Spark 4 config) ``corr`` raises DIVIDE_BY_ZERO on a
+    zero-variance frame, and a ``when(count >= mp, ...)`` projection
+    guard does not help because window aggregates are evaluated
+    before the CASE.  ``try_divide`` yields NULL on zero variance,
+    matching DuckDB's ``corr`` and pandas' NaN.
     """
     cx, cy = _c(x), _c(y)
     pair = F.when(cx.isNotNull() & cy.isNotNull(), cx)
-    return _guarded(F.corr(cx, cy), pair, w, window, min_periods)
+    frame = _frame(w, window)
+    mp = window if min_periods is None else min_periods
+    corr = F.try_divide(
+        F.covar_samp(cx, cy).over(frame),
+        F.stddev_samp(cx).over(frame) * F.stddev_samp(cy).over(frame),
+    )
+    return F.when(F.count(pair).over(frame) >= mp, corr)
 
 
 def index_rebase(col: Column | str, w: WindowSpec, base: float = 100.0) -> Column:
@@ -111,7 +126,7 @@ def index_rebase(col: Column | str, w: WindowSpec, base: float = 100.0) -> Colum
     first = F.first(c, ignorenulls=True).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return c / first * F.lit(base)
+    return F.try_divide(c, first) * F.lit(base)
 
 
 def cumulative_sum(col: Column | str, w: WindowSpec) -> Column:

@@ -147,7 +147,7 @@ def duplicate_clusters(
     """Resolve exact + near-dup evidence into clusters with one survivor.
 
     Edge set = (a) star edges doc→min-doc within each exact-fingerprint
-    group and (b) length-banded token-set Jaccard pairs at
+    group and (b) prefix-filtered exact token-set Jaccard pairs at
     ``jaccard_threshold`` — the two cheap evidence sources; transitive
     closure across BOTH is what a pairwise keep-rule cannot express.
 

@@ -91,9 +91,11 @@ def interpolate_linear(
     nearest non-null neighbors (pandas ``Series.interpolate
     (method='index')`` over the numeric ``x_col`` axis) — the natural
     companion to :func:`force_complete_month_grid`, whose gap rows it
-    fills.  Leading/trailing NULLs (no neighbor on one side) stay NULL,
-    matching pandas' default ``limit_direction='forward'`` head
-    behavior on both ends when no extrapolation is requested.
+    fills.  Leading/trailing NULLs (no neighbor on one side) stay NULL
+    — pandas ``interpolate(method='index', limit_area='inside')``
+    semantics (NOT pandas' bare default, which forward-fills trailing
+    NaNs with the last observed value); the parity tests assert the
+    ``limit_area='inside'`` form.
 
     Two frame scans over ONE ``(keys)``-partitioned sort — no
     self-joins, no spine re-shuffle: ``last(non-null (x,y) struct)``

@@ -22,6 +22,10 @@ from pyspark.sql.functions import broadcast
 
 from ..functions.vectors import cosine_similarity
 
+# semantic_dedup's persisted cell assignment from the most recent call —
+# unpersisted by the next call so repeated sweeps cache at most one.
+_LAST_ASSIGNED: DataFrame | None = None
+
 
 def brute_force_topk(
     df: DataFrame,
@@ -187,10 +191,21 @@ def semantic_dedup(
     bounded by cell size (~n/k), one left-anti join back.  The O(n²)
     all-pairs comparison never appears; at 100 TB the cell join is the
     same shape as the LSH-band join in ``operators.dedup``.
+
+    Caching: the cell assignment is persisted so the pair join and the
+    final anti-join share one computation, and the handle is tracked
+    module-wide — each call unpersists the PREVIOUS call's assignment,
+    so repeated invocations (full parity sweeps, pytest, scale smoke)
+    hold at most one assignment's blocks instead of accumulating until
+    LRU eviction.
     """
     from ..functions.vectors import dot, l2_norm
 
+    global _LAST_ASSIGNED
+    if _LAST_ASSIGNED is not None:
+        _LAST_ASSIGNED.unpersist()
     assigned = assign_cells(df, centroids, vec_col).persist()
+    _LAST_ASSIGNED = assigned
     # normalize ONCE per vector before the pair join: each of the
     # O(cell²) pair comparisons then costs a dot product alone instead
     # of dot + two norms (~3× less per-pair arithmetic; cos(a,b) ≡

@@ -1355,11 +1355,12 @@ def w15_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Nested-result aggregation (A-ext): per-status sorted array of "
     "distinct priorities + its cardinality.  collect_list/list() order "
     "is partition-dependent in BOTH engines — sort_array/list_sort "
-    "pins it (the only deterministic way to hash-compare nested "
-    "results cross-engine).",
+    "pins it, and the array is serialized to a JSON string so the "
+    "result is hashable by any cross-engine canonicalizer (pandas "
+    "sort_values/hashing dies on list-typed cells).",
     """
 SELECT o_orderstatus,
-       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+       CAST(to_json(list_sort(list(DISTINCT o_orderpriority))) AS VARCHAR) AS priorities,
        CAST(len(list(DISTINCT o_orderpriority)) AS INT) AS n_priorities
 FROM orders GROUP BY 1
 """,
@@ -1368,6 +1369,6 @@ FROM orders GROUP BY 1
 def a08_nested_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.to_json(F.sort_array(F.collect_set("o_orderpriority"))).alias("priorities"),
         F.size(F.collect_set("o_orderpriority")).alias("n_priorities"),
     )

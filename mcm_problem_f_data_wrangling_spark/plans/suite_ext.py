@@ -195,20 +195,21 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "x_dedup_ngram_jaccard",
-    "n-gram (token-set) Jaccard near-dup pairs, banded by length bucket "
-    "(n_chars // 64) to bound the candidate space.",
+    "n-gram (token-set) Jaccard near-dup pairs — EXACT via AllPairs "
+    "prefix filtering (round-2: replaces length-bucket banding, whose "
+    "within-bucket fan-out degenerated toward O(n²) on homogeneous-"
+    "length corpora and missed boundary-straddling pairs).  The oracle "
+    "is the brute-force all-pairs definition; the Spark plan produces "
+    "the identical pair set from rare-token prefix candidates.",
     f"""
 WITH d AS (
-  SELECT doc_id,
-         list_distinct({_TOKS}) AS tok,
-         CAST(n_chars // 64 AS BIGINT) AS bucket
-  FROM documents
+  SELECT doc_id, list_distinct({_TOKS}) AS tok FROM documents
 )
 SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-       CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
-         / CAST(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+       ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+         / CAST(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS DOUBLE), 9)
          AS jaccard
-FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+FROM d a JOIN d b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
         / CAST(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS DOUBLE) >= 0.2
 """,
@@ -787,13 +788,11 @@ ex AS (
     ON f.fingerprint = k.fingerprint AND f.doc_id = k.keep
 ),
 jd AS (
-  SELECT doc_id, list_distinct(toks) AS tok,
-         CAST(n_chars // 64 AS BIGINT) AS bucket
-  FROM ex
+  SELECT doc_id, list_distinct(toks) AS tok FROM ex
 ),
 neardrop AS (
   SELECT DISTINCT b.doc_id FROM jd a JOIN jd b
-    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ON a.doc_id < b.doc_id
   WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
           / CAST(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS DOUBLE)
         >= 0.5
@@ -967,7 +966,7 @@ def x_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
 @_q(
     "x_dedup_clusters_cc",
     "Duplicate-CLUSTER resolution: exact-fingerprint star edges + "
-    "length-banded Jaccard pairs → distributed connected components "
+    "prefix-filtered exact Jaccard pairs → distributed connected components "
     "(min-label propagation with pointer jumping, O(log d) rounds, "
     "operators/graph.py) → one deterministic survivor (min doc_id) per "
     "cluster.  Near-duplication is transitive; a pairwise keep-rule "
@@ -986,13 +985,11 @@ star AS (
   WHERE f.doc_id != g.keep
 ),
 jd AS (
-  SELECT doc_id, list_distinct({_TOKS}) AS tok,
-         CAST(n_chars // 64 AS BIGINT) AS bucket
-  FROM documents
+  SELECT doc_id, list_distinct({_TOKS}) AS tok FROM documents
 ),
 jac AS (
   SELECT a.doc_id AS src, b.doc_id AS dst
-  FROM jd a JOIN jd b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  FROM jd a JOIN jd b ON a.doc_id < b.doc_id
   WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
           / CAST(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS DOUBLE)
         >= 0.2

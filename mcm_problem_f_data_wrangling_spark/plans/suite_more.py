@@ -452,7 +452,7 @@ def w24_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "a08_group_mode",
+    "a10_group_mode",
     "Per-group mode (most frequent value) with deterministic ties: "
     "count per (group, value), then argmax via lexicographic struct "
     "max — ties resolve to the LARGER value on both engines, no "
@@ -474,7 +474,7 @@ WHERE rk = 1
 """,
     tags=("M1", "agg"),
 )
-def a08_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a10_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         table(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status"))

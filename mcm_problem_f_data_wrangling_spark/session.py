@@ -86,9 +86,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.session.timeZone", "UTC")
-        # pandas-parity: reference relies on silent coerce-to-NaN casts
-        # (bls_ces/load_CES_pandas.py:171); ANSI would raise instead.
-        .config("spark.sql.ansi.enabled", "false")
+        # The external driver's gate runs a VANILLA Spark 4 session,
+        # where ANSI defaults ON — so the engine's own sessions pin
+        # ANSI ON to make local green imply driver green.  Every
+        # coerce-to-NaN cast (bls_ces/load_CES_pandas.py:171) uses
+        # try_cast and every nullable division uses try_divide, so the
+        # suite is ANSI-neutral by construction.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -68,7 +68,7 @@ def test_simhash_near_dups_close(corpus):
 def test_ngram_jaccard_scores(corpus):
     pairs = {
         (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
-        for r in ngram_jaccard_pairs(corpus, bucket_width=1000, threshold=0.1).collect()
+        for r in ngram_jaccard_pairs(corpus, threshold=0.1).collect()
     }
     assert pairs[(1, 2)] == pytest.approx(1.0)
     assert pairs[(1, 3)] > 0.8

@@ -233,3 +233,34 @@ def test_star_join_plan_broadcasts_dimension_chain(spark):
     assert "PushedFilters" in plan
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "o_orderdate" in optimized
+
+
+def test_id_gap_detection_on_gapped_ids(spark, tmp_path):
+    """s21_id_gap_detection never fires on the driver testdata (event_id
+    is a dense sequence at every sf), so the gap arithmetic — one row
+    per missing range [lag+1, id-1] with its width — is exercised here
+    on a synthetic gapped events table (ADVICE r1)."""
+    import datetime
+
+    from mcm_problem_f_data_wrangling_spark.plans import REGISTRY
+
+    ids = [1, 2, 5, 6, 10, 11, 12, 40]  # holes: 3-4, 7-9, 13-39
+    ts0 = datetime.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "event_id": ids,
+            "ts": [ts0 + datetime.timedelta(minutes=i) for i in range(len(ids))],
+            "user_id": [1] * len(ids),
+            "event_type": ["click"] * len(ids),
+            "value": [1.0] * len(ids),
+            "props": ["{}"] * len(ids),
+        }
+    )
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/events.parquet", index=False)
+
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in REGISTRY["s21_id_gap_detection"].spark(spark, sf_dir).collect()
+    )
+    assert got == [(3, 4, 2), (7, 9, 3), (13, 39, 27)]
