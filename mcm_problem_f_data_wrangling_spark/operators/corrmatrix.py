@@ -58,8 +58,13 @@ def corr_matrix(df: DataFrame, cols: list[str], scale: int = 6) -> DataFrame:
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
                 F.round(
-                    (n * F.col(f"__p_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}"))
-                    / F.sqrt(var_term(a) * var_term(b)),
+                    # try_divide: a zero-variance column yields NULL corr
+                    # instead of DIVIDE_BY_ZERO under the driver's ANSI-on
+                    # session (oracle mirrors with NULLIF)
+                    F.try_divide(
+                        n * F.col(f"__p_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}"),
+                        F.sqrt(var_term(a) * var_term(b)),
+                    ),
                     scale,
                 ).alias("corr"),
             )

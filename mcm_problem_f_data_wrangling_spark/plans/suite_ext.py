@@ -38,6 +38,7 @@ from ..operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash16,
+    srp_hyperplanes,
 )
 from ..operators.diagnostics import run_diagnostics
 from ..operators.decontam import ngram_decontaminate
@@ -219,21 +220,53 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(table(spark, sf_dir, "documents"))
 
 
+# SRP-LSH banding literals for x_embed_neardup_pairs: the SAME seeded
+# hyperplanes feed the Spark plan and the DuckDB oracle; dim 64 is the
+# testdata embeddings contract (TESTDATA.md), n_bits=6 → 64 bands for
+# 500 vectors (band count is a knob that grows with n at scale).
+_SRP_BITS = 6
+_SRP_HP = srp_hyperplanes(64, n_bits=_SRP_BITS)
+_SRP_HP_VALUES = ",\n  ".join(
+    f"({hid}, {pos + 1}, {v!r})"
+    for hid, row in enumerate(_SRP_HP)
+    for pos, v in enumerate(row)
+)
+
+
 @_q(
     "x_embed_neardup_pairs",
-    "Embedding-cosine near-dup: top-3 same-cluster pairs per cluster by "
-    "cosine (banded — never O(n²) across the corpus).",
-    """
-WITH e AS (
-  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
+    "Embedding-cosine near-dup: top-3 pairs per LSH band by cosine.  "
+    "Round-2: bands are sign-random-projection keys (Charikar SRP — "
+    "6 seeded hyperplanes → 64 bands) instead of the fixed-cardinality "
+    "label column, whose band size grew O(n) and degenerated the "
+    "self-join to O(n²/k) at scale.  Sign bits come from DECIMAL-exact "
+    "dot products, so Spark's fold order and DuckDB's aggregate order "
+    "yield identical bands.",
+    f"""
+WITH hp(hid, pos, hval) AS (VALUES
+  {_SRP_HP_VALUES}),
+e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
          generate_subscripts(embedding, 1) AS pos
   FROM embeddings
 ),
+bits AS (
+  SELECT e.vec_id, hp.hid,
+         CASE WHEN SUM(CAST(e.val * hp.hval AS DECIMAL(38,14))) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM e JOIN hp USING (pos) GROUP BY 1, 2
+),
+keys AS (
+  SELECT vec_id, CAST(SUM(bit * (1 << hid)) AS BIGINT) AS band
+  FROM bits GROUP BY 1
+),
 p AS (
-  SELECT a.label AS band, a.vec_id AS v1, b.vec_id AS v2,
+  SELECT ka.band, ka.vec_id AS v1, kb.vec_id AS v2,
          SUM(a.val * b.val) AS dot,
          SQRT(SUM(a.val * a.val)) AS na, SQRT(SUM(b.val * b.val)) AS nb
-  FROM e a JOIN e b ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
+  FROM keys ka JOIN keys kb ON ka.band = kb.band AND ka.vec_id < kb.vec_id
+  JOIN e a ON a.vec_id = ka.vec_id
+  JOIN e b ON b.vec_id = kb.vec_id AND b.pos = a.pos
   GROUP BY 1, 2, 3
 )
 SELECT band, v1 AS vec_id_1, v2 AS vec_id_2, ROUND(dot / (na * nb), 6) AS cos_sim
@@ -243,7 +276,9 @@ QUALIFY row_number() OVER (PARTITION BY band ORDER BY dot / (na * nb) DESC, v1, 
     tags=("M4", "dedup"),
 )
 def x_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_neardup_pairs(table(spark, sf_dir, "embeddings"))
+    return embedding_neardup_pairs(
+        table(spark, sf_dir, "embeddings"), hyperplanes=_SRP_HP, n_bits=_SRP_BITS
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1568,7 +1603,7 @@ def _corr_oracle_sql(cols: list[str], scale: int = 6) -> str:
         sel.append(
             f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
             f"ROUND((n * p_{a}_{b} - s_{a} * s_{b}) / "
-            f"sqrt((n * p_{a}_{a} - s_{a} * s_{a}) * (n * p_{b}_{b} - s_{b} * s_{b})), {scale}) AS corr FROM agg"
+            f"NULLIF(sqrt((n * p_{a}_{a} - s_{a} * s_{a}) * (n * p_{b}_{b} - s_{b} * s_{b})), 0), {scale}) AS corr FROM agg"
         )
     return "WITH agg AS (\n  SELECT " + ",\n         ".join(sums) + "\n  FROM lineitem\n)\n" + "\nUNION ALL ".join(sel)
 
@@ -2295,8 +2330,8 @@ s AS (
   WINDOW w AS (PARTITION BY flag)
 )
 SELECT flag, month, qty,
-       ROUND((qty - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 9) AS z,
-       CAST(CASE WHEN abs((qty - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))) > 2
+       ROUND((qty - sx / n) / NULLIF(sqrt((sxx - sx * sx / n) / (n - 1)), 0), 9) AS z,
+       CAST(CASE WHEN abs((qty - sx / n) / NULLIF(sqrt((sxx - sx * sx / n) / (n - 1)), 0)) > 2
                  THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
 FROM s WHERE n > 1
 """,
@@ -2316,8 +2351,13 @@ def w19_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(qd).over(w).cast("double").alias("sx"),
         F.sum(qd * qd).over(w).cast("double").alias("sxx"),
     ).filter(F.col("n") > 1)
-    z = (F.col("qty") - F.col("sx") / F.col("n")) / F.sqrt(
-        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    # try_divide: a constant (zero-variance) group yields NULL z /
+    # is_outlier=0 instead of DIVIDE_BY_ZERO under ANSI (oracle: NULLIF)
+    z = F.try_divide(
+        F.col("qty") - F.col("sx") / F.col("n"),
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+        ),
     )
     return s.select(
         "flag",

@@ -92,10 +92,47 @@ def vectors(spark):
 
 
 def test_embedding_neardup_detects_plant(vectors):
-    top = embedding_neardup_pairs(vectors).collect()
+    """SRP-LSH banding (the default) must catch the planted near-dup:
+    a 1e-4 perturbation flips no sign bit under the seeded
+    hyperplanes, so (0, 999) collide in their band; and the band
+    space must be finer than the 3 coarse labels (the round-1
+    fixed-cardinality banding weakness)."""
+    top = embedding_neardup_pairs(vectors, n_bits=4).collect()
+    planted = [r for r in top if (r["vec_id_1"], r["vec_id_2"]) == (0, 999)]
+    assert planted and planted[0]["cos_sim"] > 0.999
+    assert len({r["band"] for r in top}) > 3
+
+
+def test_embedding_neardup_band_col_passthrough(vectors):
+    """Pre-assigned cells (e.g. a trained IVF quantizer's column) are
+    honored verbatim when band_col is given."""
+    top = embedding_neardup_pairs(vectors, band_col="label").collect()
+    assert {r["band"] for r in top} <= {0, 1, 2}
     best_band0 = [r for r in top if r["band"] == 0][0]
     assert (best_band0["vec_id_1"], best_band0["vec_id_2"]) == (0, 999)
-    assert best_band0["cos_sim"] > 0.999
+
+
+def test_srp_band_recall_on_near_identical(spark):
+    """Recall property: every pair of IDENTICAL vectors must share a
+    band in every table (sign bits are equal by construction), so
+    SRP banding has recall 1.0 on exact duplicates regardless of
+    n_bits; random other vectors spread over >1 band."""
+    import numpy as np
+
+    from mcm_problem_f_data_wrangling_spark.operators.dedup import srp_hyperplanes
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(0, 1, 16)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(40)]
+    rows += [(100, [float(x) for x in base]), (101, [float(x) for x in base])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    hp = srp_hyperplanes(16, n_bits=5, n_tables=2, seed=5)
+    out = embedding_neardup_pairs(df, hyperplanes=hp, n_bits=5).collect()
+    dup_rows = [r for r in out if (r["vec_id_1"], r["vec_id_2"]) == (100, 101)]
+    # identical vectors collide in BOTH tables and top the band (cos=1)
+    assert len(dup_rows) == 2
+    assert all(r["cos_sim"] == 1.0 for r in dup_rows)
+    assert len({r["band"] for r in out}) > 2
 
 
 def test_bruteforce_topk_finds_plant(vectors):
