@@ -189,3 +189,267 @@ def drift_equation_block(fit_df: DataFrame) -> dict[str, str]:
             f"  80% interval: y_T + h*mu +/- 1.2816*sigma*sqrt(h)"
         )
     return blocks
+
+
+# ---------------------------------------------------------------------------
+# X3 (full parity path): SARIMAX-lite AIC grid — CSS-estimated seasonal
+# ARMA over the reference's five candidate orders.
+#
+# Parity target: ``fit_best_sarimax`` (``EDA.ipynb cell 27``) — the
+# reference tries CANDIDATE_ORDERS = five (p,1,q)×(P,1,Q,12) models with
+# p,q,P,Q ≤ 1 and keeps the lowest AIC.  statsmodels is absent from this
+# environment, so the estimator here is conditional-sum-of-squares
+# (Box-Jenkins CSS: difference away d/D, then minimize the one-step
+# residual SSE of the multiplicative ARMA recursion) with a pure-numpy
+# Nelder-Mead — the same model family and selection rule, minus the
+# state-space likelihood refinements.  AIC = n·ln(SSE/n) + 2k (the
+# Gaussian-CSS form), monotone-equivalent for ranking candidates.
+# ---------------------------------------------------------------------------
+
+# mirrors EDA.ipynb cell 27 CANDIDATE_ORDERS with d=D=1, s=12
+ARMA_CANDIDATES: tuple[tuple[tuple[int, int, int], tuple[int, int, int, int]], ...] = (
+    ((1, 1, 0), (0, 1, 1, 12)),
+    ((0, 1, 1), (0, 1, 1, 12)),
+    ((1, 1, 1), (0, 1, 1, 12)),
+    ((1, 1, 0), (1, 1, 0, 12)),
+    ((0, 1, 1), (1, 1, 0, 12)),
+)
+
+AIC_GRID_SCHEMA = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("order", StringType()),
+        StructField("aic", DoubleType()),
+        StructField("n_obs", LongType()),
+        StructField("step", LongType()),
+        StructField("forecast", DoubleType()),
+    ]
+)
+
+
+def _css_residuals(z, c, phi, Phi, theta, Theta, s=12):
+    """One-step CSS residuals of (1-φB)(1-ΦB^s)(z_t - c) = (1+θB)(1+ΘB^s)e_t.
+
+    Multiplicative polynomials expanded: the recursion needs lags
+    1, s, s+1 of both z and e; pre-sample values condition on zero
+    (the CSS convention).  Pure-python loop — series are O(100) points
+    and this runs inside the per-group applyInPandas boundary.
+    """
+    import numpy as np
+
+    n = len(z)
+    e = np.zeros(n)
+    zc = z - c
+    m = s + 1
+    for t in range(n):
+        z1 = zc[t - 1] if t >= 1 else 0.0
+        zs = zc[t - s] if t >= s else 0.0
+        zs1 = zc[t - m] if t >= m else 0.0
+        e1 = e[t - 1] if t >= 1 else 0.0
+        es = e[t - s] if t >= s else 0.0
+        es1 = e[t - m] if t >= m else 0.0
+        e[t] = (
+            zc[t]
+            - phi * z1
+            - Phi * zs
+            + phi * Phi * zs1
+            - theta * e1
+            - Theta * es
+            - theta * Theta * es1
+        )
+    return e
+
+
+def _nelder_mead(f, x0, steps=250, tol=1e-10):
+    """Minimal Nelder-Mead simplex (public algorithm, Nelder & Mead
+    1965) — no scipy in this environment.  Good enough for the ≤5-dim
+    CSS surfaces here."""
+    import numpy as np
+
+    x0 = np.asarray(x0, dtype=float)
+    k = len(x0)
+    pts = [x0]
+    for i in range(k):
+        p = x0.copy()
+        p[i] += 0.1 if p[i] == 0 else 0.1 * abs(p[i])
+        pts.append(p)
+    simplex = [(f(p), p) for p in pts]
+    for _ in range(steps):
+        simplex.sort(key=lambda t: t[0])
+        fbest, fworst = simplex[0][0], simplex[-1][0]
+        if abs(fworst - fbest) < tol * (abs(fbest) + tol):
+            break
+        centroid = np.mean([p for _, p in simplex[:-1]], axis=0)
+        worst = simplex[-1][1]
+        xr = centroid + (centroid - worst)          # reflect
+        fr = f(xr)
+        if fr < simplex[0][0]:
+            xe = centroid + 2.0 * (centroid - worst)  # expand
+            fe = f(xe)
+            simplex[-1] = (fe, xe) if fe < fr else (fr, xr)
+        elif fr < simplex[-2][0]:
+            simplex[-1] = (fr, xr)
+        else:
+            xc = centroid + 0.5 * (worst - centroid)  # contract
+            fc = f(xc)
+            if fc < simplex[-1][0]:
+                simplex[-1] = (fc, xc)
+            else:                                      # shrink
+                best = simplex[0][1]
+                simplex = [simplex[0]] + [
+                    (f(best + 0.5 * (p - best)), best + 0.5 * (p - best))
+                    for _, p in simplex[1:]
+                ]
+    simplex.sort(key=lambda t: t[0])
+    return simplex[0][0], simplex[0][1]
+
+
+def fit_arma_css(z, p, q, P, Q, s=12):
+    """CSS fit of one candidate: returns (aic, params dict).
+
+    Free parameters: intercept c plus the present ARMA terms; AIC uses
+    k = n_params + 1 (the implicit innovation variance), matching the
+    standard CSS-AIC bookkeeping.
+    """
+    import numpy as np
+
+    z = np.asarray(z, dtype=float)
+    n = len(z)
+    names = ["c"] + ["phi"] * p + ["theta"] * q + ["Phi"] * P + ["Theta"] * Q
+
+    def unpack(x):
+        d = {"c": 0.0, "phi": 0.0, "theta": 0.0, "Phi": 0.0, "Theta": 0.0}
+        for name, v in zip(names, x):
+            d[name] = float(v)
+        return d
+
+    def objective(x):
+        d = unpack(x)
+        # soft box: CSS surfaces for near-unit-root MA terms are flat
+        # cliffs; penalize |coef| > 0.99 to keep the recursion stable
+        pen = sum(
+            max(0.0, abs(d[nm]) - 0.99) * 1e6
+            for nm in ("phi", "theta", "Phi", "Theta")
+        )
+        e = _css_residuals(z, d["c"], d["phi"], d["Phi"], d["theta"], d["Theta"], s=s)
+        return float(np.dot(e, e)) + pen
+
+    x0 = np.zeros(len(names))
+    x0[0] = float(np.mean(z))
+    sse, xbest = _nelder_mead(objective, x0)
+    k = len(names) + 1
+    aic = n * float(np.log(max(sse, 1e-300) / n)) + 2 * k
+    return aic, unpack(xbest)
+
+
+def _arma_forecast(y, params, p, q, P, Q, steps, s=12):
+    """h-step point forecast: run the CSS recursion forward with zero
+    future innovations on the d=1,D=1 differenced series, then invert
+    the differencing (dy_t = z_t + dy_{t-s}; y_t = y_{t-1} + dy_t)."""
+    import numpy as np
+
+    y = np.asarray(y, dtype=float)
+    dy = np.diff(y)
+    z = dy[s:] - dy[:-s]
+    e = _css_residuals(
+        z, params["c"], params["phi"], params["Phi"], params["theta"], params["Theta"], s=s
+    )
+    zc = list(z - params["c"])
+    e = list(e)
+    m = s + 1
+
+    def back(seq, lag):
+        return seq[-lag] if len(seq) >= lag else 0.0
+
+    z_fut = []
+    for _ in range(steps):
+        val = (
+            params["phi"] * back(zc, 1)
+            + params["Phi"] * back(zc, s)
+            - params["phi"] * params["Phi"] * back(zc, m)
+            + params["theta"] * back(e, 1)
+            + params["Theta"] * back(e, s)
+            + params["theta"] * params["Theta"] * back(e, m)
+        )
+        zc.append(val)
+        e.append(0.0)
+        z_fut.append(val + params["c"])
+    dy_hist = list(dy)
+    y_hist = list(y)
+    out = []
+    for h in range(steps):
+        dy_next = z_fut[h] + (
+            dy_hist[-s] if len(dy_hist) >= s else (dy_hist[0] if dy_hist else 0.0)
+        )
+        y_next = y_hist[-1] + dy_next
+        dy_hist.append(dy_next)
+        y_hist.append(y_next)
+        out.append(y_next)
+    return out
+
+
+def fit_best_arma_forecast(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    steps: int = 6,
+    season: int = 12,
+    candidates=ARMA_CANDIDATES,
+) -> DataFrame:
+    """X3 parity path: per-group AIC grid over the reference's five
+    candidate orders (``fit_best_sarimax``, ``EDA.ipynb cell 27``),
+    CSS-estimated (module note above), one ``applyInPandas`` crossing.
+
+    Output: one row per (group, step) carrying the WINNING candidate's
+    order string and AIC.  Groups shorter than 2·season+2 observations
+    (not enough to difference d=1, D=1 and still condition the
+    recursion) fall back to the RW-with-drift stand-in, flagged
+    ``order='rw_drift'`` — the same degradation the reference hits
+    when SARIMAX fails to converge on a short series.
+    """
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(order_col)
+        y = pdf[value_col].astype(float).to_numpy()
+        key = str(pdf[group_col].iloc[0])
+        if len(y) < 2 * season + 2:
+            d = pd.Series(y).diff().dropna()
+            mu = float(d.mean()) if len(d) else 0.0
+            fc = [float(y[-1]) + (h + 1) * mu for h in range(steps)]
+            return pd.DataFrame(
+                {
+                    "group": key,
+                    "order": "rw_drift",
+                    "aic": float("nan"),
+                    "n_obs": len(y),
+                    "step": range(1, steps + 1),
+                    "forecast": fc,
+                }
+            )
+        dy = np.diff(y)
+        z = dy[season:] - dy[:-season]
+        best = None
+        for (p, d_, q), (P, D_, Q, s) in candidates:
+            aic, params = fit_arma_css(z, p, q, P, Q, s=s)
+            if np.isfinite(aic) and (best is None or aic < best[0]):
+                best = (aic, (p, d_, q), (P, D_, Q, s), params)
+        aic, order, seas, params = best
+        fc = _arma_forecast(
+            y, params, order[0], order[2], seas[0], seas[2], steps, s=seas[3]
+        )
+        label = f"({order[0]},{order[1]},{order[2]})x({seas[0]},{seas[1]},{seas[2]},{seas[3]})"
+        return pd.DataFrame(
+            {
+                "group": key,
+                "order": label,
+                "aic": float(aic),
+                "n_obs": len(y),
+                "step": range(1, steps + 1),
+                "forecast": fc,
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(fit, AIC_GRID_SCHEMA)

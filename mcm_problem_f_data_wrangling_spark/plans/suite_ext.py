@@ -569,6 +569,33 @@ def x3_drift_fit_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x3_aic_grid_fit",
+    "X3 (full parity path): per-group SARIMAX-lite AIC grid — the "
+    "reference's five candidate (p,1,q)x(P,1,Q,12) orders "
+    "(fit_best_sarimax, EDA.ipynb cell 27) CSS-estimated in pure numpy "
+    "with Nelder-Mead inside ONE applyInPandas crossing; lowest AIC "
+    "wins and its 6-step forecast is emitted.  Rows-only: iterative "
+    "optimization is not SQL-expressible; AIC-monotonicity and "
+    "model-recovery are property-tested in tests/test_forecast.py.",
+    None,
+    tags=("M3", "model"),
+)
+def x3_aic_grid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.forecast import fit_best_arma_forecast
+
+    m = monthly_lineitem(spark, sf_dir)
+    out = fit_best_arma_forecast(m, "flag", "month", "revenue", steps=6)
+    return out.select(
+        F.col("group").alias("career"),
+        "order",
+        F.round("aic", 4).alias("aic"),
+        "n_obs",
+        "step",
+        F.round("forecast", 4).alias("forecast"),
+    )
+
+
+@_q(
     "x4_diagnostics",
     "X4: per-group stationarity/seasonality diagnostics via applyInPandas "
     "— ADF + KPSS statistics, Yeo-Johnson λ, periodogram seasonal period, "

@@ -86,3 +86,82 @@ def test_equation_block_formats_fit(spark):
     assert set(blocks) == {"a"}
     assert "random walk with drift" in blocks["a"]
     assert "mu = 2.0000" in blocks["a"]  # exact linear trend → mu = slope
+
+
+# ---------------------------------------------------------------------------
+# X3 SARIMAX-lite AIC grid (fit_best_sarimax parity, EDA.ipynb cell 27)
+# ---------------------------------------------------------------------------
+
+
+def _sim_seasonal_arma(n=150, phi=0.6, seed=0):
+    """d=1, D=1, s=12 integrated AR(1) — candidate 1's true model."""
+    rng = np.random.RandomState(seed)
+    z = np.zeros(n)
+    e = rng.normal(0, 1.0, n)
+    for t in range(1, n):
+        z[t] = phi * z[t - 1] + e[t]
+    # integrate seasonal then regular difference
+    dy = np.zeros(n)
+    for t in range(n):
+        dy[t] = z[t] + (dy[t - 12] if t >= 12 else 0.0)
+    y = 1000.0 + np.cumsum(dy)
+    return y
+
+
+def test_aic_grid_selects_min_aic():
+    """The winner's AIC equals the minimum over the five candidates
+    (selection-rule parity with fit_best_sarimax)."""
+    from mcm_problem_f_data_wrangling_spark.operators.forecast import (
+        ARMA_CANDIDATES,
+        fit_arma_css,
+    )
+
+    y = _sim_seasonal_arma()
+    dy = np.diff(y)
+    z = dy[12:] - dy[:-12]
+    aics = []
+    for (p, _, q), (P, _, Q, s) in ARMA_CANDIDATES:
+        aic, _ = fit_arma_css(z, p, q, P, Q, s=s)
+        aics.append(aic)
+    assert all(np.isfinite(a) for a in aics)
+    # the AR(1)-true data must prefer a candidate with an AR term over
+    # the pure-MA ones by a clear margin
+    best_idx = int(np.argmin(aics))
+    assert ARMA_CANDIDATES[best_idx][0][0] == 1  # p == 1 in the winner
+
+
+def test_aic_grid_recovers_ar_coefficient():
+    from mcm_problem_f_data_wrangling_spark.operators.forecast import fit_arma_css
+
+    y = _sim_seasonal_arma(phi=0.6, seed=3)
+    dy = np.diff(y)
+    z = dy[12:] - dy[:-12]
+    _, params = fit_arma_css(z, 1, 0, 0, 0)
+    assert abs(params["phi"] - 0.6) < 0.2
+
+
+def test_aic_grid_spark_plan(spark):
+    """End-to-end through applyInPandas: per-group winner rows, AIC
+    constant within a group, forecasts finite, short series fall back
+    to rw_drift."""
+    from mcm_problem_f_data_wrangling_spark.operators.forecast import (
+        fit_best_arma_forecast,
+    )
+
+    rows = []
+    y = _sim_seasonal_arma(seed=7)
+    rows += [("long", t, float(v)) for t, v in enumerate(y)]
+    rows += [("short", t, 100.0 + 2.0 * t) for t in range(10)]
+    df = spark.createDataFrame(rows, ["g", "t", "v"])
+    out = fit_best_arma_forecast(df, "g", "t", "v", steps=4).toPandas()
+    assert len(out) == 8
+    lng = out[out["group"] == "long"]
+    assert lng["order"].nunique() == 1 and lng["order"].iloc[0] != "rw_drift"
+    assert lng["aic"].nunique() == 1 and np.isfinite(lng["aic"].iloc[0])
+    assert np.isfinite(lng["forecast"]).all()
+    sht = out[out["group"] == "short"]
+    assert (sht["order"] == "rw_drift").all()
+    # drift fallback on an exact linear series continues the slope
+    assert sht.sort_values("step")["forecast"].tolist() == pytest.approx(
+        [118 + 2.0 * h for h in range(1, 5)]
+    )

@@ -34,6 +34,7 @@ from mcm_problem_f_data_wrangling_spark.session import get_spark  # noqa: E402
 RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 # queries whose semantics genuinely need a Python boundary
 PYTHON_OK = {
+    "x3_aic_grid_fit",
     "x3_drift_fit_forecast",
     "x4_diagnostics",
     "x5_monte_carlo_fan",
