@@ -9,9 +9,13 @@ per group through ``applyInPandas``: the identical architectural
 boundary the survey prescribes (groups are the parallelism axis; one
 group's diagnostics are small and serial).
 
-Inference note: without MacKinnon surface regressions we report the
-test statistic plus the standard asymptotic critical values and a
-5%-level reject flag, not a continuous p-value.
+Inference: continuous p-values are reported alongside the statistics —
+ADF via the MacKinnon (1994) response-surface polynomials for the
+constant-only case (the published approximation ``adfuller`` uses;
+sanity anchor: τ=-2.86 → p≈0.050, τ=-3.43 → p≈0.010), KPSS by linear
+interpolation over the standard 10/5/2.5/1% critical-value table
+(clamped to [0.01, 0.10] outside it, the conventional reporting) — so
+X4 emits the notebook's DECISIONS, not just statistics.
 """
 
 from __future__ import annotations
@@ -32,6 +36,46 @@ from pyspark.sql.types import (
 # asymptotic critical values, constant-only case
 ADF_CRIT = {"1%": -3.43, "5%": -2.86, "10%": -2.57}
 KPSS_CRIT = {"10%": 0.347, "5%": 0.463, "1%": 0.739}
+
+# MacKinnon (1994, JBES) response-surface coefficients for the ADF
+# τ-statistic p-value, constant / no-trend case: p = Φ(poly(τ)), with
+# the small-p polynomial below τ* and the large-p one above.
+_ADF_TAU_STAR = -1.61
+_ADF_TAU_MIN, _ADF_TAU_MAX = -18.83, 2.74
+_ADF_SMALLP = (2.1659, 1.4412, 0.038269)          # ascending powers of τ
+_ADF_LARGEP = (1.7339, 0.93202, -0.12745, -0.010368)
+
+# KPSS level-stationarity table (Kwiatkowski et al. 1992 Table 1):
+# statistic ↑ → p ↓; linear interpolation between tabulated points.
+_KPSS_TABLE_STAT = (0.347, 0.463, 0.574, 0.739)
+_KPSS_TABLE_P = (0.10, 0.05, 0.025, 0.01)
+
+
+def adf_pvalue(stat: float) -> float:
+    """Approximate ADF p-value (constant-only case) via the MacKinnon
+    (1994) response surface: p = Φ(Σ cᵢ·τⁱ)."""
+    import math
+
+    if np.isnan(stat):
+        return float("nan")
+    if stat > _ADF_TAU_MAX:
+        return 1.0
+    if stat < _ADF_TAU_MIN:
+        return 0.0
+    coeffs = _ADF_SMALLP if stat <= _ADF_TAU_STAR else _ADF_LARGEP
+    z = sum(c * stat**i for i, c in enumerate(coeffs))
+    return 0.5 * math.erfc(-z / math.sqrt(2.0))
+
+
+def kpss_pvalue(stat: float) -> float:
+    """KPSS level-case p-value by linear interpolation over the
+    standard critical-value table, clamped to [0.01, 0.10] outside it
+    (the conventional 'p-value is smaller/greater than' report)."""
+    if np.isnan(stat):
+        return float("nan")
+    return float(
+        np.interp(stat, _KPSS_TABLE_STAT, _KPSS_TABLE_P)
+    )  # np.interp clamps at both ends
 
 
 def _ols(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray, float]:
@@ -206,8 +250,10 @@ DIAGNOSTICS_SCHEMA = StructType(
         StructField("group", StringType()),
         StructField("n_obs", LongType()),
         StructField("adf_stat", DoubleType()),
+        StructField("adf_pvalue", DoubleType()),
         StructField("adf_reject_unit_root_5pct", BooleanType()),
         StructField("kpss_stat", DoubleType()),
+        StructField("kpss_pvalue", DoubleType()),
         StructField("kpss_reject_stationary_5pct", BooleanType()),
         StructField("yj_lambda", DoubleType()),
         StructField("seasonal_period", LongType()),
@@ -246,10 +292,12 @@ def run_diagnostics(
                     "group": str(pdf[group_col].iloc[0]),
                     "n_obs": int(len(y)),
                     "adf_stat": a,
+                    "adf_pvalue": adf_pvalue(a),
                     "adf_reject_unit_root_5pct": bool(a < ADF_CRIT["5%"])
                     if not np.isnan(a)
                     else None,
                     "kpss_stat": k,
+                    "kpss_pvalue": kpss_pvalue(k),
                     "kpss_reject_stationary_5pct": bool(k > KPSS_CRIT["5%"])
                     if not np.isnan(k)
                     else None,

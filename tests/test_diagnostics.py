@@ -120,3 +120,44 @@ def test_run_diagnostics_spark_end_to_end(spark):
     assert out["walk"]["kpss_reject_stationary_5pct"] is True
     assert out["seasonal"]["seasonal_period"] == 12
     assert out["walk"]["acf1"] > 0.9  # random walk ⇒ near-unit lead autocorrelation
+
+
+def test_adf_pvalue_mackinnon_anchors():
+    """The MacKinnon (1994) response surface must reproduce the
+    canonical critical-value ↔ p-value anchors for the constant case."""
+    from mcm_problem_f_data_wrangling_spark.operators.diagnostics import adf_pvalue
+
+    assert adf_pvalue(-2.86) == pytest.approx(0.05, abs=0.002)
+    assert adf_pvalue(-3.43) == pytest.approx(0.01, abs=0.002)
+    assert adf_pvalue(-2.57) == pytest.approx(0.10, abs=0.005)
+    assert adf_pvalue(0.0) > 0.9
+    assert adf_pvalue(-20.0) == 0.0 and adf_pvalue(5.0) == 1.0
+    assert np.isnan(adf_pvalue(float("nan")))
+
+
+def test_kpss_pvalue_table_interpolation():
+    from mcm_problem_f_data_wrangling_spark.operators.diagnostics import kpss_pvalue
+
+    assert kpss_pvalue(0.463) == pytest.approx(0.05)
+    assert kpss_pvalue(0.739) == pytest.approx(0.01)
+    assert kpss_pvalue(0.2) == pytest.approx(0.10)   # clamped low side
+    assert kpss_pvalue(2.0) == pytest.approx(0.01)   # clamped high side
+    mid = kpss_pvalue((0.347 + 0.463) / 2)
+    assert 0.05 < mid < 0.10
+
+
+def test_pvalues_agree_with_reject_flags(spark):
+    """End-to-end: the 5% decision derived from the p-value must equal
+    the critical-value flag for both tests on stationary and
+    random-walk series."""
+    rng = np.random.RandomState(4)
+    rows = []
+    rows += [("flat", t, float(v)) for t, v in enumerate(rng.normal(0, 1, 120))]
+    rows += [("walk", t, float(v)) for t, v in enumerate(np.cumsum(rng.normal(0, 1, 120)))]
+    df = spark.createDataFrame(rows, ["g", "t", "v"])
+    out = {r["group"]: r for r in run_diagnostics(df, "g", "t", "v").collect()}
+    for g in ("flat", "walk"):
+        r = out[g]
+        assert (r["adf_pvalue"] < 0.05) == r["adf_reject_unit_root_5pct"]
+        assert (r["kpss_pvalue"] <= 0.05) == r["kpss_reject_stationary_5pct"]
+    assert out["flat"]["adf_pvalue"] < 0.05 < out["walk"]["adf_pvalue"]
