@@ -321,7 +321,39 @@ def main() -> None:
             ]
             return semantic_dedup(vecs, cents, threshold=0.99).count()
 
+        def jaccard_prefix_200k():
+            # round-2 scale path: exact AllPairs prefix-filter Jaccard
+            # replaced length-bucket banding — this measures its
+            # candidate fan-out on a 200k-doc corpus
+            from mcm_problem_f_data_wrangling_spark.operators.dedup import (
+                ngram_jaccard_pairs,
+            )
+
+            return ngram_jaccard_pairs(docs, threshold=0.5).count()
+
+        def srp_neardup_100k():
+            # round-2 scale path: SRP-LSH banding (2^10 = 1024 bands
+            # for 100k vectors) replaced fixed-cardinality banding
+            from mcm_problem_f_data_wrangling_spark.operators.dedup import (
+                embedding_neardup_pairs,
+                srp_hyperplanes,
+            )
+
+            vecs = spark.range(100_000).select(
+                F.col("id").alias("vec_id"),
+                F.array(
+                    *[
+                        (F.pmod(F.xxhash64("id", F.lit(i)), F.lit(1000)) / 500.0 - 1.0)
+                        for i in range(16)
+                    ]
+                ).alias("embedding"),
+            )
+            hp = srp_hyperplanes(16, n_bits=10, seed=7)
+            return embedding_neardup_pairs(vecs, hyperplanes=hp, n_bits=10).count()
+
         timed("minhash_200k_docs", minhash)
+        timed("jaccard_prefix_200k_docs", jaccard_prefix_200k)
+        timed("srp_neardup_100k_vectors_1024bands", srp_neardup_100k)
         timed("asof_join_1m_x_1m", asof)
         timed("range_join_1h_window_1m_x_1m", range_join)
         timed("repetition_signals_200k_docs", repetition)
