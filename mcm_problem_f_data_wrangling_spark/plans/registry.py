@@ -6,14 +6,15 @@ from .base import Query
 from .suite_core import QUERIES as CORE_QUERIES
 from .suite_ext import QUERIES as EXT_QUERIES
 from .suite_more import QUERIES as MORE_QUERIES
+from .suite_nlp import QUERIES as NLP_QUERIES
 from .suite_tpch import QUERIES as TPCH_QUERIES
 
 REGISTRY: dict[str, Query] = {
     q.name: q
-    for q in (*CORE_QUERIES, *EXT_QUERIES, *MORE_QUERIES, *TPCH_QUERIES)
+    for q in (*CORE_QUERIES, *EXT_QUERIES, *MORE_QUERIES, *TPCH_QUERIES, *NLP_QUERIES)
 }
 
-if len(REGISTRY) != len(CORE_QUERIES) + len(EXT_QUERIES) + len(MORE_QUERIES) + len(TPCH_QUERIES):  # pragma: no cover
+if len(REGISTRY) != len(CORE_QUERIES) + len(EXT_QUERIES) + len(MORE_QUERIES) + len(TPCH_QUERIES) + len(NLP_QUERIES):  # pragma: no cover
     raise RuntimeError("duplicate query names in suite")
 
 

@@ -1,0 +1,281 @@
+"""Corpus-curation analytics suite: retrieval scoring and statistical
+quality signals a production LLM-data pipeline computes over every
+shard — BM25 ranking (the retrieval baseline behind dedup-aware data
+selection), bigram-LM perplexity (the CCNet-style model-based quality
+filter, here with the LM trained ON the corpus itself so the operator
+is self-contained), and cross-document duplicate n-gram fraction (the
+Dolma/RedPajama inter-document repetition signal — distinct from the
+intra-document repetition ratios in operators/quality.py).
+
+Every operator is JVM-side (array ops + joins + windows; zero Python
+in the hot path) and shuffles only aggregated/hashed forms: term
+statistics, not token occurrences; 60-bit gram hashes, not 8-word
+strings.  Scalars that both engines must agree on bit-for-bit
+(corpus size, average doc length, vocabulary size) are exact-integer
+derived; order-dependent double sums are rounded several orders above
+their worst-case cross-engine drift (plans/base.py contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.textfn import portable_hash64, strict_word_shingles, tokens
+from .base import Query, table
+
+QUERIES: list[Query] = []
+
+
+def _q(name: str, doc: str, sql: str | None = None, headline: bool = False, tags: tuple[str, ...] = ()):
+    def wrap(fn):
+        QUERIES.append(Query(name, doc, fn, sql, headline, tags))
+        return fn
+
+    return wrap
+
+
+_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')"
+
+# BM25 constants (Robertson/Okapi defaults)
+_K1, _B = 1.2, 0.75
+_BM25_TERMS = ("spark", "window", "join")
+
+
+@_q(
+    "x_bm25_topk",
+    "BM25 top-k retrieval (Okapi k1=1.2 b=0.75) for a fixed 3-term "
+    "query over the documents corpus.  Per-(doc,term) tf is one "
+    "explode+aggregate with the IN-filter pushed BEFORE the shuffle "
+    "(only query-term occurrences move); df is a ≤|terms|-row "
+    "aggregate that broadcasts back; corpus size and average doc "
+    "length are exact-integer scalars inlined driver-side (a09 "
+    "precedent).  The score is ln/arithmetic on exact ints so both "
+    "engines compute IEEE-identical values; rounding to 6 decimals "
+    "pins the (score, doc_id) ordering cross-engine, and the top-20 "
+    "runs as TakeOrderedAndProject — never a global sort.",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+  WHERE term IN ('spark', 'window', 'join')
+  GROUP BY 1, 2
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_match_terms,
+         ROUND(SUM(
+           ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (t.tf * ({_K1} + 1))
+             / (t.tf + {_K1} * (1 - {_B} + {_B} * d.dl / s.avgdl))
+         ), 6) AS bm25
+  FROM tf t
+  JOIN df f ON t.term = f.term
+  JOIN dl d ON t.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_match_terms, bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+""",
+    tags=("llm", "search"),
+)
+def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    # corpus stats are TWO exact-integer-derived scalars — inline as
+    # driver literals (a09 precedent; dl is integral so the double sum
+    # is order-independent-exact)
+    srow = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(F.lit(1) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    per_term = idf * (F.col("tf") * (_K1 + 1)) / (
+        F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tf.join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_match_terms"),
+            F.round(F.sum(per_term), 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+        .select("doc_id", "n_match_terms", "bm25")
+    )
+
+
+@_q(
+    "x_bigram_perplexity",
+    "Per-document perplexity under a Laplace-smoothed bigram LM "
+    "trained on the corpus itself (the CCNet-style model-based "
+    "quality filter, self-contained: no external model artifact).  "
+    "Bigram occurrences pre-aggregate per (doc, w1, w2) before ANY "
+    "wide exchange; the LM (global bigram counts + w1 marginals via a "
+    "window over the already-aggregated table) re-joins on (w1, w2) — "
+    "at 100 TB both join sides carry distinct-pair rows, never "
+    "per-token rows.  Vocabulary size is one exact-integer scalar "
+    "inlined driver-side.  Only the final avg-NLL sum is order-"
+    "dependent; it is rounded 6 decimals, ~7 orders above the "
+    "worst-case float drift of a few-hundred-term sum.",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+  FROM (SELECT unnest(toks) AS term FROM toks)
+),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+),
+occ AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m
+  FROM bg GROUP BY 1, 2, 3
+),
+lm AS (
+  SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS n_bigram,
+         CAST(SUM(SUM(m)) OVER (PARTITION BY w1) AS BIGINT) AS n_w1
+  FROM occ GROUP BY 1, 2
+)
+SELECT o.doc_id,
+       CAST(SUM(o.m) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(o.m * -ln((l.n_bigram + 1.0) / (l.n_w1 + v.v))) / SUM(o.m), 6) AS avg_nll,
+       ROUND(exp(SUM(o.m * -ln((l.n_bigram + 1.0) / (l.n_w1 + v.v))) / SUM(o.m)), 4) AS perplexity
+FROM occ o
+JOIN lm l ON o.w1 = l.w1 AND o.w2 = l.w2
+CROSS JOIN vocab v
+GROUP BY o.doc_id
+""",
+    tags=("llm", "text"),
+)
+def x_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    toks = docs.filter(F.size(tk) >= 2).select("doc_id", tk.alias("toks"))
+    # vocabulary size: ONE exact integer — driver literal (a09
+    # precedent).  Distinct count over the token explode, same set as
+    # the oracle's COUNT(DISTINCT).
+    vocab = int(
+        docs.select(F.explode(tk).alias("term"))
+        .agg(F.countDistinct("term"))
+        .collect()[0][0]
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("w1"),
+            F.element_at("toks", i + 1).alias("w2"),
+        ),
+    )
+    occ = (
+        toks.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    lm = (
+        occ.groupBy("w1", "w2")
+        .agg(F.sum("m").cast("long").alias("n_bigram"))
+        .withColumn(
+            "n_w1",
+            F.sum("n_bigram").over(Window.partitionBy("w1")).cast("long"),
+        )
+    )
+    nll = F.col("m") * -F.log(
+        (F.col("n_bigram") + F.lit(1.0)) / (F.col("n_w1") + F.lit(vocab))
+    )
+    avg_nll = F.sum(nll) / F.sum("m")
+    return (
+        occ.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.round(avg_nll, 6).alias("avg_nll"),
+            F.round(F.exp(avg_nll), 4).alias("perplexity"),
+        )
+    )
+
+
+@_q(
+    "x_dup_ngram_fraction",
+    "Cross-document duplicate 8-gram fraction (the Dolma/RedPajama "
+    "inter-document repetition signal; intra-document repetition "
+    "lives in x_quality_repetition_signals): per doc, the share of "
+    "its DISTINCT 8-word shingles that also appear in at least one "
+    "other document.  Shingles hash to 60-bit md5-portable ints "
+    "before the shuffle (8-word strings never leave the map side); "
+    "per-doc dedup happens row-locally in the array domain; the "
+    "gram→doc-count aggregate and the re-join both key on the 8-byte "
+    "hash.  Counts are exact integers; the fraction is one IEEE "
+    "divide.  Docs under 8 tokens have no shingles and are excluded "
+    "(strict shingling — a whole-text fallback would fabricate "
+    "cross-doc matches).",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 8
+      THEN list_transform(generate_series(1, len(toks) - 7),
+                          i -> CAST('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15) AS BIGINT))
+      ELSE [] END
+  )) AS h
+  FROM toks
+),
+cnt AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY 1)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_fraction
+FROM g JOIN cnt c ON g.h = c.h
+GROUP BY 1
+""",
+    tags=("llm", "dedup"),
+)
+def x_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    strict_word_shingles("text", 8),
+                    lambda s: portable_hash64(s),
+                )
+            )
+        ).alias("h"),
+    )
+    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    dup = F.sum((F.col("n_docs") > 1).cast("int")).cast("long")
+    return (
+        grams.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            dup.alias("n_dup"),
+            (dup.cast("double") / F.count(F.lit(1))).alias("dup_fraction"),
+        )
+    )
