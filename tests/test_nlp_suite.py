@@ -1,0 +1,137 @@
+"""Property tests for the NLP-curation suite (plans/suite_nlp.py) and
+the TPC-H-completion suite (plans/suite_tpch.py) beyond the oracle
+parity the registry parametrization already gives them: BM25 ranking
+laws, Laplace-perplexity bounds, duplicate-n-gram-fraction invariants
+on planted duplicates, and q15 tie semantics on a planted tie."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mcm_problem_f_data_wrangling_spark.functions.textfn import (
+    portable_hash64,
+    strict_word_shingles,
+)
+from mcm_problem_f_data_wrangling_spark.plans import REGISTRY
+
+from .conftest import SF_SMOKE
+
+
+def test_bm25_scores_positive_and_sorted(spark):
+    rows = REGISTRY["x_bm25_topk"].spark(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["bm25"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    # tie-break: within equal scores, doc_id ascending
+    for a, b in zip(rows, rows[1:]):
+        if a["bm25"] == b["bm25"]:
+            assert a["doc_id"] < b["doc_id"]
+    assert all(1 <= r["n_match_terms"] <= 3 for r in rows)
+
+
+def test_bigram_perplexity_laplace_bounds(spark):
+    rows = REGISTRY["x_bigram_perplexity"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # Laplace-smoothed probs are in (0, 1): NLL > 0, ppl = e^NLL > 1
+        assert r["avg_nll"] > 0
+        assert r["perplexity"] > 1
+        assert math.isclose(
+            r["perplexity"], math.exp(r["avg_nll"]), rel_tol=1e-3
+        )
+        assert r["n_bigrams"] >= 1
+
+
+def test_dup_ngram_fraction_planted_duplicates(spark):
+    # 2 identical 10-token docs + 1 disjoint doc: the twins' distinct
+    # 8-grams all repeat cross-doc (fraction 1.0), the loner's none.
+    ten = " ".join(f"w{i}" for i in range(10))
+    other = " ".join(f"z{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, ten), (2, ten), (3, other)], ["doc_id", "text"]
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    strict_word_shingles("text", 8),
+                    lambda s: portable_hash64(s),
+                )
+            )
+        ).alias("h"),
+    )
+    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    frac = {
+        r["doc_id"]: (r["dup"], r["tot"])
+        for r in grams.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("n_docs") > 1).cast("int")).alias("dup"),
+            F.count(F.lit(1)).alias("tot"),
+        )
+        .collect()
+    }
+    assert frac[1] == (3, 3)  # 10 tokens → 3 distinct 8-grams, all dup
+    assert frac[2] == (3, 3)
+    assert frac[3] == (0, 3)
+
+
+def test_dup_ngram_fraction_registry_bounds(spark):
+    rows = REGISTRY["x_dup_ngram_fraction"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_dup"] <= r["n_grams"]
+        assert math.isclose(
+            r["dup_fraction"], r["n_dup"] / r["n_grams"], rel_tol=1e-12
+        )
+
+
+def test_q15_returns_all_max_revenue_ties(spark, tmp_path):
+    # planted tie: two suppliers with identical quarter revenue
+    li = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0, "1996-02-01"),
+            (2, 50.0, 0.0, "1996-02-01"),
+            (2, 50.0, 0.0, "1996-03-01"),
+            (3, 10.0, 0.0, "1996-02-01"),
+            (1, 999.0, 0.0, "1995-01-01"),  # outside the quarter
+        ],
+        ["l_suppkey", "l_extendedprice", "l_discount", "d"],
+    ).withColumn("l_shipdate", F.col("d").cast("timestamp_ntz"))
+    sup = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], ["s_suppkey", "s_name"]
+    )
+    d = str(tmp_path)
+    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    sup.write.mode("overwrite").parquet(f"{d}/supplier.parquet")
+    rows = REGISTRY["q15_top_supplier"].spark(spark, d).collect()
+    assert {(r["s_suppkey"], r["total_revenue"]) for r in rows} == {
+        (1, 100.0),
+        (2, 100.0),
+    }
+
+
+def test_q13_keeps_zero_order_customers(spark, tmp_path):
+    # the left-join filter must stay in the ON clause: a customer with
+    # ONLY urgent orders lands in the 0 bucket, not dropped
+    c = spark.createDataFrame([(1,), (2,), (3,)], ["c_custkey"])
+    o = spark.createDataFrame(
+        [
+            (10, 1, "1-URGENT"),
+            (11, 2, "5-LOW"),
+            (12, 2, "5-LOW"),
+        ],
+        ["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    d = str(tmp_path)
+    c.write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    o.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    dist = {
+        r["c_count"]: r["custdist"]
+        for r in REGISTRY["q13_customer_distribution"].spark(spark, d).collect()
+    }
+    assert dist == {0: 2, 2: 1}  # custkeys 1 (urgent-only) and 3 → 0 bucket
