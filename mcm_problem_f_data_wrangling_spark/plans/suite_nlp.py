@@ -279,3 +279,115 @@ def x_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dup.cast("double") / F.count(F.lit(1))).alias("dup_fraction"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# embedding analytics (distributed PCA, contrastive mining)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "x_embed_pca_project",
+    "Distributed PCA projection of the embedding table onto its top-2 "
+    "principal components (OPQ-style rotation prep / SemDeDup "
+    "inspection projection).  Phase 1 reduces each partition to ONE "
+    "(d×d Gram, sum, count) triple inside mapInPandas — O(partitions·"
+    "d²) total rows, independent of n (the documented Pandas-UDF "
+    "boundary; a posexplode formulation would blow rows up d²×).  "
+    "Phase 2 eigensolves the d×d covariance driver-side (power "
+    "iteration + deflation, numpy-only).  Phase 3 projects natively "
+    "(zip_with/aggregate dot products — one JVM map, no Python).  "
+    "Eigensolve output is FP-order-dependent across partitionings → "
+    "rows-only gate (X3/X5 precedent); orthonormality, variance "
+    "ordering, and full-numpy-eigh parity are pytest properties.",
+    None,
+    tags=("M4", "similarity"),
+)
+def x_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.embedpca import fit_pca, project_pca
+
+    emb = table(spark, sf_dir, "embeddings")
+    vals, vecs, mu, total_var = fit_pca(emb, k=2)
+    out = project_pca(emb, vecs, mu)
+    return out.select(
+        "vec_id",
+        "label",
+        F.round("pc1", 6).alias("pc1"),
+        F.round("pc2", 6).alias("pc2"),
+        F.lit(round(float(vals[0] / total_var), 6)).alias("var_share_pc1"),
+        F.lit(round(float(vals[1] / total_var), 6)).alias("var_share_pc2"),
+    )
+
+
+@_q(
+    "x_sim_hard_negatives",
+    "Hard-negative mining for contrastive training (DPR/SimCSE prep): "
+    "for each of the 5 lowest-id probe vectors, the top-3 most-"
+    "similar vectors with a DIFFERENT label.  The probe set is O(k) — "
+    "collected driver-side and inlined as ONE literal array that "
+    "explodes row-locally against the candidate scan (scan + generate "
+    "+ window top-k; no cross join, so the plan audit's "
+    "BroadcastNestedLoopJoin flag never fires).  At 100 TB with a "
+    "LARGE probe set this shape hands off to the IVF cell join "
+    "(x_sim_knn_join) — the literal-explode path is the small-probe "
+    "fast path.  Dot products are sequential-order double aggregates "
+    "on both engines; ranking on the ROUNDED cosine with an id "
+    "tie-break pins the top-3 cross-engine.",
+    """
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 5
+),
+p AS (
+  SELECT q.qid, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         ROUND(
+           list_sum(list_transform(generate_series(1, len(q.qe)),
+                                   i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+  FROM embeddings c CROSS JOIN q
+  WHERE c.label <> q.qlabel
+)
+SELECT qid, neighbor_id, neighbor_label, cos_sim
+FROM p
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id) <= 3
+""",
+    tags=("M4", "similarity"),
+)
+def x_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = (
+        emb.orderBy("vec_id").limit(5).select("vec_id", "label", "embedding").collect()
+    )
+    plit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("qid"),
+                F.lit(r["label"]).alias("qlabel"),
+                F.array(*[F.lit(float(v)) for v in r["embedding"]]).alias("qe"),
+            )
+            for r in probes
+        ]
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            "embedding",
+            F.explode(plit).alias("q"),
+        )
+        .filter(F.col("neighbor_label") != F.col("q.qlabel"))
+        .select(
+            F.col("q.qid").alias("qid"),
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine_similarity(F.col("q.qe"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "neighbor_id", "neighbor_label", "cos_sim")
+    )
