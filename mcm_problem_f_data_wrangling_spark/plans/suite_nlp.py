@@ -229,11 +229,14 @@ def x_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "other document.  Shingles hash to 60-bit md5-portable ints "
     "before the shuffle (8-word strings never leave the map side); "
     "per-doc dedup happens row-locally in the array domain; the "
-    "gram→doc-count aggregate and the re-join both key on the 8-byte "
-    "hash.  Counts are exact integers; the fraction is one IEEE "
-    "divide.  Docs under 8 tokens have no shingles and are excluded "
-    "(strict shingling — a whole-text fallback would fabricate "
-    "cross-doc matches).",
+    "gram→doc-count is a WINDOW over the hash partition, not an "
+    "aggregate-plus-rejoin — the join formulation recomputes the "
+    "whole shingle+md5 pipeline for the second consumer (measured "
+    "4.3 s → 1.9 s at sf0.1), while the window shares one pass and "
+    "one exchange.  Counts are exact integers; the fraction is one "
+    "IEEE divide.  Docs under 8 tokens have no shingles and are "
+    "excluded (strict shingling — a whole-text fallback would "
+    "fabricate cross-doc matches).",
     f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 g AS (
@@ -245,14 +248,15 @@ g AS (
   )) AS h
   FROM toks
 ),
-cnt AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY 1)
-SELECT g.doc_id,
+w AS (SELECT doc_id, CAST(COUNT(*) OVER (PARTITION BY h) AS BIGINT) AS n_docs FROM g)
+SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_grams,
-       CAST(SUM(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-       CAST(SUM(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_fraction
-FROM g JOIN cnt c ON g.h = c.h
+       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_fraction
+FROM w
 GROUP BY 1
 """,
+    headline=True,
     tags=("llm", "dedup"),
 )
 def x_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,11 +272,12 @@ def x_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = grams.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("h")).cast("long")
+    )
     dup = F.sum((F.col("n_docs") > 1).cast("int")).cast("long")
     return (
-        grams.join(cnt, "h")
-        .groupBy("doc_id")
+        w.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
             dup.alias("n_dup"),

@@ -101,6 +101,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """,
+    headline=True,
     tags=("M1", "agg", "tpch"),
 )
 def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
