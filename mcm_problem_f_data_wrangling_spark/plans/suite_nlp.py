@@ -396,3 +396,198 @@ def x_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("qid", "neighbor_id", "neighbor_label", "cos_sim")
     )
+
+
+@_q(
+    "x_source_overlap_matrix",
+    "Cross-source content-overlap matrix (corpus-level contamination "
+    "report — which ingest sources copy from each other; the corpus-"
+    "granularity sibling of pairwise doc dedup): per source pair, the "
+    "count of shared distinct 8-gram hashes and the overlap "
+    "coefficient shared/min(|A|,|B|).  Grams hash to 60-bit ints "
+    "map-side; (source, gram) pairs dedup in ONE exchange; the "
+    "gram-keyed self-join fans out at most #sources-per-gram (≤20 "
+    "here, bounded by the source vocabulary at any scale — never "
+    "document-count-shaped); per-source totals are a ≤|sources|-row "
+    "broadcast.  All counts exact integers, one IEEE divide.",
+    f"""
+WITH toks AS (SELECT source, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT DISTINCT source,
+         unnest(CASE WHEN len(toks) >= 8
+           THEN list_transform(generate_series(1, len(toks) - 7),
+                               i -> CAST('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15) AS BIGINT))
+           ELSE [] END) AS h
+  FROM toks
+),
+tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_grams
+  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.shared_grams,
+       ta.n_grams AS total_a, tb.n_grams AS total_b,
+       CAST(p.shared_grams AS DOUBLE) / least(ta.n_grams, tb.n_grams) AS overlap_coef
+FROM p
+JOIN tot ta ON p.source_a = ta.source
+JOIN tot tb ON p.source_b = tb.source
+""",
+    tags=("llm", "dedup"),
+)
+def x_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        strict_word_shingles("text", 8),
+                        lambda s: portable_hash64(s),
+                    )
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    tot = g.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    a, b = g.alias("a"), g.alias("b")
+    p = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n_grams").alias("total_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n_grams").alias("total_b"))
+    return (
+        p.join(broadcast(ta), "source_a")
+        .join(broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "total_a",
+            "total_b",
+            (
+                F.col("shared_grams").cast("double")
+                / F.least("total_a", "total_b")
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+_CMS_D, _CMS_W = 4, 256
+_CMS_PROBES = ("spark", "table", "window", "the", "data")
+
+
+@_q(
+    "x_countmin_estimate",
+    "Count-Min Sketch frequency estimation (Cormode & Muthukrishnan "
+    "2005) built natively: d=4 seeded md5 hash rows × w=256 buckets.  "
+    "Each token emits its 4 (row, bucket) cells ROW-LOCALLY (one "
+    "transform+explode — no join against a hash table); the cell "
+    "counts map-side-combine into a ≤d·w=1024-row table regardless "
+    "of corpus size — THE point of the sketch: the shuffle carries "
+    "the sketch, not the data.  Probe terms' cells inline as literal "
+    "(row, bucket) pairs; the estimate is the min over rows, checked "
+    "against the exact count (CMS guarantees estimate ≥ exact; "
+    "both BIGINT-exact, so the oracle match is bitwise).",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+term AS (SELECT unnest(toks) AS term FROM toks),
+cells AS (
+  SELECT j, CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || term), 1, 15) AS BIGINT) % {_CMS_W} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM term, unnest(generate_series(0, {_CMS_D - 1})) AS t(j)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT p.term, j.j,
+         CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || '|' || p.term), 1, 15) AS BIGINT) % {_CMS_W} AS bucket
+  FROM (SELECT unnest({list(_CMS_PROBES)}) AS term) p,
+       unnest(generate_series(0, {_CMS_D - 1})) AS j(j)
+),
+est AS (
+  SELECT p.term, CAST(MIN(c.n) AS BIGINT) AS cms_estimate
+  FROM probes p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+  GROUP BY 1
+),
+exact AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM term WHERE term IN {_CMS_PROBES}
+  GROUP BY 1
+)
+SELECT e.term, x.exact_count, e.cms_estimate,
+       CAST(e.cms_estimate - x.exact_count AS BIGINT) AS overestimate
+FROM est e JOIN exact x ON e.term = x.term
+""",
+    tags=("llm", "sketch"),
+)
+def x_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    term = docs.select(F.explode(tokens("text")).alias("term"))
+
+    def bucket_of(term_col, j):
+        return F.pmod(portable_hash64(term_col, seed=f"{j}|"), F.lit(_CMS_W))
+
+    cells = (
+        term.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            bucket_of(F.col("term"), j).alias("bucket"),
+                        )
+                        for j in range(_CMS_D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.j", "c.bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # probe cells: per-row seed expression mirroring bucket_of
+    probes = (
+        spark.createDataFrame(
+            [(t, j) for t in _CMS_PROBES for j in range(_CMS_D)], ["term", "j"]
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("term"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(_CMS_W),
+            ),
+        )
+    )
+    est = (
+        cells.join(broadcast(probes), ["j", "bucket"])
+        .groupBy("term")
+        .agg(F.min("n").cast("long").alias("cms_estimate"))
+    )
+    exact = (
+        term.filter(F.col("term").isin(*_CMS_PROBES))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "term")
+        .select(
+            "term",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).cast("long").alias("overestimate"),
+        )
+    )
