@@ -135,3 +135,39 @@ def test_q13_keeps_zero_order_customers(spark, tmp_path):
         for r in REGISTRY["q13_customer_distribution"].spark(spark, d).collect()
     }
     assert dist == {0: 2, 2: 1}  # custkeys 1 (urgent-only) and 3 → 0 bucket
+
+
+def test_countmin_estimate_never_underestimates(spark):
+    rows = REGISTRY["x_countmin_estimate"].spark(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # the CMS one-sided error guarantee
+        assert r["cms_estimate"] >= r["exact_count"] > 0
+        assert r["overestimate"] == r["cms_estimate"] - r["exact_count"]
+
+
+def test_source_overlap_matrix_bounds(spark):
+    rows = REGISTRY["x_source_overlap_matrix"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 < r["shared_grams"] <= min(r["total_a"], r["total_b"])
+        assert 0 < r["overlap_coef"] <= 1.0
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    rows = REGISTRY["x_sim_hard_negatives"].spark(spark, SF_SMOKE).collect()
+    assert len(rows) == 15  # 5 probes × top-3
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    label_of = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        assert r["neighbor_label"] != label_of[r["qid"]]
+        assert -1.0 <= r["cos_sim"] <= 1.0
+        by_probe.setdefault(r["qid"], []).append(r["cos_sim"])
+    assert len(by_probe) == 5
+    for sims in by_probe.values():
+        assert sims == sorted(sims, reverse=True)
