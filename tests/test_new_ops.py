@@ -264,3 +264,20 @@ def test_id_gap_detection_on_gapped_ids(spark, tmp_path):
         for r in REGISTRY["s21_id_gap_detection"].spark(spark, sf_dir).collect()
     )
     assert got == [(3, 4, 2), (7, 9, 3), (13, 39, 27)]
+
+
+def test_semantic_dedup_blas_matches_hof(spark):
+    """The BLAS per-cell path and the HOF join path implement the SAME
+    order-free survivor rule — identical kept sets."""
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_blas,
+        train_ivf_cells,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    _, cents = train_ivf_cells(emb, k=8, iters=2)
+    for thr in (0.3, 0.5, 0.9):
+        a = {r["vec_id"] for r in semantic_dedup(emb, cents, threshold=thr).collect()}
+        b = {r["vec_id"] for r in semantic_dedup_blas(emb, cents, threshold=thr).collect()}
+        assert a == b

@@ -303,7 +303,7 @@ def main() -> None:
 
         def semdedup_100k():
             from mcm_problem_f_data_wrangling_spark.operators.similarity import (
-                semantic_dedup,
+                semantic_dedup_blas as semantic_dedup,
             )
 
             vecs = spark.range(100_000).select(
