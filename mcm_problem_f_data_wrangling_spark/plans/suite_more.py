@@ -1246,3 +1246,76 @@ def w30_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs("deviation") > 3 * F.col("mad")).cast("int"),
         ).alias("is_anomaly"),
     )
+
+
+@_q(
+    "s27_cusum_alarm",
+    "Floored one-sided CUSUM with alarm flags (Page 1954 — the "
+    "PROPER online change detector; w24 ships the raw unfloored "
+    "statistic): per event-type series, S+ = C - min(0, running "
+    "min C) and S- = C - max(0, running max C) via the closed form "
+    "that turns the max(0, S+d) recursion into two window extrema "
+    "over ONE partitioned sort — a single exchange, no recursion, "
+    "fully codegen.  Deviations center on the per-type mean (exact "
+    "decimal sum / count, one IEEE divide) and accumulate in "
+    "DECIMAL(18,6), so both engines agree bitwise; streaming twin "
+    "in streaming/drift.py carries (S+, S-) as O(1) state.",
+    """
+WITH base AS (
+  SELECT event_type, event_id, ts,
+         CAST(value - (CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY event_type) AS DOUBLE)
+                       / COUNT(*) OVER (PARTITION BY event_type)) AS DECIMAL(18,6)) AS d
+  FROM events
+), c AS (
+  SELECT event_type, event_id, ts,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM base
+), s AS (
+  SELECT event_type, event_id,
+         c - least(CAST(0 AS DECIMAL(18,6)),
+                   MIN(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_plus,
+         c - greatest(CAST(0 AS DECIMAL(18,6)),
+                      MAX(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_minus
+  FROM c
+)
+SELECT event_type, event_id,
+       CAST(s_plus AS DOUBLE) AS s_plus,
+       CAST(s_minus AS DOUBLE) AS s_minus,
+       CAST(CAST(s_plus AS DOUBLE) > 50.0 OR CAST(s_minus AS DOUBLE) < -50.0 AS INT) AS alarm
+FROM s
+""",
+    tags=("M1", "analytics", "streaming-twin"),
+)
+def s27_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..streaming.drift import cusum_batch
+
+    ev = table(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type")
+    mean = (
+        F.sum(F.col("value").cast("decimal(18,6)")).over(wt).cast("double")
+        / F.count(F.lit(1)).over(wt)
+    )
+    base = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        (F.col("value") - mean).cast("decimal(18,6)").alias("d"),
+    )
+    out = cusum_batch(
+        base, "event_type", ["ts", "event_id"], F.col("d"), h=50.0, decimal_exact=True
+    )
+    return out.select(
+        "event_type",
+        "event_id",
+        F.col("s_plus").cast("double").alias("s_plus"),
+        F.col("s_minus").cast("double").alias("s_minus"),
+        (
+            (F.col("s_plus").cast("double") > 50.0)
+            | (F.col("s_minus").cast("double") < -50.0)
+        ).cast("int").alias("alarm"),
+    )

@@ -311,3 +311,66 @@ def test_foreach_batch_sink_idempotent_on_redelivery(spark, tmp_path_factory):
     redelivered.write.mode("overwrite").parquet(epochs[0])
     again = spark.read.option("basePath", out).parquet(out)
     assert again.count() == 20  # no duplicates after re-delivery
+
+
+def test_cusum_stream_matches_batch_closed_form(spark, tmp_path_factory):
+    """streaming/drift.py: the O(1)-state streaming CUSUM and the
+    closed-form batch CUSUM (S+ = C - min prefix C) produce identical
+    statistics and alarms on ordered arrivals, including a planted
+    mean shift that must raise the alarm."""
+    import math
+
+    from mcm_problem_f_data_wrangling_spark.streaming.drift import (
+        cusum_batch,
+        cusum_stream,
+    )
+
+    # key "a": mean 1.0 for 20 points, then shifts to 4.0 — alarm.
+    # key "b": stationary around 0 — no alarm.
+    rows = []
+    for i in range(30):
+        v = 1.0 + (0.1 if i % 2 else -0.1) + (3.0 if i >= 20 else 0.0)
+        rows.append((i, "a", v, f"2024-01-01 00:{i:02d}:00"))
+    for i in range(30):
+        rows.append((100 + i, "b", (0.2 if i % 2 else -0.2), f"2024-01-01 00:{i:02d}:00"))
+    df = (
+        spark.createDataFrame(rows, ["event_id", "event_type", "value", "ts_s"])
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    mu0 = {"a": 1.0, "b": 0.0}
+    h = 5.0
+
+    batch = cusum_batch(
+        df.withColumn("d", F.col("value") - F.when(F.col("event_type") == "a", 1.0).otherwise(0.0)),
+        "event_type",
+        ["ts", "event_id"],
+        F.col("d"),
+        h=h,
+    ).collect()
+    b_stats = {(r["event_type"], r["event_id"]): (r["s_plus"], r["s_minus"], r["alarm"]) for r in batch}
+    assert any(a for (_, _, a) in b_stats.values())  # shift detected
+    assert not any(a for (k, _), (_, _, a) in b_stats.items() if k == "b")
+
+    src = str(tmp_path_factory.mktemp("cusum_events"))
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        cusum_stream(stream, mu0, h, key_col="event_type")
+        .writeStream.format("memory")
+        .queryName("cusum_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM cusum_test").collect()
+    assert len(got) == 60
+    # join streaming rows back to batch rows via (key, ts)
+    ts_to_id = {(r["event_type"], r["ts"]): r["event_id"] for r in df.collect()}
+    for r in got:
+        eid = ts_to_id[(r["key"], r["ts"])]
+        sp, sm, al = b_stats[(r["key"], eid)]
+        assert math.isclose(r["s_plus"], sp, abs_tol=1e-9)
+        assert math.isclose(r["s_minus"], sm, abs_tol=1e-9)
+        assert r["alarm"] == al
