@@ -591,3 +591,54 @@ def x_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") - F.col("exact_count")).cast("long").alias("overestimate"),
         )
     )
+
+
+@_q(
+    "x_source_quality_report",
+    "Per-source quality dashboard (the curation triage report deciding "
+    "which ingest sources need re-crawling/filters): document count, "
+    "mean and exact-median composite quality, and the share below the "
+    "0.5 filter threshold, per source.  The per-doc quality score is "
+    "the x_text_quality formula (IEEE-identical on both engines from "
+    "exact integer inputs); the aggregate is one map-side-combinable "
+    "pass — at 100 TB the shuffle carries |sources| rows.  Mean/"
+    "median round at 6 per the base contract; the low-quality share "
+    "divides two exact counts.",
+    f"""
+WITH d AS (
+  SELECT source, text, {_TOKS} AS toks FROM documents
+), q AS (
+  SELECT source,
+         (
+           (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END)
+           + (1.0 - least(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                          / greatest(length(text), 1) * 4, 1.0))
+           + least(CAST(len(list_filter(toks, t -> list_contains({['the', 'and', 'of', 'to', 'is', 'in', 'that', 'it', 'was', 'for']}, lower(t)))) AS DOUBLE)
+                   / greatest(len(toks), 1) * 5, 1.0)
+         ) / 3.0 AS quality
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(quality), 6) AS mean_quality,
+       ROUND(quantile_cont(quality, 0.5), 6) AS median_quality,
+       CAST(SUM(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS share_low
+FROM q
+GROUP BY 1
+""",
+    tags=("llm", "quality"),
+)
+def x_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfn import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    q = docs.select("source", quality_score("text").alias("quality"))
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+        F.round(F.percentile("quality", F.lit(0.5)), 6).alias("median_quality"),
+        (
+            F.sum((F.col("quality") < 0.5).cast("int")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("share_low"),
+    )
