@@ -190,3 +190,35 @@ def temperature_mix(
         .filter(hash_frac(F.col(key_col).cast("string"), seed=seed) < F.col("__q"))
         .drop("__q")
     )
+
+
+def topk_weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: str = "ares",
+) -> DataFrame:
+    """EXACTLY-k weighted sample without replacement (Efraimidis &
+    Spirakis 2006 A-Res): each row gets key u^(1/w) — equivalently
+    rank by -ln(u)/w ascending — and the k best keys win.  Inclusion
+    probability scales with the weight; the fixed output size is what
+    :func:`weighted_sample`'s Bernoulli filter cannot give.
+
+    ``u`` derives from the portable content hash, NOT a random source,
+    so the sample is deterministic across engines, partitionings, and
+    reruns (the suite's reproducible-curation contract).  The rank key
+    rounds at 12 decimals with a ``key_col`` tie-break so cross-engine
+    libm last-ulp ln() differences cannot reorder the cut.  Runs as
+    TakeOrdered (per-partition heaps, k-row merge) — never a global
+    sort."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (portable_hash64(F.col(key_col).cast("string"), seed=seed) + 1) / F.lit(
+        _HASH_SPACE
+    )
+    key = F.round(-F.log(u) / F.greatest(w, F.lit(1e-12)), 12)
+    return (
+        df.withColumn("ares_key", key)
+        .orderBy("ares_key", key_col)
+        .limit(k)
+    )

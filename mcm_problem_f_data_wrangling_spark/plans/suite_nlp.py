@@ -642,3 +642,49 @@ def x_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("share_low"),
     )
+
+
+@_q(
+    "x_curation_topk_weighted",
+    "EXACTLY-k weighted sample without replacement (Efraimidis-"
+    "Spirakis 2006 A-Res; operators/curation.py topk_weighted_sample): "
+    "rank every doc by -ln(u)/quality with u from the portable "
+    "content hash — deterministic across engines/partitionings — and "
+    "keep the best 50.  The fixed output size is what the Bernoulli "
+    "x_curation_weighted_sample cannot give; the plan is one scan + "
+    "TakeOrderedAndProject (per-partition heaps), never a global "
+    "sort.  Rank key rounds at 12 with a doc_id tie-break so libm "
+    "last-ulp ln() drift cannot move the cut.",
+    f"""
+WITH d AS (
+  SELECT doc_id, source, text, {_TOKS} AS toks FROM documents
+), q AS (
+  SELECT doc_id, source,
+         (
+           (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END)
+           + (1.0 - least(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                          / greatest(length(text), 1) * 4, 1.0))
+           + least(CAST(len(list_filter(toks, t -> list_contains({['the', 'and', 'of', 'to', 'is', 'in', 'that', 'it', 'was', 'for']}, lower(t)))) AS DOUBLE)
+                   / greatest(len(toks), 1) * 5, 1.0)
+         ) / 3.0 AS quality
+  FROM d
+)
+SELECT doc_id, source,
+       ROUND(-ln((CAST('0x' || substr(md5('ares' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)
+                 / 1152921504606846976.0)
+             / greatest(quality, 1e-12), 12) AS ares_key
+FROM q
+ORDER BY ares_key, doc_id
+LIMIT 50
+""",
+    tags=("llm", "curation"),
+)
+def x_curation_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfn import quality_score
+    from ..operators.curation import topk_weighted_sample
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source", quality_score("text").alias("quality"))
+    return topk_weighted_sample(scored, "quality", k=50).select(
+        "doc_id", "source", "ares_key"
+    )

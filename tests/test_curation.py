@@ -86,3 +86,26 @@ def test_weighted_sample_clamps_weights(spark):
     )
     kept = {r["doc_id"] for r in weighted_sample(df, "w").collect()}
     assert kept == {1}  # >1 clamps to always-keep; <0 clamps to never
+
+
+def test_topk_weighted_sample_properties(spark):
+    """A-Res: exact size k, deterministic under repartition, and
+    inclusion biased toward heavy weights (a weight-10 row beats a
+    weight-0.01 row with overwhelming frequency)."""
+    from mcm_problem_f_data_wrangling_spark.operators.curation import (
+        topk_weighted_sample,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, 10.0).otherwise(0.01).alias("w"),
+    )
+    got = topk_weighted_sample(df, "w", k=50).collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r["doc_id"] < 100)
+    assert heavy >= 45  # heavy rows dominate the fixed-size sample
+    again = {
+        r["doc_id"]
+        for r in topk_weighted_sample(df.repartition(13), "w", k=50).collect()
+    }
+    assert again == {r["doc_id"] for r in got}
