@@ -688,3 +688,47 @@ def x_curation_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_weighted_sample(scored, "quality", k=50).select(
         "doc_id", "source", "ares_key"
     )
+
+
+@_q(
+    "x_token_entropy",
+    "Per-document unigram token entropy in bits (the repetitiveness/"
+    "spam signal complementing x_quality_repetition_signals: low "
+    "entropy = few distinct tokens dominating).  Within-doc term "
+    "counts pre-aggregate on (doc, term) — map-side combinable, the "
+    "exchange carries distinct pairs, not occurrences — then one "
+    "(doc)-keyed aggregate computes H = ln(n) - Σ c·ln(c) / n "
+    "(algebraically exact identity, avoiding per-term p=c/n divides), "
+    "converted to bits by /ln(2).  Counts are exact integers; the "
+    "order-dependent Σ c·ln(c) rounds at 6 per the base contract.",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tc AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND((ln(SUM(c)) - SUM(c * ln(c)) / SUM(c)) / ln(2), 6) AS entropy_bits
+FROM tc
+GROUP BY 1
+""",
+    tags=("llm", "quality"),
+)
+def x_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = F.sum("c")
+    return tc.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(
+            (F.log(n) - F.sum(F.col("c") * F.log("c")) / n) / F.log(F.lit(2.0)), 6
+        ).alias("entropy_bits"),
+    )

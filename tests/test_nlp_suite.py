@@ -171,3 +171,12 @@ def test_hard_negatives_exclude_same_label(spark):
     assert len(by_probe) == 5
     for sims in by_probe.values():
         assert sims == sorted(sims, reverse=True)
+
+
+def test_token_entropy_bounds(spark):
+    rows = REGISTRY["x_token_entropy"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # 0 <= H <= log2(n_distinct), with equality iff uniform
+        assert -1e-6 <= r["entropy_bits"] <= math.log2(r["n_distinct"]) + 1e-6  # 6-dp rounding slack
+        assert r["n_distinct"] <= r["n_tokens"]
