@@ -510,3 +510,70 @@ def _prefix_filter_jaccard(tok: DataFrame, threshold: float) -> DataFrame:
         F.col("n_1") + F.col("n_2") - F.col("n_common")
     ).cast("double")
     return inter.where(jac >= F.lit(threshold))
+
+
+def banded_keys(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """(id, band_idx, band_key) from a signature table — the shared
+    banding step of :func:`lsh_candidate_pairs` and
+    :func:`incremental_lsh_dedup`."""
+    rows = k // bands
+    band_key = [
+        F.concat_ws("|", *[F.col(f"s{b * rows + r}") for r in range(rows)]).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    return signatures.select(F.col(id_col), *band_key).select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(bands)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+
+
+def incremental_lsh_dedup(
+    new_docs: DataFrame,
+    corpus_signatures: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an INCREMENT against an existing corpus — the daily-ingest
+    path: the corpus contributes only its stored MinHash signatures
+    (computed once at its own ingest; its text is never re-read or
+    re-hashed), the new batch computes signatures for itself alone.
+
+    Drop rule (order-free, the semantic_dedup convention): a new doc is
+    dropped iff it shares ANY band bucket with a corpus doc, or with a
+    lower-id doc of its own batch.  Both checks are equi-joins on
+    (band_idx, band_key) — the corpus side is a LEFT SEMI probe, so
+    corpus band keys stream once and nothing corpus-sized accumulates.
+
+    Returns ``(kept_new_docs, kept_new_signatures)`` — append the
+    latter to the signature store to complete the ingest cycle.
+    """
+    new_sigs = minhash_signatures(new_docs, text_col=text_col, id_col=id_col, k=k)
+    nb = banded_keys(new_sigs, id_col, k, bands)
+    cb = banded_keys(corpus_signatures, id_col, k, bands)
+    vs_corpus = nb.join(
+        cb, ["band_idx", "band_key"], "left_semi"
+    ).select(id_col).dropDuplicates()
+    a, b = nb.alias("a"), nb.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .dropDuplicates()
+    )
+    dropped = vs_corpus.unionByName(within).dropDuplicates()
+    kept = new_docs.join(dropped, id_col, "left_anti")
+    kept_sigs = new_sigs.join(dropped, id_col, "left_anti")
+    return kept, kept_sigs

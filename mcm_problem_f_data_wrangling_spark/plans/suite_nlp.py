@@ -38,6 +38,8 @@ def _q(name: str, doc: str, sql: str | None = None, headline: bool = False, tags
 
 _TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')"
 
+from .suite_ext import _SIG_CTE as _SIG_CTE_NLP  # noqa: E402 — shared md5-seeded MinHash oracle CTE
+
 # BM25 constants (Robertson/Okapi defaults)
 _K1, _B = 1.2, 0.75
 _BM25_TERMS = ("spark", "window", "join")
@@ -732,3 +734,54 @@ def x_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.log(n) - F.sum(F.col("c") * F.log("c")) / n) / F.log(F.lit(2.0)), 6
         ).alias("entropy_bits"),
     )
+
+
+@_q(
+    "x_dedup_incremental",
+    "Incremental LSH dedup (operators/dedup.py incremental_lsh_dedup "
+    "— the daily-ingest path): docs with id < 400 play the EXISTING "
+    "corpus, contributing only their stored MinHash signatures (text "
+    "never re-read at scale); ids >= 400 are the new batch.  A new "
+    "doc drops iff it shares any of 8 band buckets with a corpus doc "
+    "(LEFT SEMI probe — corpus band keys stream once) or with a "
+    "lower-id batch-mate (the order-free within-batch rule).  All "
+    "hashing is seeded md5 → bit-identical oracle.",
+    f"""
+WITH {_SIG_CTE_NLP},
+banded AS (
+  SELECT doc_id, 0 AS band_idx, concat_ws('|', s0, s1) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1 AS band_idx, concat_ws('|', s2, s3) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 2 AS band_idx, concat_ws('|', s4, s5) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 3 AS band_idx, concat_ws('|', s6, s7) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 4 AS band_idx, concat_ws('|', s8, s9) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 5 AS band_idx, concat_ws('|', s10, s11) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 6 AS band_idx, concat_ws('|', s12, s13) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 7 AS band_idx, concat_ws('|', s14, s15) AS band_key FROM sig
+),
+newb AS (SELECT * FROM banded WHERE doc_id >= 400),
+corpb AS (SELECT * FROM banded WHERE doc_id < 400),
+drop_c AS (
+  SELECT DISTINCT n.doc_id FROM newb n
+  JOIN corpb c ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+),
+drop_w AS (
+  SELECT DISTINCT b.doc_id FROM newb a
+  JOIN newb b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.doc_id >= 400
+  AND d.doc_id NOT IN (SELECT doc_id FROM drop_c)
+  AND d.doc_id NOT IN (SELECT doc_id FROM drop_w)
+""",
+    tags=("llm", "dedup"),
+)
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_lsh_dedup, minhash_signatures
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    corpus_sigs = minhash_signatures(corpus)
+    kept, _ = incremental_lsh_dedup(new, corpus_sigs)
+    return kept.select("doc_id", "source")

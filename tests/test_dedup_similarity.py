@@ -301,3 +301,41 @@ def test_jaccard_prefix_complete_vs_brute_force(spark):
         if union and inter / union >= t:
             want[(i, j)] = (inter, round(inter / union, 9))
     assert got == want and (0, 100) in got
+
+
+def test_incremental_lsh_dedup_matches_full_batch(spark):
+    """Splitting the corpus at id 400 and deduping the increment against
+    the stored signatures must keep EXACTLY the new docs the full-batch
+    order-free rule (drop iff any lower-id doc shares a band) keeps."""
+    from mcm_problem_f_data_wrangling_spark.operators.dedup import (
+        banded_keys,
+        incremental_lsh_dedup,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    kept, kept_sigs = incremental_lsh_dedup(new, minhash_signatures(corpus))
+    got = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert got == {r["doc_id"] for r in kept_sigs.select("doc_id").collect()}
+
+    # full-batch reference: order-free lower-id band-collision rule
+    nb = banded_keys(minhash_signatures(docs))
+    a, b = nb.alias("a"), nb.alias("b")
+    dropped = {
+        r["doc_id"]
+        for r in a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+        .collect()
+    }
+    want = {
+        r["doc_id"] for r in docs.filter(F.col("doc_id") >= 400).collect()
+    } - dropped
+    assert got == want
