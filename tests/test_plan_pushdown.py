@@ -84,3 +84,55 @@ def test_text_pipeline_stays_jvm_side(spark):
     )
     # executedPlan toString marks codegen stages with a '*(n)' prefix
     assert "*(1)" in scalar._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q06_all_filters_reach_the_scan(spark):
+    """TPC-H Q6 is the pure-pushdown benchmark: every range predicate
+    must appear in PushedFilters, not a post-scan Filter."""
+    from mcm_problem_f_data_wrangling_spark.plans import REGISTRY
+
+    import contextlib
+    import io
+
+    df = REGISTRY["q06_revenue_delta"].spark(spark, SF)
+    # toString() truncates long PushedFilters lists — formatted explain
+    # prints them in full
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24",
+    ):
+        assert frag in plan, f"missing pushed filter: {frag}"
+    # projection pruning: only the 4 referenced columns are read
+    i = plan.index("ReadSchema")
+    rs = plan[i : i + 400]
+    assert "l_extendedprice" in rs and "l_tax" not in rs
+
+
+def test_q10_topn_runs_as_take_ordered(spark):
+    """The LIMIT 20 over ORDER BY revenue must be a TakeOrderedAndProject
+    (per-partition heaps), never a global Sort + CollectLimit."""
+    from mcm_problem_f_data_wrangling_spark.plans import REGISTRY
+
+    df = REGISTRY["q10_returned_items"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q05_q07_dimension_chain_broadcasts(spark):
+    """Multi-join stars: every dimension-side join is a broadcast; no
+    SortMergeJoin appears at test scale."""
+    from mcm_problem_f_data_wrangling_spark.plans import REGISTRY
+
+    for name in ("q05_star_join_revenue", "q07_volume_shipping", "q08_market_share"):
+        df = REGISTRY[name].spark(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, name
