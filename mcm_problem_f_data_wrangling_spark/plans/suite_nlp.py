@@ -785,3 +785,43 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_sigs = minhash_signatures(corpus)
     kept, _ = incremental_lsh_dedup(new, corpus_sigs)
     return kept.select("doc_id", "source")
+
+
+@_q(
+    "x_curation_eval_holdout",
+    "Deterministic exact-k-per-stratum eval holdout (the held-out set "
+    "every training pipeline carves before dedup/decontam — which "
+    "then treat it as the eval side): exactly 3 docs per source, "
+    "chosen by portable-hash order so the same docs hold out across "
+    "engines, partitionings, and reruns (no RNG state to persist).  "
+    "Proportional splits are x_curation_hash_split; this is the "
+    "fixed-quota variant.  One window over a (source)-keyed exchange; "
+    "Spark's WindowGroupLimit keeps per-partition state at O(k).",
+    f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5('holdout' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           / 1152921504606846976.0 AS u
+  FROM documents
+)
+SELECT doc_id, source, ROUND(u, 12) AS holdout_key
+FROM h
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY u, doc_id) <= 3
+""",
+    tags=("llm", "curation"),
+)
+def x_curation_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import hash_frac
+
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        hash_frac(F.col("doc_id").cast("string"), seed="holdout").alias("u"),
+    )
+    w = Window.partitionBy("source").orderBy("u", "doc_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "source", F.round("u", 12).alias("holdout_key"))
+    )

@@ -50,7 +50,17 @@ def canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or list(REGISTRY)
-    spark = get_spark("parity-check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # the driver's actual surface: a bone-stock SparkSession —
+        # ANSI on (4.x default), 200 shuffle partitions, none of the
+        # engine's session tuning
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").appName(
+            "parity-vanilla"
+        ).getOrCreate()
+    else:
+        spark = get_spark("parity-check")
     con = duck_con(sf_dir)
     failures = []
     for name in names:
