@@ -231,14 +231,14 @@ def x_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "other document.  Shingles hash to 60-bit md5-portable ints "
     "before the shuffle (8-word strings never leave the map side); "
     "per-doc dedup happens row-locally in the array domain; the "
-    "gram→doc-count is a WINDOW over the hash partition, not an "
-    "aggregate-plus-rejoin — the join formulation recomputes the "
-    "whole shingle+md5 pipeline for the second consumer (measured "
-    "4.3 s → 1.9 s at sf0.1), while the window shares one pass and "
-    "one exchange.  Counts are exact integers; the fraction is one "
-    "IEEE divide.  Docs under 8 tokens have no shingles and are "
-    "excluded (strict shingling — a whole-text fallback would "
-    "fabricate cross-doc matches).",
+    "gram→doc-count aggregate is map-side-combinable and the re-join "
+    "on the hash is AQE-skew-splittable — deliberately NOT a window "
+    "over the hash partition, which would funnel a celebrity "
+    "boilerplate gram's every occurrence into ONE unsplittable task "
+    "at 100 TB (windows cannot skew-split; joins can).  Counts are "
+    "exact integers; the fraction is one IEEE divide.  Docs under 8 "
+    "tokens have no shingles and are excluded (strict shingling — a "
+    "whole-text fallback would fabricate cross-doc matches).",
     f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 g AS (
@@ -263,23 +263,27 @@ GROUP BY 1
 )
 def x_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    # the hash only feeds EQUALITY (counts per gram) and never appears
+    # in the output, so the engine-specific JVM-native xxhash64 is
+    # correct here (textfn guidance) and ~2x cheaper than the
+    # md5-portable hash the oracle uses — both are collision-free at
+    # this scale, so the aggregated results agree
     grams = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.transform(
                     strict_word_shingles("text", 8),
-                    lambda s: portable_hash64(s),
+                    lambda s: F.xxhash64(s),
                 )
             )
         ).alias("h"),
     )
-    w = grams.withColumn(
-        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("h")).cast("long")
-    )
+    cnt = grams.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     dup = F.sum((F.col("n_docs") > 1).cast("int")).cast("long")
     return (
-        w.groupBy("doc_id")
+        grams.join(cnt, "h")
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
             dup.alias("n_dup"),
@@ -440,6 +444,8 @@ JOIN tot tb ON p.source_b = tb.source
 )
 def x_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    # hash feeds equality only (never exported) → JVM-native xxhash64
+    # (same reasoning as x_dup_ngram_fraction)
     g = (
         docs.select(
             "source",
@@ -447,7 +453,7 @@ def x_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_distinct(
                     F.transform(
                         strict_word_shingles("text", 8),
-                        lambda s: portable_hash64(s),
+                        lambda s: F.xxhash64(s),
                     )
                 )
             ).alias("h"),
