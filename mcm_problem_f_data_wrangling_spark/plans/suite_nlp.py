@@ -831,3 +831,88 @@ def x_curation_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "source", F.round("u", 12).alias("holdout_key"))
     )
+
+
+@_q(
+    "x_embed_centroid_eval",
+    "Nearest-centroid classification eval over the embedding table "
+    "(the label-coherence check curation runs before trusting labels "
+    "for stratification): per-label centroids from DECIMAL-exact "
+    "position sums (order-independent → cross-engine bitwise, unlike "
+    "a naive double mean), every vector scored against all 10 "
+    "centroids via a broadcast join, argmax by rounded cosine with a "
+    "label tie-break, rolled into a (true_label, pred_label) "
+    "confusion matrix.  The centroid table is O(labels×d) and "
+    "broadcasts; the scan is one pass; the matrix is ≤ labels² rows "
+    "at any corpus size.",
+    """
+WITH pos AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v, vec_id
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS clabel, pos,
+         CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM pos GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.vec_id, p.label AS true_label, c.clabel,
+         ROUND(SUM(p.v * c.c)
+               / (sqrt(SUM(p.v * p.v)) * sqrt(SUM(c.c * c.c))), 6) AS cos_sim
+  FROM pos p JOIN cent c ON p.pos = c.pos
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, true_label, clabel AS pred_label
+  FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, clabel) = 1
+)
+SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+FROM best GROUP BY 1, 2
+""",
+    tags=("llm", "similarity"),
+)
+def x_embed_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    emb = table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos0", "vf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),  # 1-based like generate_subscripts
+        F.col("vf").cast("double").alias("v"),
+    )
+    cent = pos.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    scored = (
+        pos.join(broadcast(cent), "pos")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "clabel")
+        .agg(
+            F.round(
+                F.sum(F.col("v") * F.col("c"))
+                / (
+                    F.sqrt(F.sum(F.col("v") * F.col("v")))
+                    * F.sqrt(F.sum(F.col("c") * F.col("c")))
+                ),
+                6,
+            ).alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "clabel")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_label", F.col("clabel").alias("pred_label"))
+    )
+    return best.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
