@@ -916,3 +916,68 @@ def x_embed_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy("true_label", "pred_label").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+@_q(
+    "x_corpus_drift_kl",
+    "Corpus drift monitor (the train/serve distribution-shift check "
+    "run between ingest snapshots): Laplace-smoothed KL(P‖Q), "
+    "KL(Q‖P), and Jensen-Shannon divergence between the token "
+    "distributions of two corpus halves (doc_id < 250 = reference "
+    "snapshot, >= 250 = current).  ONE scan produces both sides' "
+    "counts via a conditional aggregate on the term key (no second "
+    "read, no join of two count tables); totals and vocab are "
+    "exact-integer scalars inlined driver-side (a09 precedent).  "
+    "Per-term contributions are IEEE-identical; only the final "
+    "vocab-length sum is order-dependent → rounded 6.",
+    f"""
+WITH toks AS (
+  SELECT doc_id < 250 AS is_ref, unnest({_TOKS}) AS term FROM documents
+),
+cnt AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM toks GROUP BY 1
+),
+tot AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS v FROM cnt
+),
+pq AS (
+  SELECT (ca + 1.0) / (t.na + t.v) AS p, (cb + 1.0) / (t.nb + t.v) AS q
+  FROM cnt, tot t
+)
+SELECT ROUND(SUM(p * ln(p / q)), 6) AS kl_pq,
+       ROUND(SUM(q * ln(q / p)), 6) AS kl_qp,
+       ROUND(SUM(0.5 * p * ln(p / ((p + q) / 2)) + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS js_divergence,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab
+FROM pq
+""",
+    tags=("llm", "quality"),
+)
+def x_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") < 250).alias("is_ref"),
+        F.explode(tokens("text")).alias("term"),
+    )
+    cnt = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).cast("long").alias("cb"),
+    )
+    # totals/vocab: three exact integers — driver literals (a09)
+    trow = cnt.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    na, nb, v = int(trow["na"]), int(trow["nb"]), int(trow["v"])
+    p = (F.col("ca") + F.lit(1.0)) / F.lit(float(na + v))
+    q = (F.col("cb") + F.lit(1.0)) / F.lit(float(nb + v))
+    m = (p + q) / 2
+    return cnt.agg(
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl_pq"),
+        F.round(F.sum(q * F.log(q / p)), 6).alias("kl_qp"),
+        F.round(
+            F.sum(0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)), 6
+        ).alias("js_divergence"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )

@@ -180,3 +180,11 @@ def test_token_entropy_bounds(spark):
         # 0 <= H <= log2(n_distinct), with equality iff uniform
         assert -1e-6 <= r["entropy_bits"] <= math.log2(r["n_distinct"]) + 1e-6  # 6-dp rounding slack
         assert r["n_distinct"] <= r["n_tokens"]
+
+
+def test_corpus_drift_divergence_bounds(spark):
+    r = REGISTRY["x_corpus_drift_kl"].spark(spark, SF_SMOKE).collect()[0]
+    # Gibbs: KL >= 0; JS bounded by ln 2; smoothing keeps all finite
+    assert r["kl_pq"] >= -1e-6 and r["kl_qp"] >= -1e-6
+    assert -1e-6 <= r["js_divergence"] <= math.log(2) + 1e-6
+    assert r["n_vocab"] > 0
