@@ -105,14 +105,20 @@ def rolling_corr(x: Column | str, y: Column | str, w: WindowSpec, window: int, m
     matching DuckDB's ``corr`` and pandas' NaN.
     """
     cx, cy = _c(x), _c(y)
-    pair = F.when(cx.isNotNull() & cy.isNotNull(), cx)
+    both = cx.isNotNull() & cy.isNotNull()
+    # pairwise-complete masking: every moment uses ONLY rows where BOTH
+    # sides are present (pandas/DuckDB corr semantics).  Unmasked
+    # per-side stddevs would mix in rows the other side lacks and can
+    # produce |corr| > 1.
+    xm = F.when(both, cx)
+    ym = F.when(both, cy)
     frame = _frame(w, window)
     mp = window if min_periods is None else min_periods
     corr = F.try_divide(
-        F.covar_samp(cx, cy).over(frame),
-        F.stddev_samp(cx).over(frame) * F.stddev_samp(cy).over(frame),
+        F.covar_samp(xm, ym).over(frame),
+        F.stddev_samp(xm).over(frame) * F.stddev_samp(ym).over(frame),
     )
-    return F.when(F.count(pair).over(frame) >= mp, corr)
+    return F.when(F.count(xm).over(frame) >= mp, corr)
 
 
 def index_rebase(col: Column | str, w: WindowSpec, base: float = 100.0) -> Column:

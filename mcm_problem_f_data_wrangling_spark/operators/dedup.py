@@ -274,8 +274,16 @@ def embedding_neardup_pairs(
         )
     else:
         if hyperplanes is None:
-            dim = len(df.select(vec_col).first()[0])
-            hyperplanes = srp_hyperplanes(dim, n_bits=n_bits)
+            first = df.select(vec_col).first()
+            if first is None:
+                # empty input: no pairs (and no dimension to derive
+                # hyperplanes from) — return the empty result with the
+                # output schema rather than crashing a scheduled sweep
+                return df.sparkSession.createDataFrame(
+                    [],
+                    "band long, vec_id_1 long, vec_id_2 long, cos_sim double",
+                )
+            hyperplanes = srp_hyperplanes(len(first[0]), n_bits=n_bits)
         keys = srp_band_keys(vec_col, hyperplanes, n_bits)
         banded = df.select(
             F.col(id_col),
@@ -413,10 +421,12 @@ def jaccard_join_prefix(
     """EXACT all-pairs Jaccard join via prefix filtering (AllPairs /
     PPJoin; Bayardo et al. WWW'07, Xiao et al. WWW'08).
 
-    The length-banded ``ngram_jaccard_pairs`` above is a heuristic (a
-    near-dup pair straddling a bucket boundary is missed); this one is
-    complete: every pair with shingle-set Jaccard >= ``threshold`` is
-    returned, without an O(n²) cross join.  The filter: order each
+    ``ngram_jaccard_pairs`` above now shares this same prefix-filter
+    core (``_prefix_filter_jaccard``) — both are complete: every pair
+    with shingle-set Jaccard >= ``threshold`` is returned, without an
+    O(n²) cross join; they differ only in tokenization unit (this one
+    joins on raw tokens of pre-shingled docs, that one on word
+    shingles).  The filter: order each
     doc's tokens by ascending global document frequency (rarest
     first, ties by token string — a deterministic total order); a doc
     with n tokens exposes only its first ``n - ceil(t*n) + 1`` tokens

@@ -115,15 +115,22 @@ def project_pca(
     vec_col: str = "embedding",
     prefix: str = "pc",
 ) -> DataFrame:
-    """Append pc1..pck columns — JVM-side centered dot products."""
+    """Append pc1..pck columns — JVM-side centered dot products.
+
+    The vector is centered ONCE into a shared column; each component
+    then costs one zip_with+aggregate dot product (k re-centerings
+    would multiply the per-row array arithmetic by k on the bulk
+    projection pass)."""
     cols = list(df.columns)
-    out = df
+    lit_m = F.array(*[F.lit(float(v)) for v in mean])
+    out = df.withColumn(
+        "__pca_centered",
+        F.zip_with(F.col(vec_col), lit_m, lambda x, m: x.cast("double") - m),
+    )
     for i, comp in enumerate(components):
         lit_c = F.array(*[F.lit(float(v)) for v in comp])
-        lit_m = F.array(*[F.lit(float(v)) for v in mean])
-        centered = F.zip_with(F.col(vec_col), lit_m, lambda x, m: x.cast("double") - m)
         dot: Column = F.aggregate(
-            F.zip_with(centered, lit_c, lambda x, c: x * c),
+            F.zip_with(F.col("__pca_centered"), lit_c, lambda x, c: x * c),
             F.lit(0.0),
             lambda a, x: a + x,
         )

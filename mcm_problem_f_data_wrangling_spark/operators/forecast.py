@@ -415,10 +415,12 @@ def fit_best_arma_forecast(
         pdf = pdf.sort_values(order_col)
         y = pdf[value_col].astype(float).to_numpy()
         key = str(pdf[group_col].iloc[0])
-        if len(y) < 2 * season + 2:
+
+        def rw_fallback():
             d = pd.Series(y).diff().dropna()
             mu = float(d.mean()) if len(d) else 0.0
-            fc = [float(y[-1]) + (h + 1) * mu for h in range(steps)]
+            last = float(y[-1]) if len(y) else 0.0
+            fc = [last + (h + 1) * mu for h in range(steps)]
             return pd.DataFrame(
                 {
                     "group": key,
@@ -429,6 +431,12 @@ def fit_best_arma_forecast(
                     "forecast": fc,
                 }
             )
+
+        if len(y) < 2 * season + 2 or not np.isfinite(y).all():
+            # short series AND series with gaps (NaN months) both land
+            # on the documented rw_drift degradation — a NaN poisons
+            # every candidate's SSE, so no finite AIC can exist
+            return rw_fallback()
         dy = np.diff(y)
         z = dy[season:] - dy[:-season]
         best = None
@@ -436,6 +444,10 @@ def fit_best_arma_forecast(
             aic, params = fit_arma_css(z, p, q, P, Q, s=s)
             if np.isfinite(aic) and (best is None or aic < best[0]):
                 best = (aic, (p, d_, q), (P, D_, Q, s), params)
+        if best is None:
+            # every candidate degenerate (constant series, optimizer
+            # failure) — degrade, don't crash the whole stage
+            return rw_fallback()
         aic, order, seas, params = best
         fc = _arma_forecast(
             y, params, order[0], order[2], seas[0], seas[2], steps, s=seas[3]

@@ -203,18 +203,29 @@ def semantic_dedup(
 
     global _LAST_ASSIGNED
     if _LAST_ASSIGNED is not None:
-        _LAST_ASSIGNED.unpersist()
+        try:
+            _LAST_ASSIGNED.unpersist()
+        except Exception:
+            # the handle may belong to an already-stopped SparkSession
+            # (per-test-session lifecycles); a dead handle has nothing
+            # cached, so dropping it is correct
+            pass
     assigned = assign_cells(df, centroids, vec_col).persist()
     _LAST_ASSIGNED = assigned
     # normalize ONCE per vector before the pair join: each of the
     # O(cell²) pair comparisons then costs a dot product alone instead
     # of dot + two norms (~3× less per-pair arithmetic; cos(a,b) ≡
     # dot(a/|a|, b/|b|) exactly, modulo last-ulp rounding)
+    # zero vectors (padding / failed encodes) must not divide by zero —
+    # ANSI mode (the driver's default) raises instead of yielding inf.
+    # norm 0 → keep the zero vector as-is (cos vs anything = 0, so it
+    # never crosses the threshold), matching the BLAS path's guard.
+    safe_norm = F.when(F.col("__norm") > 0, F.col("__norm")).otherwise(F.lit(1.0))
     unit = assigned.withColumn("__norm", l2_norm(F.col(vec_col))).select(
         id_col,
         "cell",
         F.transform(
-            F.col(vec_col), lambda v: v.cast("double") / F.col("__norm")
+            F.col(vec_col), lambda v: v.cast("double") / safe_norm
         ).alias("__unit"),
     )
     a, b = unit.alias("a"), unit.alias("b")

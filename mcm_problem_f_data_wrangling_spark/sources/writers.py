@@ -66,7 +66,14 @@ def write_excel_sheets(frames: dict[str, DataFrame], path: str) -> str:
     """
     import pandas as pd
 
-    pdfs = {sheet[:31]: df.toPandas() for sheet, df in frames.items()}
+    pdfs = {}
+    for sheet, df in frames.items():
+        short = sheet[:31]  # the Excel sheet-name limit
+        if short in pdfs:
+            raise ValueError(
+                f"sheet names collide after 31-char truncation: {short!r}"
+            )
+        pdfs[short] = df.toPandas()
     try:
         import openpyxl  # noqa: F401
     except ImportError:
@@ -123,7 +130,10 @@ def _write_xlsx_minimal(pdfs: dict, path: str) -> str:
                 if v is None or (isinstance(v, float) and v != v):
                     continue  # blank cell
                 if isinstance(v, numbers.Number) and not isinstance(v, bool):
-                    cells.append(f'<c r="{ref}"><v>{v!r}</v></c>')
+                    # repr() of Decimal / numpy>=2 scalars is not a
+                    # valid <v> payload — normalize through int/float
+                    num = int(v) if isinstance(v, numbers.Integral) else float(v)
+                    cells.append(f'<c r="{ref}"><v>{num!r}</v></c>')
                 else:
                     cells.append(
                         f'<c r="{ref}" t="inlineStr"><is><t>{_xml_escape(str(v))}</t></is></c>'

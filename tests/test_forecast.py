@@ -165,3 +165,20 @@ def test_aic_grid_spark_plan(spark):
     assert sht.sort_values("step")["forecast"].tolist() == pytest.approx(
         [118 + 2.0 * h for h in range(1, 5)]
     )
+
+
+def test_aic_grid_nan_series_degrades_to_rw_drift(spark):
+    """A gap (NaN) month poisons every candidate's SSE — the group must
+    land on the documented rw_drift fallback, not crash the stage."""
+    import math
+
+    from mcm_problem_f_data_wrangling_spark.operators.forecast import (
+        fit_best_arma_forecast,
+    )
+
+    rows = [("g", i, float(i) if i != 17 else float("nan")) for i in range(40)]
+    df = spark.createDataFrame(rows, ["career", "t", "v"])
+    out = fit_best_arma_forecast(df, "career", "t", "v", steps=3).collect()
+    assert len(out) == 3
+    assert all(r["order"] == "rw_drift" for r in out)
+    assert all(r["aic"] is None or math.isnan(r["aic"]) for r in out)

@@ -125,3 +125,34 @@ def test_ewma_matches_pandas_ewm(spark):
         .reset_index(drop=True)
     )
     assert (got["y"] - exp["y"]).abs().max() < 1e-9
+
+
+def test_rolling_corr_pairwise_complete_masking(spark):
+    """One-sided nulls: every moment must use only pairwise-complete
+    rows (pandas/DuckDB corr semantics).  Unmasked per-side stddevs
+    returned 1.414... (> 1) on this repro before the fix."""
+    from mcm_problem_f_data_wrangling_spark.functions.rolling import rolling_corr
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 3,
+            "t": [1, 2, 3],
+            "x": [1.0, 2.0, 3.0],
+            "y": [1.0, None, 3.0],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    w = Window.partitionBy("k").orderBy("t")
+    got = (
+        sdf.withColumn("c", rolling_corr("x", "y", w, window=3, min_periods=2))
+        .orderBy("t")
+        .collect()
+    )
+    want = pdf["x"].rolling(3, min_periods=2).corr(pdf["y"]).tolist()
+    for g, p in zip((r["c"] for r in got), want):
+        if p != p:  # NaN
+            assert g is None
+        else:
+            assert g is not None and abs(g - p) < 1e-9
+    # the bug's signature: |corr| must never exceed 1
+    assert all(r["c"] is None or abs(r["c"]) <= 1 + 1e-9 for r in got)
