@@ -981,3 +981,71 @@ def x_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("js_divergence"),
         F.count(F.lit(1)).cast("long").alias("n_vocab"),
     )
+
+
+# offline-trained quality classifier weights (fixed artifact: features
+# are [punct_ratio, stopword_ratio, ln(1+n_tokens), len_ok]; at
+# deploy time only the linear form ships, never the training code)
+_LR_W = (-3.2, 2.1, 0.35, 1.4)
+_LR_B = -1.1
+
+
+@_q(
+    "x_quality_lr_score",
+    "Model inference fused into the scan (the 'ML inference in pure "
+    "SQL' pattern — ICDE'25 operator-fusion line of work): an "
+    "offline-trained logistic-regression quality classifier runs as "
+    "native column arithmetic — features (punct ratio, stopword "
+    "ratio, log token count, length band) + dot product + sigmoid in "
+    "ONE codegen'd projection, zero Python, zero extra passes; the "
+    "keep decision is a filter any downstream operator composes "
+    "with.  All features are exact-integer-derived, the linear form "
+    "is IEEE-identical cross-engine, the probability rounds at 6.",
+    f"""
+WITH d AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         CAST(len(list_filter(toks, t -> list_contains({['the', 'and', 'of', 'to', 'is', 'in', 'that', 'it', 'was', 'for']}, lower(t)))) AS DOUBLE)
+           / greatest(len(toks), 1) AS stopword_ratio,
+         ln(1 + len(toks)) AS log_tokens,
+         CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END AS len_ok
+  FROM d
+)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-({_LR_W[0]} * punct_ratio + {_LR_W[1]} * stopword_ratio
+                               + {_LR_W[2]} * log_tokens + {_LR_W[3]} * len_ok + {_LR_B}))), 6) AS p_keep,
+       CAST(1.0 / (1.0 + exp(-({_LR_W[0]} * punct_ratio + {_LR_W[1]} * stopword_ratio
+                              + {_LR_W[2]} * log_tokens + {_LR_W[3]} * len_ok + {_LR_B}))) >= 0.5 AS INT) AS keep
+FROM feat
+""",
+    tags=("llm", "quality"),
+)
+def x_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfn import punct_ratio, stopword_ratio
+
+    docs = table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    n = F.length("text")
+    feats = docs.select(
+        "doc_id",
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        F.log(F.lit(1) + F.size(tk)).alias("log_tokens"),
+        F.when((n >= 50) & (n <= 20000), F.lit(1.0)).otherwise(F.lit(0.0)).alias("len_ok"),
+    )
+    z = (
+        F.lit(_LR_W[0]) * F.col("punct_ratio")
+        + F.lit(_LR_W[1]) * F.col("stopword_ratio")
+        + F.lit(_LR_W[2]) * F.col("log_tokens")
+        + F.lit(_LR_W[3]) * F.col("len_ok")
+        + F.lit(_LR_B)
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "doc_id",
+        F.round(p, 6).alias("p_keep"),
+        (p >= 0.5).cast("int").alias("keep"),
+    )
