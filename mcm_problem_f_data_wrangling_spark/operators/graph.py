@@ -115,9 +115,13 @@ def connected_components(
                 F.col("component").alias("a"), F.col(node_col).alias("b")
             )
             gr = sym.unionByName(ptr).unionByName(rtr)
-            offers = gr.join(labels, gr["a"] == labels[node_col], "inner").select(
-                F.col("b").alias(node_col), "component"
-            )
+            # shuffle-hash beats both the default (AQE may broadcast the
+            # ~32 MB label table — a driver roundtrip EVERY round) and
+            # sort-merge (pays a sort per round) — measured 2.2 s vs
+            # 2.6-5 s per round at 2M nodes
+            offers = gr.join(
+                labels.hint("shuffle_hash"), gr["a"] == labels[node_col], "inner"
+            ).select(F.col("b").alias(node_col), "component")
             nxt = (
                 labels.unionByName(offers)
                 .groupBy(node_col)
