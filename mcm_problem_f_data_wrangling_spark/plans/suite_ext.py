@@ -349,6 +349,7 @@ s AS (
 SELECT vec_id, ROUND(dot / (ne * nq), 6) AS cos_sim
 FROM s ORDER BY dot / (ne * nq) DESC, vec_id LIMIT 5
 """,
+    headline=True,
     tags=("M4", "similarity"),
 )
 def x_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
