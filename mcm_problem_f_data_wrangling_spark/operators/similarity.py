@@ -407,7 +407,10 @@ def train_pq(
     asserted by recall properties in tests rather than a cross-engine
     hash oracle.
     """
-    dim = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("train_pq: empty input — nothing to train on")
+    dim = len(first[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
