@@ -1319,3 +1319,72 @@ def s27_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("s_minus").cast("double") < -50.0)
         ).cast("int").alias("alarm"),
     )
+
+
+@_q(
+    "w31_theil_sen_trend",
+    "Theil-Sen robust trend per series (the median-of-pairwise-slopes "
+    "estimator — up to 29% outlier breakdown vs OLS's zero; "
+    "complements w22_ols_trend): all month-pair slopes via an "
+    "equi-self-join on the series key with a month inequality — the "
+    "pair count is (months choose 2) per series, BOUNDED by the "
+    "calendar (~84 months → ~3.5k pairs) regardless of fact-table "
+    "size, because the join runs on the PRE-AGGREGATED monthly table "
+    "(the 100 TB rows collapse before any quadratic work).  Slope "
+    "median is an exact interpolated percentile over IEEE-identical "
+    "doubles; intercept = median(y − slope_med·x).",
+    f"""
+WITH {MONTHLY_CTE},
+idx AS (
+  SELECT flag, month, revenue,
+         CAST(datediff('month', DATE '1995-01-01', month) AS DOUBLE) AS x
+  FROM monthly
+),
+slopes AS (
+  SELECT a.flag, (b.revenue - a.revenue) / (b.x - a.x) AS slope
+  FROM idx a JOIN idx b ON a.flag = b.flag AND a.x < b.x
+),
+med AS (
+  SELECT flag, ROUND(quantile_cont(slope, 0.5), 6) AS slope_med,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM slopes GROUP BY 1
+)
+SELECT i.flag, m.slope_med, m.n_pairs,
+       ROUND(quantile_cont(i.revenue - m.slope_med * i.x, 0.5), 6) AS intercept_med
+FROM idx i JOIN med m ON i.flag = m.flag
+GROUP BY 1, 2, 3
+""",
+    tags=("M2", "window"),
+)
+def w31_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    m = monthly_lineitem(spark, sf_dir)
+    idx = m.select(
+        "flag",
+        "revenue",
+        F.months_between(F.col("month"), F.lit("1995-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = a.join(
+        b, (F.col("a.flag") == F.col("b.flag")) & (F.col("a.x") < F.col("b.x"))
+    ).select(
+        F.col("a.flag").alias("flag"),
+        ((F.col("b.revenue") - F.col("a.revenue")) / (F.col("b.x") - F.col("a.x"))).alias("slope"),
+    )
+    med = slopes.groupBy("flag").agg(
+        F.round(F.percentile("slope", F.lit(0.5)), 6).alias("slope_med"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    return (
+        idx.join(broadcast(med), "flag")
+        .groupBy("flag", "slope_med", "n_pairs")
+        .agg(
+            F.round(
+                F.percentile(F.col("revenue") - F.col("slope_med") * F.col("x"), F.lit(0.5)),
+                6,
+            ).alias("intercept_med")
+        )
+    )

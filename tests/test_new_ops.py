@@ -281,3 +281,30 @@ def test_semantic_dedup_blas_matches_hof(spark):
         a = {r["vec_id"] for r in semantic_dedup(emb, cents, threshold=thr).collect()}
         b = {r["vec_id"] for r in semantic_dedup_blas(emb, cents, threshold=thr).collect()}
         assert a == b
+
+
+def test_theil_sen_matches_numpy_and_resists_outlier(spark):
+    """w31: slope median equals the brute-force pairwise median, and a
+    single planted outlier leaves the slope unmoved (OLS moves)."""
+    import itertools
+
+    from mcm_problem_f_data_wrangling_spark.plans import REGISTRY  # noqa: F401
+
+    rows = [("s", float(i), 2.0 * i + 1.0) for i in range(20)]
+    rows[7] = ("s", 7.0, 500.0)  # outlier
+    df = spark.createDataFrame(rows, ["flag", "x", "revenue"])
+    a, b = df.alias("a"), df.alias("b")
+    slopes = (
+        a.join(b, (F.col("a.flag") == F.col("b.flag")) & (F.col("a.x") < F.col("b.x")))
+        .select(((F.col("b.revenue") - F.col("a.revenue")) / (F.col("b.x") - F.col("a.x"))).alias("s"))
+    )
+    got = slopes.agg(F.percentile("s", F.lit(0.5))).collect()[0][0]
+    pts = [(r[1], r[2]) for r in rows]
+    ref = np.median(
+        [
+            (y2 - y1) / (x2 - x1)
+            for (x1, y1), (x2, y2) in itertools.combinations(pts, 2)
+        ]
+    )
+    assert abs(got - ref) < 1e-9
+    assert abs(got - 2.0) < 0.1  # outlier-resistant: stays near true slope
