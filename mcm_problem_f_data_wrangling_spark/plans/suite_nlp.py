@@ -1049,3 +1049,87 @@ def x_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("p_keep"),
         (p >= 0.5).cast("int").alias("keep"),
     )
+
+
+_BANDS_SQL = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, concat_ws('|', s{2*b}, s{2*b+1}) AS band_key FROM sig"
+    for b in range(8)
+)
+
+
+@_q(
+    "x_dedup_containment",
+    "Asymmetric containment detection over LSH candidates (the "
+    "quote/near-superset case symmetric Jaccard MISSES: a short doc "
+    "fully quoted inside a long one has high containment but low "
+    "Jaccard).  Candidates come from the existing MinHash bands — "
+    "never all-pairs; exact shingle-set intersection then yields "
+    "containment in BOTH directions plus Jaccard, and flags "
+    "near-supersets (max containment >= 0.8, Jaccard < 0.5).  "
+    "Set sizes/intersections are exact integers; each ratio is one "
+    "IEEE divide.",
+    f"""
+WITH {_SIG_CTE_NLP},
+banded AS (
+  {_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh)
+SELECT c.d1 AS doc_id_1, c.d2 AS doc_id_2,
+       CAST(len(list_intersect(s1.ss, s2.ss)) AS BIGINT) AS n_inter,
+       CAST(len(s1.ss) AS BIGINT) AS n_1,
+       CAST(len(s2.ss) AS BIGINT) AS n_2,
+       CAST(len(list_intersect(s1.ss, s2.ss)) AS DOUBLE) / len(s1.ss) AS containment_1_in_2,
+       CAST(len(list_intersect(s1.ss, s2.ss)) AS DOUBLE) / len(s2.ss) AS containment_2_in_1,
+       CAST(len(list_intersect(s1.ss, s2.ss)) AS DOUBLE)
+         / (len(s1.ss) + len(s2.ss) - len(list_intersect(s1.ss, s2.ss))) AS jaccard,
+       CAST(greatest(CAST(len(list_intersect(s1.ss, s2.ss)) AS DOUBLE) / len(s1.ss),
+                     CAST(len(list_intersect(s1.ss, s2.ss)) AS DOUBLE) / len(s2.ss)) >= 0.8
+            AND CAST(len(list_intersect(s1.ss, s2.ss)) AS DOUBLE)
+                / (len(s1.ss) + len(s2.ss) - len(list_intersect(s1.ss, s2.ss))) < 0.5 AS INT)
+         AS is_asym_superset
+FROM cand c
+JOIN sets s1 ON c.d1 = s1.doc_id
+JOIN sets s2 ON c.d2 = s2.doc_id
+""",
+    tags=("llm", "dedup"),
+)
+def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from ..functions.textfn import word_shingles
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs)
+    sets = docs.select(
+        "doc_id", F.array_distinct(word_shingles("text", 3)).alias("ss")
+    )
+    s1 = sets.select(F.col("doc_id").alias("doc_id_1"), F.col("ss").alias("ss1"))
+    s2 = sets.select(F.col("doc_id").alias("doc_id_2"), F.col("ss").alias("ss2"))
+    inter = F.size(F.array_intersect("ss1", "ss2")).cast("double")
+    n1 = F.size("ss1")
+    n2 = F.size("ss2")
+    c12 = inter / n1
+    c21 = inter / n2
+    jac = inter / (n1 + n2 - inter)
+    return (
+        pairs.join(broadcast(s1), "doc_id_1")
+        .join(broadcast(s2), "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            inter.cast("long").alias("n_inter"),
+            n1.cast("long").alias("n_1"),
+            n2.cast("long").alias("n_2"),
+            c12.alias("containment_1_in_2"),
+            c21.alias("containment_2_in_1"),
+            jac.alias("jaccard"),
+            ((F.greatest(c12, c21) >= 0.8) & (jac < 0.5)).cast("int").alias("is_asym_superset"),
+        )
+    )
