@@ -278,10 +278,13 @@ def embedding_neardup_pairs(
             if first is None:
                 # empty input: no pairs (and no dimension to derive
                 # hyperplanes from) — return the empty result with the
-                # output schema rather than crashing a scheduled sweep
+                # output schema rather than crashing a scheduled sweep.
+                # The id columns inherit the caller's id type so empty
+                # and non-empty batches union cleanly.
+                id_type = df.schema[id_col].dataType.simpleString()
                 return df.sparkSession.createDataFrame(
                     [],
-                    "band long, vec_id_1 long, vec_id_2 long, cos_sim double",
+                    f"band long, vec_id_1 {id_type}, vec_id_2 {id_type}, cos_sim double",
                 )
             hyperplanes = srp_hyperplanes(len(first[0]), n_bits=n_bits)
         keys = srp_band_keys(vec_col, hyperplanes, n_bits)

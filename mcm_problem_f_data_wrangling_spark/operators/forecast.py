@@ -419,7 +419,8 @@ def fit_best_arma_forecast(
         def rw_fallback():
             d = pd.Series(y).diff().dropna()
             mu = float(d.mean()) if len(d) else 0.0
-            last = float(y[-1]) if len(y) else 0.0
+            finite = y[np.isfinite(y)] if len(y) else y
+            last = float(finite[-1]) if len(finite) else 0.0
             fc = [last + (h + 1) * mu for h in range(steps)]
             return pd.DataFrame(
                 {

@@ -38,6 +38,13 @@ def _q(name: str, doc: str, sql: str | None = None, headline: bool = False, tags
 
 _TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')"
 
+# single source of truth for the oracle's stopword literal — mirrors
+# functions.textfn.LANG_MARKERS['en'] (what the Spark side resolves)
+from ..functions.textfn import LANG_MARKERS as _LM  # noqa: E402
+
+_EN_MARKERS_SQL = "[" + ", ".join(f"'{w}'" for w in _LM["en"]) + "]"
+
+from .suite_ext import _BANDED_SQL as _BANDS_SQL  # noqa: E402 — shared LSH banding oracle fragment
 from .suite_ext import _SIG_CTE as _SIG_CTE_NLP  # noqa: E402 — shared md5-seeded MinHash oracle CTE
 
 # BM25 constants (Robertson/Okapi defaults)
@@ -621,7 +628,7 @@ WITH d AS (
            (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END)
            + (1.0 - least(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
                           / greatest(length(text), 1) * 4, 1.0))
-           + least(CAST(len(list_filter(toks, t -> list_contains({['the', 'and', 'of', 'to', 'is', 'in', 'that', 'it', 'was', 'for']}, lower(t)))) AS DOUBLE)
+           + least(CAST(len(list_filter(toks, t -> list_contains({_EN_MARKERS_SQL}, lower(t)))) AS DOUBLE)
                    / greatest(len(toks), 1) * 5, 1.0)
          ) / 3.0 AS quality
   FROM d
@@ -672,7 +679,7 @@ WITH d AS (
            (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END)
            + (1.0 - least(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
                           / greatest(length(text), 1) * 4, 1.0))
-           + least(CAST(len(list_filter(toks, t -> list_contains({['the', 'and', 'of', 'to', 'is', 'in', 'that', 'it', 'was', 'for']}, lower(t)))) AS DOUBLE)
+           + least(CAST(len(list_filter(toks, t -> list_contains({_EN_MARKERS_SQL}, lower(t)))) AS DOUBLE)
                    / greatest(len(toks), 1) * 5, 1.0)
          ) / 3.0 AS quality
   FROM d
@@ -1008,7 +1015,7 @@ WITH d AS (
   SELECT doc_id,
          CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
            / greatest(length(text), 1) AS punct_ratio,
-         CAST(len(list_filter(toks, t -> list_contains({['the', 'and', 'of', 'to', 'is', 'in', 'that', 'it', 'was', 'for']}, lower(t)))) AS DOUBLE)
+         CAST(len(list_filter(toks, t -> list_contains({_EN_MARKERS_SQL}, lower(t)))) AS DOUBLE)
            / greatest(len(toks), 1) AS stopword_ratio,
          ln(1 + len(toks)) AS log_tokens,
          CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END AS len_ok
@@ -1049,12 +1056,6 @@ def x_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("p_keep"),
         (p >= 0.5).cast("int").alias("keep"),
     )
-
-
-_BANDS_SQL = "\n  UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_idx, concat_ws('|', s{2*b}, s{2*b+1}) AS band_key FROM sig"
-    for b in range(8)
-)
 
 
 @_q(
@@ -1119,8 +1120,12 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c21 = inter / n2
     jac = inter / (n1 + n2 - inter)
     return (
-        pairs.join(broadcast(s1), "doc_id_1")
-        .join(broadcast(s2), "doc_id_2")
+        # plain shuffle joins on doc id: `sets` is corpus-sized (it
+        # carries every doc's shingles) — broadcasting it would ship
+        # the tokenized corpus through the driver; the candidate-pair
+        # side is the small one and hash-joins cheaply
+        pairs.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
         .select(
             "doc_id_1",
             "doc_id_2",

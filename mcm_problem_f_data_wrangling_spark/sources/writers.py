@@ -102,6 +102,7 @@ def _write_xlsx_minimal(pdfs: dict, path: str) -> str:
     read.  Driver-side by design: S6 outputs are small parity tables
     (the reference's EDA export), never bulk data.
     """
+    import math
     import numbers
     import zipfile
 
@@ -131,8 +132,12 @@ def _write_xlsx_minimal(pdfs: dict, path: str) -> str:
                     continue  # blank cell
                 if isinstance(v, numbers.Number) and not isinstance(v, bool):
                     # repr() of Decimal / numpy>=2 scalars is not a
-                    # valid <v> payload — normalize through int/float
+                    # valid <v> payload — normalize through int/float;
+                    # nan/inf (incl. Decimal('NaN')) are not valid
+                    # OOXML numeric lexical forms → blank cell
                     num = int(v) if isinstance(v, numbers.Integral) else float(v)
+                    if isinstance(num, float) and not math.isfinite(num):
+                        continue
                     cells.append(f'<c r="{ref}"><v>{num!r}</v></c>')
                 else:
                     cells.append(

@@ -283,28 +283,39 @@ def test_semantic_dedup_blas_matches_hof(spark):
         assert a == b
 
 
-def test_theil_sen_matches_numpy_and_resists_outlier(spark):
-    """w31: slope median equals the brute-force pairwise median, and a
-    single planted outlier leaves the slope unmoved (OLS moves)."""
+def test_theil_sen_matches_numpy_and_resists_outlier(spark, tmp_path):
+    """w31 (the REGISTERED query, not a re-implementation): slope median
+    equals the brute-force pairwise median over the planted monthly
+    series, and a single outlier month leaves the slope near the true
+    value (OLS would move)."""
     import itertools
 
-    from mcm_problem_f_data_wrangling_spark.plans import REGISTRY  # noqa: F401
+    from mcm_problem_f_data_wrangling_spark.plans import REGISTRY
 
-    rows = [("s", float(i), 2.0 * i + 1.0) for i in range(20)]
-    rows[7] = ("s", 7.0, 500.0)  # outlier
-    df = spark.createDataFrame(rows, ["flag", "x", "revenue"])
-    a, b = df.alias("a"), df.alias("b")
-    slopes = (
-        a.join(b, (F.col("a.flag") == F.col("b.flag")) & (F.col("a.x") < F.col("b.x")))
-        .select(((F.col("b.revenue") - F.col("a.revenue")) / (F.col("b.x") - F.col("a.x"))).alias("s"))
+    # one returnflag, 20 months, revenue = 2*i + 1 with an outlier at i=7
+    rows = []
+    for i in range(20):
+        y, m = divmod(i, 12)
+        rev = 500.0 if i == 7 else 2.0 * i + 1.0
+        rows.append(("A", f"{1995 + y}-{m + 1:02d}-15", rev, 1.0))
+    li = (
+        spark.createDataFrame(rows, ["l_returnflag", "d", "l_extendedprice", "l_quantity"])
+        .withColumn("l_shipdate", F.col("d").cast("timestamp_ntz"))
+        .drop("d")
     )
-    got = slopes.agg(F.percentile("s", F.lit(0.5))).collect()[0][0]
-    pts = [(r[1], r[2]) for r in rows]
-    ref = np.median(
-        [
-            (y2 - y1) / (x2 - x1)
-            for (x1, y1), (x2, y2) in itertools.combinations(pts, 2)
-        ]
+    d = str(tmp_path)
+    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    got = REGISTRY["w31_theil_sen_trend"].spark(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    pts = [(float(i), 500.0 if i == 7 else 2.0 * i + 1.0) for i in range(20)]
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for (x1, y1), (x2, y2) in itertools.combinations(pts, 2)
     )
-    assert abs(got - ref) < 1e-9
-    assert abs(got - 2.0) < 0.1  # outlier-resistant: stays near true slope
+    ref_slope = round(float(np.median(slopes)), 6)
+    assert r["n_pairs"] == len(slopes)
+    assert abs(r["slope_med"] - ref_slope) < 1e-9
+    assert abs(r["slope_med"] - 2.0) < 0.25  # outlier-resistant
+    ref_intercept = round(float(np.median([y - ref_slope * x for x, y in pts])), 6)
+    assert abs(r["intercept_med"] - ref_intercept) < 1e-9
