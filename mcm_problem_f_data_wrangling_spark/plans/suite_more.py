@@ -1388,3 +1388,60 @@ def w31_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intercept_med")
         )
     )
+
+
+@_q(
+    "s28_conversion_latency",
+    "First-touch→first-conversion latency distribution (the funnel "
+    "companion answering HOW FAST, where s12 answers HOW MANY): per "
+    "user, the gap between first 'view' and first LATER 'purchase', "
+    "summarized as exact p50/p90 latency plus conversion count.  One "
+    "conditional aggregate per user collapses the event stream to two "
+    "timestamps BEFORE anything else (map-side combinable — the "
+    "exchange carries a row per user, not per event); latencies are "
+    "exact integer microseconds (the NTZ seam contract: unix_micros "
+    "after cast, never a numeric cast), percentiles exact "
+    "interpolated.",
+    """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_buy_us
+  FROM events GROUP BY 1
+),
+conv AS (
+  SELECT user_id, (first_buy_us - first_view_us) / 1000000.0 AS latency_s
+  FROM firsts
+  WHERE first_view_us IS NOT NULL AND first_buy_us IS NOT NULL
+    AND first_buy_us >= first_view_us
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(latency_s, 0.5), 6) AS p50_latency_s,
+       ROUND(quantile_cont(latency_s, 0.9), 6) AS p90_latency_s,
+       ROUND(MIN(latency_s), 6) AS min_latency_s,
+       ROUND(MAX(latency_s), 6) AS max_latency_s
+FROM conv
+""",
+    tags=("M1", "analytics"),
+)
+def s28_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("first_buy_us"),
+    )
+    conv = firsts.filter(
+        F.col("first_view_us").isNotNull()
+        & F.col("first_buy_us").isNotNull()
+        & (F.col("first_buy_us") >= F.col("first_view_us"))
+    ).select(
+        ((F.col("first_buy_us") - F.col("first_view_us")) / F.lit(1_000_000.0)).alias("latency_s")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.percentile("latency_s", F.lit(0.5)), 6).alias("p50_latency_s"),
+        F.round(F.percentile("latency_s", F.lit(0.9)), 6).alias("p90_latency_s"),
+        F.round(F.min("latency_s"), 6).alias("min_latency_s"),
+        F.round(F.max("latency_s"), 6).alias("max_latency_s"),
+    )
