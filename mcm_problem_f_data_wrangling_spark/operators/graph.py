@@ -347,3 +347,69 @@ def triangle_counts(
     return corners.groupBy(
         (F.col("k") % F.lit(1000000000)).alias("node")
     ).agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_iter: int = 60,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Nodes of the k-core (maximal subgraph with min degree >= k) —
+    the graph-curation prune (low-connectivity spam/bot tails drop out
+    before expensive per-node work).
+
+    Iterative peel, same state discipline as :func:`connected_components`
+    (parquet-backed rounds — lineage-safe; convergence via an
+    Observation folded into the state write): each round computes
+    degrees over the surviving edge set, keeps nodes with degree >= k,
+    and LEFT SEMI-filters both edge endpoints against the survivors.
+    Work per round is one degree aggregate + two semi-joins, all keyed
+    on node id; the edge set only shrinks.  Rounds are bounded by the
+    peel depth (degeneracy ordering length), with ``max_iter`` as the
+    rail.  Returns (node,) rows; empty result when no k-core exists.
+    """
+    import tempfile as _tf
+
+    spark = edges.sparkSession
+    base = work_dir or _tf.mkdtemp(prefix="kcore_state_")
+    own_dir = work_dir is None
+    try:
+        symmetrize_edges(edges, src, dst).write.mode("overwrite").parquet(
+            f"{base}/edges_0"
+        )
+        cur = spark.read.parquet(f"{base}/edges_0")
+        prev_edges = None
+        for i in range(max_iter):
+            from pyspark.sql import Observation
+
+            deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+            keep = deg.filter(F.col("deg") >= k).select("a")
+            nxt = cur.join(keep, "a", "left_semi").join(
+                keep.select(F.col("a").alias("b")), "b", "left_semi"
+            )
+            obs = Observation(f"kcore_round_{i}")
+            nxt.select("a", "b").observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(f"{base}/edges_{i + 1}")
+            cur = spark.read.parquet(f"{base}/edges_{i + 1}")
+            n_edges = obs.get["n"]
+            if n_edges == prev_edges:
+                break
+            prev_edges = n_edges
+        else:
+            raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+        out = (
+            cur.select(F.col("a").alias(node_col))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        if own_dir:
+            import shutil as _sh
+
+            _sh.rmtree(base, ignore_errors=True)

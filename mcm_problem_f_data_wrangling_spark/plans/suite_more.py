@@ -1445,3 +1445,30 @@ def s28_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("latency_s"), 6).alias("min_latency_s"),
         F.round(F.max("latency_s"), 6).alias("max_latency_s"),
     )
+
+
+@_q(
+    "x_graph_kcore",
+    "k-core of the co-purchase graph (parts sharing an order; the "
+    "graph-curation prune dropping low-connectivity tails before "
+    "expensive per-node work).  Iterative peel with parquet-backed "
+    "rounds (operators/graph.py k_core — the connected_components "
+    "state discipline): per round one degree aggregate + two LEFT "
+    "SEMI endpoint filters, edge set only shrinks, convergence "
+    "observed inside the state write.  Fixpoint iteration is not "
+    "ANSI-SQL-expressible → rows-only gate; exactness is pytest-"
+    "verified against the textbook peel on planted graphs.",
+    None,
+    tags=("M4", "graph"),
+)
+def x_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import k_core
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    return k_core(edges, k=4).orderBy("node")

@@ -190,3 +190,40 @@ def test_triangle_counts_brute_force_and_hub(spark):
     ).unionAll(edges)
     got2 = {r["node"]: r["triangles"] for r in triangle_counts(doubled).collect()}
     assert got2 == got
+
+
+def test_k_core_matches_python_peel(spark):
+    """k_core equals the textbook iterative peel on a planted graph:
+    a 5-clique (4-core) + a path tail + a triangle."""
+    from mcm_problem_f_data_wrangling_spark.operators.graph import k_core
+
+    edges = []
+    clique = [0, 1, 2, 3, 4]
+    for i in clique:
+        for j in clique:
+            if i < j:
+                edges.append((i, j))
+    edges += [(4, 10), (10, 11), (11, 12)]       # path tail
+    edges += [(20, 21), (21, 22), (20, 22)]       # triangle (2-core)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    def peel(es, k):
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in es:
+            adj[a].add(b)
+            adj[b].add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+        return {n for n in adj if adj[n]}
+
+    for k in (2, 3, 4, 5):
+        got = {r["node"] for r in k_core(df, k).collect()}
+        assert got == peel(edges, k), f"k={k}"
