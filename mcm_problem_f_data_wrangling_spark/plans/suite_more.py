@@ -1472,3 +1472,151 @@ def x_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.l_partkey") < F.col("b.l_partkey")),
     ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     return k_core(edges, k=4).orderBy("node")
+
+
+@_q(
+    "w32_seasonal_strength",
+    "Seasonal-strength diagnostic per series (Hyndman's F_s = "
+    "max(0, 1 - var(remainder)/var(detrended)) — the model-selection "
+    "signal behind the reference's seasonality checks, computed as "
+    "STL-lite): trend = 12-month centered moving average (full "
+    "windows only), detrended = y - trend, seasonal = per-calendar-"
+    "month mean of detrended, remainder = detrended - seasonal.  One "
+    "partitioned sort serves the centered MA; the seasonal mean is a "
+    "window over (series, month-of-year); variances are sample vars "
+    "over IEEE-identical values, rounded 6.",
+    f"""
+WITH {MONTHLY_CTE},
+t AS (
+  SELECT flag, month, revenue,
+         CASE WHEN COUNT(*) OVER w = 13
+              THEN AVG(revenue) OVER w END AS trend
+  FROM monthly
+  WINDOW w AS (PARTITION BY flag ORDER BY month
+               ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+),
+d AS (
+  SELECT flag, month, revenue - trend AS detrended,
+         EXTRACT(month FROM month) AS moy
+  FROM t WHERE trend IS NOT NULL
+),
+s AS (
+  SELECT flag, month, detrended,
+         detrended - AVG(detrended) OVER (PARTITION BY flag, moy) AS remainder
+  FROM d
+)
+SELECT flag,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(greatest(0.0, 1.0 - var_samp(remainder) / var_samp(detrended)), 6) AS seasonal_strength
+FROM s
+GROUP BY 1
+""",
+    tags=("M2", "window"),
+)
+def w32_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = monthly_lineitem(spark, sf_dir)
+    w = Window.partitionBy("flag").orderBy("month").rowsBetween(-6, 6)
+    t = m.select(
+        "flag",
+        "month",
+        "revenue",
+        F.when(F.count(F.lit(1)).over(w) == 13, F.avg("revenue").over(w)).alias("trend"),
+    ).filter(F.col("trend").isNotNull())
+    d = t.select(
+        "flag",
+        "month",
+        (F.col("revenue") - F.col("trend")).alias("detrended"),
+        F.month("month").alias("moy"),
+    )
+    sw = Window.partitionBy("flag", "moy")
+    s = d.select(
+        "flag",
+        "detrended",
+        (F.col("detrended") - F.avg("detrended").over(sw)).alias("remainder"),
+    )
+    vd = F.var_samp("detrended")
+    vr = F.var_samp("remainder")
+    # raw variances are ~1e12-magnitude, order-dependent doubles — no
+    # fixed decimal rounding is scale-safe, so only the O(1) ratio is
+    # emitted (relative error ~1e-15 → round 6 is 9 orders of margin)
+    return s.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.round(F.greatest(F.lit(0.0), F.lit(1.0) - vr / vd), 6).alias("seasonal_strength"),
+    )
+
+
+@_q(
+    "a11_basket_lift",
+    "Market-basket affinity (lift) over co-purchased part pairs — the "
+    "recommender-adjacent classic on the triangle-count edge build: "
+    "lift(a,b) = P(a,b) / (P(a)·P(b)) over order baskets.  Distinct "
+    "(order, part) pre-agg bounds the self-join fan-out at basket "
+    "size (never raw line count); per-part supports broadcast back "
+    "onto the PAIR table (pair-count-sized, not fact-sized).  All "
+    "probabilities divide exact integer counts by the exact order "
+    "count; top-20 by lift with a pair tie-break runs as "
+    "TakeOrderedAndProject.  Support floor 5 kills noise pairs.",
+    """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets),
+supp AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_1, b.l_partkey AS part_2,
+         CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 5
+)
+SELECT p.part_1, p.part_2, p.n_pair, s1.n_part AS n_1, s2.n_part AS n_2,
+       ROUND((CAST(p.n_pair AS DOUBLE) / o.n)
+             / ((CAST(s1.n_part AS DOUBLE) / o.n) * (CAST(s2.n_part AS DOUBLE) / o.n)), 6) AS lift
+FROM pairs p
+JOIN supp s1 ON p.part_1 = s1.l_partkey
+JOIN supp s2 ON p.part_2 = s2.l_partkey
+CROSS JOIN n_orders o
+ORDER BY lift DESC, p.part_1, p.part_2
+LIMIT 20
+""",
+    tags=("M1", "analytics"),
+)
+def a11_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    baskets = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n_orders = int(baskets.select(F.countDistinct("l_orderkey")).collect()[0][0])
+    supp = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_part")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_1"), F.col("b.l_partkey").alias("part_2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= 5)
+    )
+    s1 = supp.select(F.col("l_partkey").alias("part_1"), F.col("n_part").alias("n_1"))
+    s2 = supp.select(F.col("l_partkey").alias("part_2"), F.col("n_part").alias("n_2"))
+    n = float(n_orders)
+    lift = F.round(
+        (F.col("n_pair").cast("double") / n)
+        / ((F.col("n_1").cast("double") / n) * (F.col("n_2").cast("double") / n)),
+        6,
+    )
+    return (
+        pairs.join(broadcast(s1), "part_1")
+        .join(broadcast(s2), "part_2")
+        .select("part_1", "part_2", "n_pair", "n_1", "n_2", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "part_1", "part_2")
+        .limit(20)
+    )
