@@ -1620,3 +1620,97 @@ def a11_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_1", "part_2")
         .limit(20)
     )
+
+
+@_q(
+    "a12_abc_pareto",
+    "ABC/Pareto classification of parts by revenue (the inventory-"
+    "analytics classic: A = first 70% of cumulative revenue share, "
+    "B = to 90%, C = tail): per-part decimal-exact revenue, ordered "
+    "cumulative share via ONE window over (share desc, key) — the "
+    "unique tie-break makes the running sum deterministic — then a "
+    "three-way CASE.  Output is one row per class (count + exact "
+    "revenue), so the result is O(3) at any scale; the global sort "
+    "exists only inside the window rank over the PRE-AGGREGATED "
+    "per-part table (|parts| rows, not fact rows).",
+    f"""
+WITH per_part AS (
+  SELECT l_partkey, {DSUM('l_extendedprice')} AS rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(rev) AS t FROM per_part),
+ranked AS (
+  SELECT l_partkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / o.t AS cum_share
+  FROM per_part CROSS JOIN tot o
+)
+SELECT CASE WHEN cum_share <= 0.7 THEN 'A'
+            WHEN cum_share <= 0.9 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(SUM(rev), 2) AS class_revenue
+FROM ranked
+GROUP BY 1
+""",
+    tags=("M1", "analytics"),
+)
+def a12_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per_part = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(dsum("l_extendedprice").alias("rev"))
+    )
+    # ONE scalar total — driver literal (a09 precedent); decimal-exact
+    # sum so both engines divide by the identical double
+    total = float(per_part.agg(F.sum(F.col("rev").cast("decimal(18,6)")).cast("double")).collect()[0][0])
+    w = (
+        Window.orderBy(F.desc("rev"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_part.withColumn("cum_share", F.sum("rev").over(w) / F.lit(total))
+    cls = (
+        F.when(F.col("cum_share") <= 0.7, "A")
+        .when(F.col("cum_share") <= 0.9, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(F.sum("rev"), 2).alias("class_revenue"),
+    )
+
+
+@_q(
+    "u07_grouping_sets",
+    "Explicit GROUPING SETS with grouping_id (completing the "
+    "grouping-family literally alongside u04 ROLLUP / u05 CUBE): "
+    "revenue by (flag, status), by flag alone, and grand total in "
+    "ONE pass — Spark expands the sets into a single Expand + "
+    "aggregate, so the fact table is scanned once, not three times; "
+    "grouping_id() disambiguates the NULL-as-subtotal rows exactly "
+    "as both engines define it.",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+       {DSUM('l_extendedprice')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    tags=("M1", "agg"),
+)
+def u07_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("u07_lineitem")
+    return li.sparkSession.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM u07_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
