@@ -355,7 +355,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     node_col: str = "node",
-    max_iter: int = 60,
+    max_iter: int = 1000,
     work_dir: str | None = None,
 ) -> DataFrame:
     """Nodes of the k-core (maximal subgraph with min degree >= k) —
@@ -368,14 +368,16 @@ def k_core(
     degrees over the surviving edge set, keeps nodes with degree >= k,
     and LEFT SEMI-filters both edge endpoints against the survivors.
     Work per round is one degree aggregate + two semi-joins, all keyed
-    on node id; the edge set only shrinks.  Rounds are bounded by the
-    peel depth (degeneracy ordering length), with ``max_iter`` as the
-    rail.  Returns (node,) rows; empty result when no k-core exists.
+    on node id; the edge set only shrinks.  Rounds equal the peel
+    DEPTH, which is worst-case LINEAR (a bare path peels ~2 nodes per
+    round) — unlike CC's log-round pointer doubling — hence the large
+    ``max_iter`` rail.  Returns (node,) rows; empty result when no
+    k-core exists.
     """
-    import tempfile as _tf
+    from pyspark.sql import Observation
 
     spark = edges.sparkSession
-    base = work_dir or _tf.mkdtemp(prefix="kcore_state_")
+    base = work_dir or tempfile.mkdtemp(prefix="kcore_state_")
     own_dir = work_dir is None
     try:
         symmetrize_edges(edges, src, dst).write.mode("overwrite").parquet(
@@ -384,8 +386,6 @@ def k_core(
         cur = spark.read.parquet(f"{base}/edges_0")
         prev_edges = None
         for i in range(max_iter):
-            from pyspark.sql import Observation
-
             deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
             keep = deg.filter(F.col("deg") >= k).select("a")
             nxt = cur.join(keep, "a", "left_semi").join(
@@ -410,6 +410,4 @@ def k_core(
         return out
     finally:
         if own_dir:
-            import shutil as _sh
-
-            _sh.rmtree(base, ignore_errors=True)
+            shutil.rmtree(base, ignore_errors=True)

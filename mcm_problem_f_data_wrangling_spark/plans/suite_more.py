@@ -1394,26 +1394,29 @@ def w31_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s28_conversion_latency",
     "First-touch→first-conversion latency distribution (the funnel "
     "companion answering HOW FAST, where s12 answers HOW MANY): per "
-    "user, the gap between first 'view' and first LATER 'purchase', "
-    "summarized as exact p50/p90 latency plus conversion count.  One "
-    "conditional aggregate per user collapses the event stream to two "
-    "timestamps BEFORE anything else (map-side combinable — the "
-    "exchange carries a row per user, not per event); latencies are "
+    "user, the gap between first 'view' and the first purchase AT OR "
+    "AFTER it (a purchase predating the first view must not "
+    "disqualify the user).  First-view collapses map-side to a row "
+    "per user; purchases join it keyed on user and min-aggregate "
+    "after the at-or-after filter; latencies are "
     "exact integer microseconds (the NTZ seam contract: unix_micros "
     "after cast, never a numeric cast), percentiles exact "
     "interpolated.",
     """
-WITH firsts AS (
+WITH fv AS (
   SELECT user_id,
-         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
-         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_buy_us
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us
   FROM events GROUP BY 1
 ),
 conv AS (
-  SELECT user_id, (first_buy_us - first_view_us) / 1000000.0 AS latency_s
-  FROM firsts
-  WHERE first_view_us IS NOT NULL AND first_buy_us IS NOT NULL
-    AND first_buy_us >= first_view_us
+  SELECT e.user_id,
+         (MIN(epoch_us(e.ts)) - f.first_view_us) / 1000000.0 AS latency_s
+  FROM events e
+  JOIN fv f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+    AND f.first_view_us IS NOT NULL
+    AND epoch_us(e.ts) >= f.first_view_us
+  GROUP BY 1, f.first_view_us
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
        ROUND(quantile_cont(latency_s, 0.5), 6) AS p50_latency_s,
@@ -1427,16 +1430,26 @@ FROM conv
 def s28_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    firsts = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view_us"),
-        F.min(F.when(F.col("event_type") == "purchase", us)).alias("first_buy_us"),
+    # first LATER purchase: the conversion must follow the first view —
+    # a user's first-ever purchase may predate it (re-purchaser) and
+    # must not disqualify them, so the purchase min is taken over
+    # events at-or-after first_view, not over all purchases
+    fv = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view_us")
     )
-    conv = firsts.filter(
-        F.col("first_view_us").isNotNull()
-        & F.col("first_buy_us").isNotNull()
-        & (F.col("first_buy_us") >= F.col("first_view_us"))
-    ).select(
-        ((F.col("first_buy_us") - F.col("first_view_us")) / F.lit(1_000_000.0)).alias("latency_s")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("buy_us"))
+        .join(fv, "user_id")
+        .filter(
+            F.col("first_view_us").isNotNull()
+            & (F.col("buy_us") >= F.col("first_view_us"))
+        )
+        .groupBy("user_id", "first_view_us")
+        .agg(F.min("buy_us").alias("first_buy_us"))
+        .select(
+            ((F.col("first_buy_us") - F.col("first_view_us")) / F.lit(1_000_000.0)).alias("latency_s")
+        )
     )
     return conv.agg(
         F.count(F.lit(1)).cast("long").alias("n_converted"),
@@ -1479,21 +1492,25 @@ def x_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Seasonal-strength diagnostic per series (Hyndman's F_s = "
     "max(0, 1 - var(remainder)/var(detrended)) — the model-selection "
     "signal behind the reference's seasonality checks, computed as "
-    "STL-lite): trend = 12-month centered moving average (full "
-    "windows only), detrended = y - trend, seasonal = per-calendar-"
-    "month mean of detrended, remainder = detrended - seasonal.  One "
-    "partitioned sort serves the centered MA; the seasonal mean is a "
-    "window over (series, month-of-year); variances are sample vars "
-    "over IEEE-identical values, rounded 6.",
+    "STL-lite): trend = the standard 2x12 centered MA for period-12 "
+    "data (13 terms, HALF weights on the endpoint months so every "
+    "calendar month carries equal weight — a flat 13-term mean "
+    "double-counts one month), detrended = y - trend, seasonal = "
+    "per-calendar-month mean of detrended, remainder = detrended - "
+    "seasonal.  One partitioned sort serves the MA and both endpoint "
+    "lags; only the O(1) strength ratio is emitted.",
     f"""
 WITH {MONTHLY_CTE},
 t AS (
   SELECT flag, month, revenue,
          CASE WHEN COUNT(*) OVER w = 13
-              THEN AVG(revenue) OVER w END AS trend
+              THEN (SUM(revenue) OVER w
+                    - 0.5 * lag(revenue, 6) OVER o
+                    - 0.5 * lead(revenue, 6) OVER o) / 12.0 END AS trend
   FROM monthly
   WINDOW w AS (PARTITION BY flag ORDER BY month
-               ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+               ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING),
+         o AS (PARTITION BY flag ORDER BY month)
 ),
 d AS (
   SELECT flag, month, revenue - trend AS detrended,
@@ -1517,12 +1534,18 @@ def w32_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     m = monthly_lineitem(spark, sf_dir)
-    w = Window.partitionBy("flag").orderBy("month").rowsBetween(-6, 6)
+    o = Window.partitionBy("flag").orderBy("month")
+    w = o.rowsBetween(-6, 6)
+    trend = (
+        F.sum("revenue").over(w)
+        - 0.5 * F.lag("revenue", 6).over(o)
+        - 0.5 * F.lead("revenue", 6).over(o)
+    ) / 12.0
     t = m.select(
         "flag",
         "month",
         "revenue",
-        F.when(F.count(F.lit(1)).over(w) == 13, F.avg("revenue").over(w)).alias("trend"),
+        F.when(F.count(F.lit(1)).over(w) == 13, trend).alias("trend"),
     ).filter(F.col("trend").isNotNull())
     d = t.select(
         "flag",
@@ -1638,7 +1661,7 @@ WITH per_part AS (
   SELECT l_partkey, {DSUM('l_extendedprice')} AS rev
   FROM lineitem GROUP BY 1
 ),
-tot AS (SELECT SUM(rev) AS t FROM per_part),
+tot AS (SELECT CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS t FROM per_part),
 ranked AS (
   SELECT l_partkey, rev,
          SUM(rev) OVER (ORDER BY rev DESC, l_partkey

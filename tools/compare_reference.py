@@ -64,7 +64,9 @@ def pandas_collapse(sf_dir: str) -> pd.DataFrame:
 
 
 def pandas_rolling(sf_dir: str) -> pd.DataFrame:
-    """EDA.ipynb cell 5 add_features shape over the monthly frame."""
+    """The SAME workload as the engine's w02_rolling_mean (monthly
+    revenue per returnflag → rolling(6)/rolling(12) means), pandas
+    idiom — equal computations on both sides or the ratio is noise."""
     li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
     li["month"] = li["l_shipdate"].dt.to_period("M").dt.to_timestamp()
     monthly = (
@@ -74,10 +76,8 @@ def pandas_rolling(sf_dir: str) -> pd.DataFrame:
     for _, g in monthly.groupby("l_returnflag"):
         g = g.sort_values("month").set_index("month")
         s = g["l_extendedprice"]
-        g["mom"] = s.pct_change(1) * 100
-        g["yoy"] = s.pct_change(12) * 100
-        g["roll_mean_6"] = s.rolling(6).mean()
-        g["roll_std_12"] = s.rolling(12).std()
+        g["roll6"] = s.rolling(6).mean()
+        g["roll12"] = s.rolling(12).mean()
         feats.append(g)
     return pd.concat(feats)
 
@@ -91,7 +91,10 @@ def replicate(spark, src: str, n: int) -> str:
     """Materialize an n×-replicated copy of the input (replica id
     appended to doc texts so exact-dedup stays non-degenerate) — the
     scale knob that shows the single-core/parallel crossover."""
-    dst = f"/tmp/compare_ref_x{n}"
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:8]
+    dst = f"/tmp/compare_ref_{tag}_x{n}"
     if not os.path.exists(f"{dst}/_done"):
         from pyspark.sql import functions as F
 
@@ -138,10 +141,14 @@ def main() -> None:
     results = {}
     for name in spark_stage:
         q = REGISTRY[spark_stage[name]]
-        q.spark(spark, sf_dir).count()  # warm (codegen + footer cache)
+        # symmetric treatment: both engines get one untimed warm run
+        # (Spark: codegen + parquet footers; pandas: page cache) and
+        # are timed on the second
+        q.spark(spark, sf_dir).count()
         t0 = time.perf_counter()
         q.spark(spark, sf_dir).count()
         t_spark = time.perf_counter() - t0
+        pandas_stage[name](sf_dir)
         t0 = time.perf_counter()
         pandas_stage[name](sf_dir)
         t_pandas = time.perf_counter() - t0
