@@ -41,3 +41,25 @@ def enrich_stream(
         )
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on, how)
+
+
+def decontaminate_stream(
+    stream: DataFrame,
+    blocklist: DataFrame,
+    on: list[str],
+    broadcast_blocklist: bool = True,
+) -> DataFrame:
+    """Drop streaming rows whose key appears in a static blocklist —
+    decontamination at INGEST (eval-set fingerprints, PII'd doc ids,
+    known-spam sources) instead of as a post-hoc batch sweep.
+
+    A stream-static LEFT ANTI join is stateless exactly like
+    :func:`enrich_stream`'s left join: the static side re-resolves per
+    micro-batch (so a refreshed blocklist snapshot takes effect on the
+    next batch), no watermark, no state store.  Broadcasting keeps the
+    per-batch cost at one hash-table probe per row; a fingerprint
+    blocklist at 100 TB corpus scale is still only eval-set-sized, so
+    the broadcast assumption holds where it matters.
+    """
+    b = F.broadcast(blocklist) if broadcast_blocklist else blocklist
+    return stream.join(b.select(*on).dropDuplicates(), on, "left_anti")

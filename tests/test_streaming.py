@@ -374,3 +374,38 @@ def test_cusum_stream_matches_batch_closed_form(spark, tmp_path_factory):
         assert math.isclose(r["s_plus"], sp, abs_tol=1e-9)
         assert math.isclose(r["s_minus"], sm, abs_tol=1e-9)
         assert r["alarm"] == al
+
+
+def test_decontaminate_stream_matches_batch_anti_join(spark, tmp_path_factory):
+    """streaming/enrich.py decontaminate_stream: one availableNow drain
+    drops exactly the blocklisted keys a batch LEFT ANTI would."""
+    from mcm_problem_f_data_wrangling_spark.streaming.enrich import (
+        decontaminate_stream,
+    )
+
+    src = str(tmp_path_factory.mktemp("contam_events"))
+    rows = [(i, f"u{i % 7}", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "value"])
+    df.coalesce(2).write.mode("overwrite").parquet(src)
+    block = spark.createDataFrame([("u1",), ("u4",), ("u4",)], ["user_id"])
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        decontaminate_stream(stream, block, ["user_id"])
+        .writeStream.format("memory")
+        .queryName("decontam_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]
+        for r in spark.sql("SELECT * FROM decontam_stream_test").collect()
+    }
+    want = {
+        r["event_id"]
+        for r in df.join(block.dropDuplicates(), "user_id", "left_anti").collect()
+    }
+    assert got == want
+    assert all(i % 7 not in (1, 4) for i in got)
