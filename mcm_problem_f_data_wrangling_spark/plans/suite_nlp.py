@@ -286,6 +286,12 @@ def x_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
+    # materialize the gram table ONCE (the shingle+hash pipeline is
+    # the dominant cost and has two consumers below — count + re-join;
+    # lazy evaluation would recompute it; the CC-operator precedent
+    # for in-query materialization).  Non-reliable executor storage is
+    # fine for single-query lifetime.
+    grams = grams.localCheckpoint(eager=True)
     cnt = grams.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     dup = F.sum((F.col("n_docs") > 1).cast("int")).cast("long")
     return (
