@@ -1737,3 +1737,53 @@ def u07_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@_q(
+    "s29_event_trigrams",
+    "Top event-path trigrams (the length-3 extension of s20's "
+    "first-order transitions — the path-analysis query behind "
+    "'what do users do next?'): per-user total-order event sequence "
+    "via two lags over ONE partitioned sort, trigram counts map-side-"
+    "combine into a ≤|types|³-row table, top-15 by count with a "
+    "lexicographic tie-break runs as TakeOrderedAndProject.  The "
+    "(ts, event_id) order key is unique, so the sequences — and "
+    "therefore the counts — are deterministic on both engines.",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS prev1,
+         lag(event_type, 2) OVER w AS prev2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT prev2 AS step_1, prev1 AS step_2, event_type AS step_3,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq
+WHERE prev1 IS NOT NULL AND prev2 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, step_1, step_2, step_3
+LIMIT 15
+""",
+    tags=("M1", "analytics"),
+)
+def s29_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    ).filter(F.col("prev1").isNotNull() & F.col("prev2").isNotNull())
+    return (
+        seq.groupBy(
+            F.col("prev2").alias("step_1"),
+            F.col("prev1").alias("step_2"),
+            F.col("event_type").alias("step_3"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "step_1", "step_2", "step_3")
+        .limit(15)
+    )
