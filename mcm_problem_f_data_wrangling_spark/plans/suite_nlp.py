@@ -1144,3 +1144,87 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.greatest(c12, c21) >= 0.8) & (jac < 0.5)).cast("int").alias("is_asym_superset"),
         )
     )
+
+
+@_q(
+    "x_curation_dsir_score",
+    "DSIR-lite importance scoring (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling', unigram "
+    "features): log-likelihood ratio of each doc under the TARGET "
+    "domain's token distribution (sources src0-4) vs the RAW pool "
+    "(the rest), Laplace-smoothed — the published recipe for "
+    "selecting pretraining data that looks like a target domain.  "
+    "ONE conditional-aggregate scan builds both distributions; "
+    "per-(doc, term) counts join the vocab-sized weight table on the "
+    "term key (distinct-pair rows, never occurrence rows); totals "
+    "inline as exact-integer driver literals (a09).  The per-doc "
+    "weighted sum is the only order-dependent float — rounded 6 — "
+    "and the top-50 selection ranks the ROUNDED score with a doc_id "
+    "tie-break via TakeOrderedAndProject.",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source LIKE 'src_' AND substr(source, 4, 1) IN ('0','1','2','3','4')
+           AND length(source) = 4 AS is_target,
+         unnest({_TOKS}) AS term
+  FROM documents
+),
+cnt AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM toks GROUP BY 1
+),
+tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr, COUNT(*) AS v FROM cnt),
+w AS (
+  SELECT term, ln(((ct + 1.0) / (t.nt + t.v)) / ((cr + 1.0) / (t.nr + t.v))) AS llr
+  FROM cnt, tot t
+),
+per_doc AS (
+  SELECT d.doc_id, d.term, CAST(COUNT(*) AS BIGINT) AS m
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents) d
+  GROUP BY 1, 2
+)
+SELECT p.doc_id,
+       CAST(SUM(p.m) AS BIGINT) AS n_tokens,
+       ROUND(SUM(p.m * w.llr), 6) AS dsir_score
+FROM per_doc p JOIN w ON p.term = w.term
+GROUP BY 1
+ORDER BY ROUND(SUM(p.m * w.llr), 6) DESC, p.doc_id
+LIMIT 50
+""",
+    tags=("llm", "curation"),
+)
+def x_curation_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    is_target = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    toks = docs.select(
+        "doc_id", is_target.alias("is_target"), F.explode(tokens("text")).alias("term")
+    )
+    cnt = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).cast("long").alias("cr"),
+    )
+    trow = cnt.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    nt, nr, v = int(trow["nt"]), int(trow["nr"]), int(trow["v"])
+    w = cnt.select(
+        "term",
+        F.log(
+            ((F.col("ct") + F.lit(1.0)) / F.lit(float(nt + v)))
+            / ((F.col("cr") + F.lit(1.0)) / F.lit(float(nr + v)))
+        ).alias("llr"),
+    )
+    per_doc = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    return (
+        per_doc.join(w, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("m") * F.col("llr")), 6).alias("dsir_score"),
+        )
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(50)
+    )
