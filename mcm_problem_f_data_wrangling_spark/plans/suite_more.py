@@ -1787,3 +1787,89 @@ def s29_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "step_1", "step_2", "step_3")
         .limit(15)
     )
+
+
+@_q(
+    "w33_detected_period",
+    "Seasonal-period detection via ACF argmax over lags 2..13 (the "
+    "DECISION step on top of w27's diagnostic, mirroring the "
+    "notebook's periodogram-based period estimate X4): per series, "
+    "the lag with the highest autocorrelation wins, ranked on the "
+    "ROUNDED acf with a smallest-lag tie-break so the cross-engine "
+    "argmax is deterministic.  One partitioned sort feeds all 12 "
+    "lag columns; each acf is a two-pass-free corr over the "
+    "pre-aggregated monthly table.",
+    f"""
+WITH {MONTHLY_CTE},
+lagged AS (
+  SELECT flag, revenue,
+         lag(revenue, 2) OVER w AS l2,
+         lag(revenue, 3) OVER w AS l3,
+         lag(revenue, 4) OVER w AS l4,
+         lag(revenue, 5) OVER w AS l5,
+         lag(revenue, 6) OVER w AS l6,
+         lag(revenue, 7) OVER w AS l7,
+         lag(revenue, 8) OVER w AS l8,
+         lag(revenue, 9) OVER w AS l9,
+         lag(revenue, 10) OVER w AS l10,
+         lag(revenue, 11) OVER w AS l11,
+         lag(revenue, 12) OVER w AS l12,
+         lag(revenue, 13) OVER w AS l13
+  FROM monthly
+  WINDOW w AS (PARTITION BY flag ORDER BY month)
+),
+acfs AS (
+  SELECT flag, lag_k, ROUND(acf, 6) AS acf
+  FROM (
+  SELECT flag, 2 AS lag_k, corr(revenue, l2) AS acf FROM lagged GROUP BY flag
+  UNION ALL SELECT flag, 3 AS lag_k, corr(revenue, l3) AS acf FROM lagged GROUP BY flag
+  UNION ALL SELECT flag, 4 AS lag_k, corr(revenue, l4) AS acf FROM lagged GROUP BY flag
+  UNION ALL SELECT flag, 5 AS lag_k, corr(revenue, l5) AS acf FROM lagged GROUP BY flag
+  UNION ALL SELECT flag, 6 AS lag_k, corr(revenue, l6) AS acf FROM lagged GROUP BY flag
+  UNION ALL SELECT flag, 7 AS lag_k, corr(revenue, l7) AS acf FROM lagged GROUP BY flag
+  UNION ALL SELECT flag, 8 AS lag_k, corr(revenue, l8) AS acf FROM lagged GROUP BY flag
+  UNION ALL SELECT flag, 9 AS lag_k, corr(revenue, l9) AS acf FROM lagged GROUP BY flag
+  UNION ALL SELECT flag, 10 AS lag_k, corr(revenue, l10) AS acf FROM lagged GROUP BY flag
+  UNION ALL SELECT flag, 11 AS lag_k, corr(revenue, l11) AS acf FROM lagged GROUP BY flag
+  UNION ALL SELECT flag, 12 AS lag_k, corr(revenue, l12) AS acf FROM lagged GROUP BY flag
+  UNION ALL SELECT flag, 13 AS lag_k, corr(revenue, l13) AS acf FROM lagged GROUP BY flag
+  )
+)
+SELECT flag, CAST(lag_k AS INT) AS detected_period, acf AS peak_acf
+FROM acfs
+QUALIFY row_number() OVER (PARTITION BY flag ORDER BY acf DESC, lag_k) = 1
+""",
+    tags=("M2", "timeseries"),
+)
+def w33_detected_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    m = monthly_lineitem(spark, sf_dir)
+    w = Window.partitionBy("flag").orderBy("month")
+    lagged = m.select(
+        "flag",
+        "revenue",
+        *[F.lag("revenue", k).over(w).alias(f"l{k}") for k in range(2, 14)],
+    )
+    acfs = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            lagged.groupBy("flag").agg(
+                F.lit(k).alias("lag_k"),
+                F.round(F.corr("revenue", f"l{k}"), 6).alias("acf"),
+            )
+            for k in range(2, 14)
+        ],
+    )
+    rw = Window.partitionBy("flag").orderBy(F.desc("acf"), "lag_k")
+    return (
+        acfs.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "flag",
+            F.col("lag_k").cast("int").alias("detected_period"),
+            F.col("acf").alias("peak_acf"),
+        )
+    )
