@@ -609,3 +609,59 @@ def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", 2).alias("totacctbal"),
         )
     )
+
+
+@_q(
+    "q09_product_profit",
+    "TPC-H Q9-shape product-type profit by supplier nation and year.  "
+    "Adapted: partsupp (and ps_supplycost) doesn't exist in this "
+    "schema, so cost is proxied as 10% of p_retailprice per unit — "
+    "the SHAPE is Q9's: a 5-table join with profit arithmetic "
+    "combining fact columns (price, discount, quantity) with a "
+    "dimension attribute (retail price), aggregated by two grouping "
+    "keys from different dimensions.  part/supplier/nation broadcast; "
+    "orders joins the fact on orderkey; one tiny final aggregate "
+    "exchange.  Profit is decimal-exact per the base contract.",
+    f"""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       {DSUM('l.l_extendedprice * (1 - l.l_discount) - 0.1 * p.p_retailprice * l.l_quantity')} AS profit,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+    tags=("M1", "join", "tpch"),
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            dsum(profit).alias("profit"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
