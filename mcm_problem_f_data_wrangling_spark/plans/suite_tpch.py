@@ -665,3 +665,48 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
+
+
+@_q(
+    "q12_priority_shipping_mix",
+    "TPC-H Q12-shape shipping-mode priority mix.  Adapted: no "
+    "l_shipmode column, so l_linestatus plays the mode and 'late' is "
+    "l_shipdate > o_orderdate + 60 days (the q04 residual) — the "
+    "SHAPE is Q12's: per mode, split the line count into high-"
+    "priority (1-URGENT/2-HIGH) vs low via two conditional sums in "
+    "ONE aggregate pass over the joined late lines.  The join keys "
+    "on orderkey with the non-equi residual evaluated in-join; both "
+    "scans prune to their referenced columns.",
+    """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+""",
+    tags=("M1", "join", "tpch"),
+)
+def q12_priority_shipping_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
