@@ -710,3 +710,117 @@ def q12_priority_shipping_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
         )
     )
+
+
+@_q(
+    "q16_supplier_part_mix",
+    "TPC-H Q16-shape parts/supplier relationship count.  Adapted: no "
+    "partsupp table, so the part↔supplier links derive from observed "
+    "lineitem pairs (DISTINCT (partkey, suppkey) — the pre-aggregate "
+    "that bounds everything downstream at catalog size, not fact "
+    "size).  Per (brand, type, size-bucket) excluding one brand: "
+    "COUNT(DISTINCT suppliers) — the exact distinct-agg shape Q16 "
+    "exercises; part broadcasts onto the link table.",
+    """
+WITH links AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type,
+       CAST(floor(p.p_size / 10.0) AS INT) AS size_bucket,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM links l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_size >= 5
+GROUP BY 1, 2, 3
+""",
+    tags=("M1", "agg", "tpch"),
+)
+def q16_supplier_part_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    links = (
+        table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#1") & (F.col("p_size") >= 5))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        links.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand",
+            "p_type",
+            F.floor(F.col("p_size") / 10.0).cast("int").alias("size_bucket"),
+        )
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q21_waiting_orders",
+    "TPC-H Q21-shape suppliers-who-kept-orders-waiting (the double-"
+    "correlated EXISTS/NOT-EXISTS classic).  Adapted: 'late' is the "
+    "q04 proxy (l_shipdate > o_orderdate + 90 days).  The two "
+    "correlated subqueries become per-order window counts over ONE "
+    "exchange on orderkey: a supplier line counts iff its order is "
+    "multi-supplier (another supplier EXISTS) and it is the ONLY "
+    "late supplier (no other late supplier EXISTS).  Top-10 "
+    "suppliers by wait count, name tie-break, via TakeOrdered.",
+    """
+WITH flat AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CAST(l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS INT) AS is_late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+),
+per_supp AS (
+  SELECT l_orderkey, l_suppkey, MAX(is_late) AS supp_late
+  FROM flat GROUP BY 1, 2
+),
+per_order AS (
+  SELECT l_orderkey, l_suppkey, supp_late,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         SUM(supp_late) OVER (PARTITION BY l_orderkey) AS n_late_supp
+  FROM per_supp
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order po JOIN supplier s ON s.s_suppkey = po.l_suppkey
+WHERE po.supp_late = 1 AND po.n_supp > 1 AND po.n_late_supp = 1
+GROUP BY 1
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+""",
+    tags=("M1", "join", "tpch"),
+)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    flat = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .cast("int")
+        .alias("is_late"),
+    )
+    per_supp = flat.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_order = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("supp_late").over(w).alias("n_late_supp"),
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.filter(
+            (F.col("supp_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
+        .join(broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
