@@ -1873,3 +1873,45 @@ def w33_detected_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("acf").alias("peak_acf"),
         )
     )
+
+
+@_q(
+    "w34_max_drawdown",
+    "Maximum drawdown per series (the risk/robustness classic: "
+    "largest peak-to-trough fall of the monthly revenue index): "
+    "drawdown_t = revenue_t / running-max(revenue) - 1, minimized "
+    "per series — ONE partitioned sort feeds the running max and the "
+    "final aggregate is map-side tiny.  The ratio divides two "
+    "IEEE-identical decimal-exact revenues; the min is order-free.",
+    f"""
+WITH {MONTHLY_CTE},
+dd AS (
+  SELECT flag, month, revenue,
+         revenue / MAX(revenue) OVER (PARTITION BY flag ORDER BY month
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS drawdown
+  FROM monthly
+)
+SELECT flag,
+       ROUND(MIN(drawdown), 6) AS max_drawdown,
+       CAST(COUNT(*) AS BIGINT) AS n_months
+FROM dd GROUP BY 1
+""",
+    tags=("M2", "window"),
+)
+def w34_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = monthly_lineitem(spark, sf_dir)
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = m.withColumn(
+        "drawdown", F.col("revenue") / F.max("revenue").over(w) - 1
+    )
+    return dd.groupBy("flag").agg(
+        F.round(F.min("drawdown"), 6).alias("max_drawdown"),
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+    )

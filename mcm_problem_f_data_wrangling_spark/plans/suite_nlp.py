@@ -1228,3 +1228,47 @@ def x_curation_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_score"), "doc_id")
         .limit(50)
     )
+
+
+@_q(
+    "x_dedup_rate_by_source",
+    "Exact-duplicate rate per source (the per-feed dedup dashboard "
+    "row: which ingest feeds ship copies): canonical = the min doc_id "
+    "per content fingerprint; a doc is a duplicate iff it is not its "
+    "group's canonical.  Fingerprint hashing is row-local md5; the "
+    "min-per-group is one map-side-combinable aggregate re-joined on "
+    "the 8-byte fingerprint (AQE-skew-splittable — boilerplate "
+    "content makes fingerprints celebrity keys, the dup-ngram "
+    "lesson); counts exact, the rate one IEEE divide.",
+    f"""
+WITH fp AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(array_to_string({_TOKS}, ' ')), 1, 15) AS BIGINT) AS fingerprint
+  FROM documents
+),
+keep AS (SELECT fingerprint, MIN(doc_id) AS canonical FROM fp GROUP BY 1)
+SELECT f.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f.doc_id <> k.canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST(SUM(CASE WHEN f.doc_id <> k.canonical THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM fp f JOIN keep k ON f.fingerprint = k.fingerprint
+GROUP BY 1
+""",
+    tags=("llm", "dedup"),
+)
+def x_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textfn import doc_fingerprint
+
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", "source", doc_fingerprint("text").alias("fingerprint"))
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical"))
+    dup = F.sum((F.col("doc_id") != F.col("canonical")).cast("int")).cast("long")
+    return (
+        fp.join(keep, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            dup.alias("n_dups"),
+            (dup.cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+        )
+    )
