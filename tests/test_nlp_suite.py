@@ -188,3 +188,15 @@ def test_corpus_drift_divergence_bounds(spark):
     assert r["kl_pq"] >= -1e-6 and r["kl_qp"] >= -1e-6
     assert -1e-6 <= r["js_divergence"] <= math.log(2) + 1e-6
     assert r["n_vocab"] > 0
+
+
+def test_drawdown_and_dedup_rate_bounds(spark):
+    r = {x["flag"]: x for x in REGISTRY["w34_max_drawdown"].spark(spark, SF_SMOKE).collect()}
+    assert r
+    for v in r.values():
+        assert -1.0 <= v["max_drawdown"] <= 0.0  # ratio to running max
+    rows = REGISTRY["x_dedup_rate_by_source"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    for x in rows:
+        assert 0 <= x["n_dups"] < x["n_docs"]
+        assert 0.0 <= x["dup_rate"] < 1.0
