@@ -466,3 +466,260 @@ def fit_best_arma_forecast(
         )
 
     return df.groupBy(group_col).applyInPandas(fit, AIC_GRID_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# X5 (full parity path): SARIMAX-with-exogenous-regressor Monte-Carlo fan.
+#
+# Parity target: ``EDA.ipynb cell 32`` — the reference fits
+# ``SARIMAX(y, exog=x, order, seasonal_order, trend='c')`` (AIC grid),
+# estimates an RW+drift law for the exog from its last
+# ``EXOG_FIT_WINDOW=60`` months (``fit_rw_drift_params``), simulates
+# ``MC_SIMS`` future exog paths, and forecasts y once per path
+# (``monte_carlo_forecast_y``); the fan quantiles are taken across
+# paths.  Because the regression-with-ARMA-errors model is LINEAR in
+# the exog — y_t = β·x_t + u_t with ARMA u — the per-path forecast
+# decomposes as ``det_h + β·x_path``: one deterministic ARMA part per
+# (group, step) plus a β-scaled exog path.  That makes the whole
+# MC fan native Spark (seeded randn paths × a broadcast-sized
+# params join); only the tiny per-group fit crosses Python, once.
+# ---------------------------------------------------------------------------
+
+EXOG_FIT_SCHEMA = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("step", LongType()),
+        StructField("det", DoubleType()),     # deterministic part: u-hat_{T+h}
+        StructField("beta", DoubleType()),    # exog regression coefficient
+        StructField("mu_x", DoubleType()),    # exog RW drift
+        StructField("sigma_x", DoubleType()),  # exog RW vol
+        StructField("last_x", DoubleType()),  # exog anchor
+        StructField("order", StringType()),
+        StructField("aic", DoubleType()),
+        # fitted ARMA coefficients (X6 equation exporter input);
+        # seasonal terms suffixed _s — Spark resolves column names
+        # case-insensitively, so phi/Phi would be ambiguous
+        StructField("c", DoubleType()),
+        StructField("phi", DoubleType()),
+        StructField("theta", DoubleType()),
+        StructField("phi_s", DoubleType()),
+        StructField("theta_s", DoubleType()),
+    ]
+)
+
+
+def fit_arma_exog_params(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    exog_col: str,
+    steps: int = 6,
+    season: int = 12,
+    exog_fit_window: int = 60,
+    candidates=ARMA_CANDIDATES,
+) -> DataFrame:
+    """X3+exog: per-group regression-with-ARMA-errors fit (one
+    ``applyInPandas`` crossing).
+
+    Estimation is the classic two-step (Cochrane-Orcutt family, public
+    method): β by OLS on the doubly-differenced scale — differencing
+    kills the intercept and any unit roots, so plain OLS is consistent
+    — then the reference's five-candidate CSS-AIC grid
+    (:func:`fit_arma_css`) on the residual series u = y − β·x.  The
+    exog's own future law is RW+drift over its last
+    ``exog_fit_window`` first differences (``fit_rw_drift_params``,
+    ``EDA.ipynb cell 32``).
+
+    Output: one row per (group, step) carrying the deterministic
+    forecast part ``det`` = û_{T+h} (zero future innovations) plus the
+    per-group constants (β, exog law, winning order/AIC, coefficients).
+    Short or gappy series degrade to ``order='rw_drift'`` exactly like
+    :func:`fit_best_arma_forecast`: det = RW forecast of y, β pinned 0
+    and the exog law re-pointed at y's own diffs so the downstream fan
+    reproduces the plain RW-drift fan.
+    """
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(order_col)
+        y = pdf[value_col].astype(float).to_numpy()
+        # prep_endog_exog (cell 32): exog NaNs -> 0
+        x = pdf[exog_col].astype(float).fillna(0.0).to_numpy()
+        key = str(pdf[group_col].iloc[0])
+
+        def rw_fallback():
+            d = pd.Series(y).diff().dropna()
+            tail = d.tail(exog_fit_window)
+            mu = float(tail.mean()) if len(tail) else 0.0
+            sigma = float(tail.std(ddof=1)) if len(tail) > 1 else 0.0
+            finite = y[np.isfinite(y)] if len(y) else y
+            last = float(finite[-1]) if len(finite) else 0.0
+            return pd.DataFrame(
+                {
+                    "group": key,
+                    "step": range(1, steps + 1),
+                    "det": [last + (h + 1) * mu for h in range(steps)],
+                    "beta": 0.0,
+                    "mu_x": 0.0,
+                    "sigma_x": sigma,
+                    "last_x": 0.0,
+                    "order": "rw_drift",
+                    "aic": float("nan"),
+                    "c": 0.0, "phi": 0.0, "theta": 0.0, "phi_s": 0.0, "theta_s": 0.0,
+                }
+            )
+
+        if len(y) < 2 * season + 2 or not np.isfinite(y).all():
+            return rw_fallback()
+
+        # β on the doubly-differenced scale (d=1, D=1 at `season`)
+        def ddiff(v):
+            dv = np.diff(v)
+            return dv[season:] - dv[:-season]
+
+        zy, zx = ddiff(y), ddiff(x)
+        sxx = float(np.dot(zx, zx))
+        beta = float(np.dot(zx, zy) / sxx) if sxx > 1e-12 else 0.0
+
+        u = y - beta * x
+        zu = ddiff(u)
+        best = None
+        for (p, d_, q), (P, D_, Q, s) in candidates:
+            aic, params = fit_arma_css(zu, p, q, P, Q, s=s)
+            if np.isfinite(aic) and (best is None or aic < best[0]):
+                best = (aic, (p, d_, q), (P, D_, Q, s), params)
+        if best is None:
+            return rw_fallback()
+        aic, order, seas, params = best
+        det = _arma_forecast(
+            u, params, order[0], order[2], seas[0], seas[2], steps, s=seas[3]
+        )
+
+        # exog RW+drift law (fit_rw_drift_params, cell 32: last-window diffs)
+        dx = pd.Series(x).diff().dropna().tail(exog_fit_window)
+        mu_x = float(dx.mean()) if len(dx) else 0.0
+        sigma_x = float(dx.std(ddof=1)) if len(dx) > 1 else 0.0
+
+        label = f"({order[0]},{order[1]},{order[2]})x({seas[0]},{seas[1]},{seas[2]},{seas[3]})"
+        return pd.DataFrame(
+            {
+                "group": key,
+                "step": range(1, steps + 1),
+                "det": det,
+                "beta": beta,
+                "mu_x": mu_x,
+                "sigma_x": sigma_x,
+                "last_x": float(x[-1]),
+                "order": label,
+                "aic": float(aic),
+                "c": params["c"], "phi": params["phi"], "theta": params["theta"],
+                "phi_s": params["Phi"], "theta_s": params["Theta"],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(fit, EXOG_FIT_SCHEMA)
+
+
+def sarimax_exog_fan(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    exog_col: str,
+    sims: int = 200,
+    steps: int = 6,
+    seed: int = 42,
+    season: int = 12,
+    exog_fit_window: int = 60,
+    qs: tuple[float, ...] = (0.05, 0.1, 0.5, 0.9, 0.95),
+) -> DataFrame:
+    """X5 full parity path: SARIMAX-with-exog Monte-Carlo fan
+    (``EDA.ipynb cell 32`` end-to-end).
+
+    Per path s and horizon h: ``y[s,h] = det_h + β·x[s,h]`` where
+    ``x[s,h] = max(last_x + Σ(mu_x + sigma_x·ε), 0)`` — the notebook's
+    exog clip at 0 (shares can't go negative) applies only to real
+    exog paths; the rw_drift degradation keeps its noise unclipped so
+    it reproduces the plain RW-drift fan exactly.  Everything after
+    the per-group fit is native: seeded ``randn`` path grid, window
+    cumsum, broadcast-sized join on (group, step), exact percentile
+    fan — no Python in the sims × steps × groups hot path.
+    """
+    from pyspark.sql import Window
+
+    fitted = fit_arma_exog_params(
+        df, group_col, order_col, value_col, exog_col,
+        steps=steps, season=season, exog_fit_window=exog_fit_window,
+    )
+    # fan the sims directly off the per-(group, step) fit rows: ONE
+    # Python fit stage in the plan (no self-join of the fit subtree,
+    # which would run the expensive applyInPandas twice), then a fully
+    # native explode → windowed cumsum → percentile pipeline.
+    grid = fitted.select(
+        "group", "step", "det", "beta", "mu_x", "sigma_x", "last_x", "order",
+        F.explode(F.sequence(F.lit(1), F.lit(sims))).alias("sim"),
+    )
+    w = Window.partitionBy("group", "sim").orderBy("step")
+    x_path = grid.withColumn(
+        "x_raw",
+        F.col("last_x")
+        + F.sum(F.randn(seed) * F.col("sigma_x") + F.col("mu_x")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn(
+        "x_sim",
+        F.when(F.col("order") == "rw_drift", F.col("x_raw")).otherwise(
+            F.greatest(F.col("x_raw"), F.lit(0.0))
+        ),
+    )
+    paths = x_path.select(
+        "group",
+        "sim",
+        "step",
+        (F.col("det") + F.col("beta") * F.col("x_sim")).alias("y"),
+    )
+    return quantile_fan_summary(paths, qs=qs)
+
+
+def arma_equation_block(fit_df: DataFrame, exog_name: str = "x") -> dict[str, str]:
+    """X6 full parity path: SARIMAX equation exporter
+    (``sarimax_equation_block``, ``EDA.ipynb cell 29``).
+
+    Renders, per group, the regression-with-ARMA-errors equation with
+    the fitted coefficients::
+
+        y_t = beta*x_t + u_t
+        (1 - phi B)(1 - Phi B^12)(1-B)(1-B^12)(u_t - c) =
+            (1 + theta B)(1 + Theta B^12) eps_t
+
+    Driver-side on the O(groups) fit output (one tiny collect), like
+    the reference's print-loop over ``model_info_all``.
+    """
+    rows = (
+        fit_df.select(
+            "group", "order", "aic", "beta", "c", "phi", "theta", "phi_s", "theta_s"
+        )
+        .dropDuplicates(["group"])
+        .collect()
+    )
+    blocks: dict[str, str] = {}
+    for r in sorted(rows, key=lambda r: r["group"]):
+        if r["order"] == "rw_drift":
+            blocks[r["group"]] = (
+                f"group: {r['group']}\nmodel: random walk with drift (fallback)\n"
+                f"  y_(T+h) = y_T + h*mu"
+            )
+            continue
+        ar = "1" if abs(r["phi"]) < 1e-12 else f"1 - {r['phi']:.4f} B"
+        sar = "1" if abs(r["phi_s"]) < 1e-12 else f"1 - {r['phi_s']:.4f} B^12"
+        ma = "1" if abs(r["theta"]) < 1e-12 else f"1 + {r['theta']:.4f} B"
+        sma = "1" if abs(r["theta_s"]) < 1e-12 else f"1 + {r['theta_s']:.4f} B^12"
+        blocks[r["group"]] = (
+            f"group: {r['group']}\n"
+            f"model: SARIMAX {r['order']} + exog  (AIC {r['aic']:.2f})\n"
+            f"  y_t = {r['beta']:.6f}*{exog_name}_t + u_t\n"
+            f"  ({ar})({sar})(1-B)(1-B^12)(u_t - {r['c']:.4f}) = ({ma})({sma}) eps_t"
+        )
+    return blocks

@@ -629,6 +629,29 @@ def x5_monte_carlo_fan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x5_sarimax_exog_fan",
+    "X5 (full parity path): SARIMAX-with-exogenous-regressor Monte-Carlo "
+    "fan (EDA.ipynb cell 32 end-to-end) — per-group regression-with-"
+    "ARMA-errors AIC-grid fit in ONE applyInPandas crossing, then a "
+    "fully native fan: because the model is linear in the exog, each "
+    "path is det_h + beta*x_path, so the seeded exog path grid, clip, "
+    "join and exact percentile fan all stay JVM-side.  monthly qty "
+    "plays the exog (the reference's gdelt_ai_share analogue).  No SQL "
+    "oracle: seeded randn + iterative CSS fit (SURVEY.md §4 item 3); "
+    "distributional + fan-shape properties in tests/test_forecast.py.",
+    None,  # rows-only check by design
+    tags=("M3", "model"),
+)
+def x5_sarimax_exog_fan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.forecast import sarimax_exog_fan
+
+    m = monthly_lineitem(spark, sf_dir)
+    return sarimax_exog_fan(
+        m, "flag", "month", "revenue", "qty", sims=100, steps=6, seed=7
+    )
+
+
+@_q(
     "x_multimodal_decode_stub",
     "Multimodal decode plumbing end-to-end: binary payloads through the "
     "Arrow-batched mapInPandas decode stage (deterministic stub decoder "

@@ -182,3 +182,105 @@ def test_aic_grid_nan_series_degrades_to_rw_drift(spark):
     assert len(out) == 3
     assert all(r["order"] == "rw_drift" for r in out)
     assert all(r["aic"] is None or math.isnan(r["aic"]) for r in out)
+
+
+# ---------------------------------------------------------------------------
+# X5 full parity path: SARIMAX-with-exog fan (EDA.ipynb cell 32)
+# ---------------------------------------------------------------------------
+
+
+def _sim_exog_pair(n=150, beta=3.0, phi=0.5, seed=11):
+    """y = beta*x + u with integrated seasonal AR(1) u and an RW+drift x."""
+    rng = np.random.RandomState(seed)
+    x = 50.0 + np.cumsum(rng.normal(0.5, 1.0, n))
+    z = np.zeros(n)
+    e = rng.normal(0, 1.0, n)
+    for t in range(1, n):
+        z[t] = phi * z[t - 1] + e[t]
+    du = np.zeros(n)
+    for t in range(n):
+        du[t] = z[t] + (du[t - 12] if t >= 12 else 0.0)
+    u = 1000.0 + np.cumsum(du)
+    return x, beta * x + u
+
+
+def test_exog_fit_recovers_beta(spark):
+    from mcm_problem_f_data_wrangling_spark.operators.forecast import (
+        fit_arma_exog_params,
+    )
+
+    x, y = _sim_exog_pair(beta=3.0)
+    df = spark.createDataFrame(
+        [("g", t, float(y[t]), float(x[t])) for t in range(len(y))],
+        ["career", "t", "y", "x"],
+    )
+    out = fit_arma_exog_params(df, "career", "t", "y", "x", steps=3).toPandas()
+    assert len(out) == 3
+    assert out["order"].iloc[0] != "rw_drift"
+    # double-differenced OLS is consistent for beta; the u-noise floor
+    # keeps it from being exact on 150 points
+    assert out["beta"].iloc[0] == pytest.approx(3.0, abs=0.5)
+    # exog RW law recovered from x's own diffs
+    assert out["mu_x"].iloc[0] == pytest.approx(0.5, abs=0.3)
+    assert out["last_x"].iloc[0] == pytest.approx(float(x[-1]))
+
+
+def test_exog_fan_shape_and_widening(spark):
+    from mcm_problem_f_data_wrangling_spark.operators.forecast import (
+        sarimax_exog_fan,
+    )
+
+    x, y = _sim_exog_pair()
+    df = spark.createDataFrame(
+        [("g", t, float(y[t]), float(x[t])) for t in range(len(y))],
+        ["career", "t", "y", "x"],
+    )
+    fan = sarimax_exog_fan(
+        df, "career", "t", "y", "x", sims=300, steps=6, seed=2
+    ).toPandas().sort_values("step")
+    assert len(fan) == 6
+    # quantile sandwich at every step
+    assert (fan["p05"] <= fan["p50"]).all() and (fan["p50"] <= fan["p95"]).all()
+    # exog path variance grows with h => the fan must widen
+    width = (fan["p95"] - fan["p05"]).to_numpy()
+    assert width[-1] > width[0]
+    # fan spread scales with |beta|*sigma_x*sqrt(h): sanity-bound step 1
+    assert width[0] > 0.0
+
+
+def test_exog_fan_fallback_matches_rw_drift(spark):
+    """Short series: beta=0, exog law re-pointed at y's own diffs — the
+    fan's step-h mean must track last + h*mu like the plain RW fan
+    (and must NOT be clipped at zero despite the exog clip rule)."""
+    from mcm_problem_f_data_wrangling_spark.operators.forecast import (
+        sarimax_exog_fan,
+    )
+
+    rows = [("s", t, -100.0 - 2.0 * t, float(t)) for t in range(10)]
+    df = spark.createDataFrame(rows, ["career", "t", "y", "x"])
+    fan = sarimax_exog_fan(
+        df, "career", "t", "y", "x", sims=100, steps=4, seed=3
+    ).toPandas().sort_values("step")
+    assert len(fan) == 4
+    # exact linear series: sigma of diffs = 0, so the fan is degenerate
+    # at the drift extrapolation — all quantiles equal, deeply negative
+    for h, r in zip(range(1, 5), fan.itertuples()):
+        assert r.p50 == pytest.approx(-118.0 - 2.0 * h)
+        assert r.p05 == pytest.approx(r.p95)
+
+
+def test_arma_equation_block_renders(spark):
+    from mcm_problem_f_data_wrangling_spark.operators.forecast import (
+        arma_equation_block,
+        fit_arma_exog_params,
+    )
+
+    x, y = _sim_exog_pair()
+    rows = [("g", t, float(y[t]), float(x[t])) for t in range(len(y))]
+    rows += [("s", t, 10.0 + t, 1.0 * t) for t in range(8)]
+    df = spark.createDataFrame(rows, ["career", "t", "y", "x"])
+    fit = fit_arma_exog_params(df, "career", "t", "y", "x", steps=2)
+    blocks = arma_equation_block(fit, exog_name="qty")
+    assert set(blocks) == {"g", "s"}
+    assert "qty_t + u_t" in blocks["g"] and "eps_t" in blocks["g"]
+    assert "random walk with drift" in blocks["s"]
