@@ -1326,6 +1326,60 @@ def x_sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(q, "l_returnflag")
 
 
+@_q(
+    "x_sketch_accuracy_gate",
+    "Driver-checkable sketch accuracy: per group, the EXACT distinct "
+    "count and median plus in-query booleans asserting that the three "
+    "sketch estimators (HyperLogLog++ approx_count_distinct, "
+    "Datasketches HLL hll_sketch_agg/estimate, Greenwald-Khanna "
+    "percentile_approx) land within their documented error envelopes "
+    "(2% / 2% / 1% here, generous vs the configured rsd=0.01 and "
+    "accuracy=10000).  The oracle mirrors the exact values and pins "
+    "the booleans TRUE — a sketch drifting out of envelope flips a "
+    "boolean and fails the value-hash gate, which turns sketch "
+    "accuracy from a pytest-only claim into a driver-verified row.",
+    """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+       ROUND(CAST(median(l_extendedprice) AS DOUBLE), 2) AS exact_p50,
+       TRUE AS hllpp_ok, TRUE AS ds_hll_ok, TRUE AS gk_p50_ok
+FROM lineitem GROUP BY 1
+""",
+    tags=("scale", "sketch"),
+)
+def x_sketch_accuracy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("_exact_p50"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_hllpp"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("l_orderkey"), F.lit(14))
+        ).alias("_ds_hll"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "_gk_p50"
+        ),
+    )
+
+    return agg.select(
+        "l_returnflag",
+        "exact_distinct",
+        F.round("_exact_p50", 2).alias("exact_p50"),
+        (
+            F.abs(F.col("_hllpp").cast("double") - F.col("exact_distinct").cast("double"))
+            <= 0.02 * F.col("exact_distinct").cast("double")
+        ).alias("hllpp_ok"),
+        (
+            F.abs(F.col("_ds_hll").cast("double") - F.col("exact_distinct").cast("double"))
+            <= 0.02 * F.col("exact_distinct").cast("double")
+        ).alias("ds_hll_ok"),
+        (
+            F.abs(F.col("_gk_p50") - F.col("_exact_p50"))
+            <= 0.01 * F.abs(F.col("_exact_p50"))
+        ).alias("gk_p50_ok"),
+    )
+
+
 def _pii_sql() -> str:
     em, ph, ip = (PII_PATTERNS[k] for k in ("email", "phone", "ipv4"))
     red = (
