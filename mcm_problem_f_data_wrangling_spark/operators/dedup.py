@@ -266,7 +266,7 @@ def embedding_neardup_pairs(
     """
     from pyspark.sql import Window
 
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import dot, l2_norm
 
     if band_col is not None:
         banded = df.select(
@@ -297,6 +297,21 @@ def embedding_neardup_pairs(
             vec_col,
             (F.col("__t") * (1 << n_bits) + F.col("__key")).alias("band"),
         )
+    # pre-normalize ONCE per banded row so the within-band pair scoring
+    # is a single dot product: naive cosine per pair is dot + two norms
+    # = 3 O(d) array passes, and the pair count dwarfs the row count
+    # (measured 27 s → ~11 s on the 100k×64d / 1024-band smoke).  A
+    # zero-norm vector gets a NULL unit (cosine undefined), matching
+    # the try_divide guard of cosine_similarity.
+    nrm = banded.withColumn("__nrm", l2_norm(vec_col))
+    banded = nrm.select(
+        id_col,
+        "band",
+        F.when(
+            F.col("__nrm") > 0,
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")),
+        ).alias("__unit"),
+    )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = a.join(
         b,
@@ -306,7 +321,7 @@ def embedding_neardup_pairs(
         F.col("a.band").alias("band"),
         F.col(f"a.{id_col}").alias("vec_id_1"),
         F.col(f"b.{id_col}").alias("vec_id_2"),
-        cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_raw"),
+        dot(F.col("a.__unit"), F.col("b.__unit")).alias("cos_raw"),
     )
     w = Window.partitionBy("band").orderBy(F.desc("cos_raw"), "vec_id_1", "vec_id_2")
     return (

@@ -293,13 +293,31 @@ def ivf_knn_join(
         F.col(vec_col).alias("__nvec"),
         F.col(cell_col).alias("__qcell"),
     )
+    # pre-normalize both sides ONCE so each candidate pair costs one
+    # dot product instead of dot + two norms (the pair count is
+    # |cells|·avg_cell²-shaped and dwarfs both row counts); zero-norm
+    # vectors get NULL units = NULL cosine, same as the try_divide
+    # guard in cosine_similarity.
+    from ..functions.vectors import dot, l2_norm
+
+    def _unit(df_, vec, out):
+        return df_.withColumn("__nrm", l2_norm(vec)).withColumn(
+            out,
+            F.when(
+                F.col("__nrm") > 0,
+                F.transform(F.col(vec), lambda x: x.cast("double") / F.col("__nrm")),
+            ),
+        ).drop("__nrm", vec)
+
+    q = _unit(q, "__qvec", "__qunit")
+    c = _unit(c, "__nvec", "__nunit")
     pairs = (
         q.join(c, "__qcell")
         .filter(F.col("__qid") != F.col("__nid"))
         .select(
             "__qid",
             "__nid",
-            cosine_similarity(F.col("__qvec"), F.col("__nvec")).alias("cos_raw"),
+            dot(F.col("__qunit"), F.col("__nunit")).alias("cos_raw"),
         )
     )
     w = Window.partitionBy("__qid").orderBy(F.desc("cos_raw"), "__nid")
