@@ -76,6 +76,10 @@ _FRONT = [
     "q09_product_profit",
     "q18_large_volume_customers",
     "q21_waiting_orders",
+    # r2: last three classic forms, closed via synthesized partsupp
+    "q02_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promo_suppliers",
     # sessionization / event analytics
     "s08_tumbling_window_rollup",
     "s09_sessionize_batch",

@@ -200,3 +200,35 @@ def test_drawdown_and_dedup_rate_bounds(spark):
     for x in rows:
         assert 0 <= x["n_dups"] < x["n_docs"]
         assert 0.0 <= x["dup_rate"] < 1.0
+
+
+def test_synth_partsupp_dbgen_invariants(spark):
+    """Synthesized partsupp (suite_tpch.synth_partsupp): 4 DISTINCT
+    suppliers per part, suppkeys within the supplier key domain, and
+    deterministic availqty/supplycost ranges."""
+    from mcm_problem_f_data_wrangling_spark.plans.suite_tpch import synth_partsupp
+
+    ps = synth_partsupp(spark, SF_SMOKE)
+    n_part = spark.read.parquet(f"{SF_SMOKE}/part.parquet").count()
+    n_supp = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet").count()
+    agg = ps.groupBy("ps_partkey").agg(
+        F.countDistinct("ps_suppkey").alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ps_suppkey").alias("lo"),
+        F.max("ps_suppkey").alias("hi"),
+    )
+    rows = agg.collect()
+    assert len(rows) == n_part
+    assert all(r["n_distinct"] == 4 and r["n_rows"] == 4 for r in rows)
+    assert all(0 <= r["lo"] and r["hi"] < n_supp for r in rows)
+    stats = ps.agg(
+        F.min("ps_availqty").alias("q_lo"),
+        F.max("ps_availqty").alias("q_hi"),
+        F.min("ps_supplycost").alias("c_lo"),
+        F.max("ps_supplycost").alias("c_hi"),
+    ).first()
+    assert 1 <= stats["q_lo"] and stats["q_hi"] <= 9999
+    assert 1.0 <= stats["c_lo"] and stats["c_hi"] < 201.0
+    # determinism: two independent builds agree exactly
+    again = synth_partsupp(spark, SF_SMOKE)
+    assert ps.exceptAll(again).isEmpty() and again.exceptAll(ps).isEmpty()
