@@ -53,6 +53,7 @@ _FRONT = [
     "x_quality_lr_score",
     "x_decontaminate_ngram_overlap",
     "x_dup_ngram_fraction",
+    "x_dup_span_detection",
     # curation / mixing
     "x_curation_hash_split",
     "x_curation_temperature_mix",

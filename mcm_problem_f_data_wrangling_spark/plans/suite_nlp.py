@@ -1272,3 +1272,93 @@ def x_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dup.cast("double") / F.count(F.lit(1))).alias("dup_rate"),
         )
     )
+
+
+@_q(
+    "x_dup_span_detection",
+    "Maximal cross-document duplicated SPANS per doc (the span-level "
+    "signal behind suffix-array dedup, Lee et al. 2022 'Deduplicating "
+    "Training Data Makes Language Models Better', approximated at "
+    "8-gram resolution): consecutive token positions whose 8-gram "
+    "appears in at least one OTHER document merge into maximal runs "
+    "via the islands trick (pos - row_number), keeping runs of >= 3 "
+    "grams (>= 10 duplicated tokens).  Gram hashes feed equality "
+    "only, so each engine uses its native hash; the dup-gram set is "
+    "built from a pre-deduped (hash, doc) projection so the "
+    "distinct-doc count is map-side combinable; positions rejoin via "
+    "an AQE-skew-splittable semi-join on the hash (never a window "
+    "over the hash partition — same 100 TB reasoning as "
+    "x_dup_ngram_fraction); the islands window partitions by doc_id, "
+    "which is bounded per doc and skew-free.  Positions are 1-based "
+    "token indices; span_end is inclusive of the final gram's 8th "
+    "token.",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, u.pos, u.h FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 7),
+                                 i -> {{'pos': i,
+                                       'h': CAST('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15) AS BIGINT)}})) AS u
+    FROM toks WHERE len(toks) >= 8
+  )
+),
+dup AS (
+  SELECT h FROM (SELECT DISTINCT h, doc_id FROM g) GROUP BY h HAVING COUNT(*) > 1
+),
+runs AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+  FROM g JOIN dup USING (h)
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 7 - MIN(pos) + 1 AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM runs
+GROUP BY doc_id, grp
+HAVING COUNT(*) >= 3
+ORDER BY doc_id, span_start
+""",
+    tags=("llm", "dedup"),
+)
+def x_dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "doc_id", F.posexplode(strict_word_shingles("text", 8)).alias("pos0", "s")
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            F.xxhash64("s").alias("h"),
+        )
+    )
+    # two consumers (dup-set build + position rejoin) — materialize the
+    # shingle+hash pipeline once (x_dup_ngram_fraction precedent)
+    g = g.localCheckpoint(eager=True)
+    dup = (
+        g.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = g.join(dup, "h", "left_semi").withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + 7).cast("long").alias("span_end"),
+            (F.max("pos") + 7 - F.min("pos") + 1).cast("long").alias("span_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .filter(F.col("n_grams") >= 3)
+        .drop("grp")
+        .orderBy("doc_id", "span_start")
+    )

@@ -232,3 +232,40 @@ def test_synth_partsupp_dbgen_invariants(spark):
     # determinism: two independent builds agree exactly
     again = synth_partsupp(spark, SF_SMOKE)
     assert ps.exceptAll(again).isEmpty() and again.exceptAll(ps).isEmpty()
+
+
+def test_dup_span_detection_planted_spans(spark, tmp_path):
+    """x_dup_span_detection on planted data: two docs share a 12-token
+    run (5 consecutive dup 8-grams -> ONE maximal span of 12 tokens in
+    each doc); a third disjoint doc yields nothing; a shared run of
+    only 9 tokens (2 grams < min_run 3) is suppressed."""
+    import pandas as pd
+
+    from mcm_problem_f_data_wrangling_spark.plans import REGISTRY
+
+    shared12 = " ".join(f"d{i}" for i in range(12))
+    shared9 = " ".join(f"s{i}" for i in range(9))
+    pad_a = " ".join(f"a{i}" for i in range(8))
+    pad_b = " ".join(f"b{i}" for i in range(8))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"{pad_a} {shared12}",            # span at pos 9..20
+                f"{shared12} {pad_b}",            # span at pos 1..12
+                f"{shared9} " + " ".join(f"z{i}" for i in range(12)),  # 2-gram run
+                f"{shared9} {pad_a.replace('a', 'q')}",  # 2-gram run (shared w/ doc 3)
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [0] * 4,
+        }
+    )
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"], r["n_grams"])
+        for r in REGISTRY["x_dup_span_detection"].spark(spark, sf_dir).collect()
+    )
+    assert got == [(1, 9, 20, 12, 5), (2, 1, 12, 12, 5)]
