@@ -1341,7 +1341,7 @@ def x_sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT l_returnflag,
        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
-       ROUND(CAST(median(l_extendedprice) AS DOUBLE), 2) AS exact_p50,
+       CAST(ROUND(CAST(median(l_extendedprice) AS DOUBLE) * 1000, 0) AS BIGINT) AS exact_p50_milli,
        TRUE AS hllpp_ok, TRUE AS ds_hll_ok, TRUE AS gk_p50_ok
 FROM lineitem GROUP BY 1
 """,
@@ -1364,7 +1364,12 @@ def x_sketch_accuracy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag",
         "exact_distinct",
-        F.round("_exact_p50", 2).alias("exact_p50"),
+        # milli-units, not ROUND(x, 2): the exact median of 2-decimal
+        # money interpolates onto .005 boundaries, where DuckDB's
+        # multiply-then-round and Spark's decimal-string HALF_UP round
+        # DIFFERENT ways (52724.245 → .25 vs .24).  ×1000 makes the
+        # true value an integer, so the round is never near a boundary.
+        F.round(F.col("_exact_p50") * 1000, 0).cast("long").alias("exact_p50_milli"),
         (
             F.abs(F.col("_hllpp").cast("double") - F.col("exact_distinct").cast("double"))
             <= 0.02 * F.col("exact_distinct").cast("double")
