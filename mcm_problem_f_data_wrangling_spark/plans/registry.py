@@ -55,6 +55,7 @@ _FRONT = [
     "x_dup_ngram_fraction",
     "x_dup_span_detection",
     # curation / mixing
+    "x_corpus_shuffle_shards",
     "x_curation_hash_split",
     "x_curation_temperature_mix",
     "x_curation_stratified_mix",
@@ -90,6 +91,8 @@ _FRONT = [
     # trend estimators added late in r1
     "w22_ols_trend",
     "w31_theil_sen_trend",
+    # r2: rolling-origin forecast backtest
+    "w32_backtest_drift",
 ]
 
 _BY_NAME = {q.name: q for q in _ALL}

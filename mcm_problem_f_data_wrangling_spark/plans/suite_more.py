@@ -1915,3 +1915,113 @@ def w34_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("drawdown"), 6).alias("max_drawdown"),
         F.count(F.lit(1)).cast("long").alias("n_months"),
     )
+
+
+@_q(
+    "w32_backtest_drift",
+    "Rolling-origin backtest of the RW-with-drift forecaster (the "
+    "standard forecast-evaluation protocol; the model mirrors the "
+    "reference's fit_rw_drift_params, EDA.ipynb cell 27): 6 folds per "
+    "series, each training on months <= origin and forecasting a "
+    "3-step horizon as y0 + step*drift, where drift is the trailing "
+    "24-month mean first difference.  Per (series, origin): MAE and "
+    "RMSE over the horizon.  Cross-engine determinism: diffs are "
+    "decimal-cast before the window SUM (decimal addition is "
+    "associative, so Spark's sliding-frame accumulation and DuckDB's "
+    "segment tree agree exactly); drift is ONE IEEE divide on "
+    "identical inputs; the 3-row error aggregates are rounded above "
+    "worst-case partial-order drift.  One partitioned sort per "
+    "series, horizon actuals via an equi-self-join on (flag, idx) — "
+    "scales in the number of series.",
+    f"""
+WITH {MONTHLY_CTE},
+s AS (
+  SELECT flag, month, revenue,
+         ROW_NUMBER() OVER (PARTITION BY flag ORDER BY month) AS idx,
+         COUNT(*) OVER (PARTITION BY flag) AS n
+  FROM monthly
+),
+d AS (
+  SELECT *, CAST(revenue - LAG(revenue) OVER (PARTITION BY flag ORDER BY idx) AS DECIMAL(18,6)) AS dff
+  FROM s
+),
+dr AS (
+  SELECT *,
+         CAST(SUM(dff) OVER w24 AS DOUBLE) / NULLIF(COUNT(dff) OVER w24, 0) AS drift
+  FROM d
+  WINDOW w24 AS (PARTITION BY flag ORDER BY idx ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+),
+origins AS (
+  SELECT flag, month AS origin_month, idx, revenue AS y0, drift
+  FROM dr
+  WHERE idx BETWEEN n - 8 AND n - 3 AND drift IS NOT NULL
+),
+f AS (
+  SELECT o.flag, o.origin_month,
+         o.y0 + t.step * o.drift AS forecast,
+         a.revenue AS actual
+  FROM origins o
+  CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS step) t
+  JOIN s a ON a.flag = o.flag AND a.idx = o.idx + t.step
+)
+SELECT flag, origin_month,
+       CAST(COUNT(*) AS BIGINT) AS n_steps,
+       ROUND(AVG(ABS(forecast - actual)), 6) AS mae,
+       ROUND(SQRT(AVG((forecast - actual) * (forecast - actual))), 6) AS rmse
+FROM f GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    tags=("M3", "window", "forecast"),
+)
+def w32_backtest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    mon = monthly_lineitem(spark, sf_dir)
+    w_m = Window.partitionBy("flag").orderBy("month")
+    s = mon.withColumn("idx", F.row_number().over(w_m)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("flag"))
+    )
+    d = s.withColumn(
+        "dff", (F.col("revenue") - F.lag("revenue").over(w_m)).cast("decimal(18,6)")
+    )
+    w24 = Window.partitionBy("flag").orderBy("idx").rowsBetween(-23, 0)
+    dr = d.withColumn(
+        "drift",
+        F.try_divide(
+            F.sum("dff").over(w24).cast("double"), F.count("dff").over(w24)
+        ),
+    )
+    origins = dr.filter(
+        (F.col("idx") >= F.col("n") - 8)
+        & (F.col("idx") <= F.col("n") - 3)
+        & F.col("drift").isNotNull()
+    ).select(
+        "flag",
+        F.col("month").alias("origin_month"),
+        "idx",
+        F.col("revenue").alias("y0"),
+        "drift",
+    )
+    steps = origins.select(
+        "*", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("step")
+    )
+    actual = s.select(
+        F.col("flag").alias("a_flag"),
+        F.col("idx").alias("a_idx"),
+        F.col("revenue").alias("actual"),
+    )
+    f = steps.join(
+        actual,
+        (F.col("flag") == F.col("a_flag"))
+        & (F.col("a_idx") == F.col("idx") + F.col("step")),
+    ).withColumn("forecast", F.col("y0") + F.col("step") * F.col("drift"))
+    err = F.col("forecast") - F.col("actual")
+    return (
+        f.groupBy("flag", "origin_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+            F.round(F.avg(F.abs(err)), 6).alias("mae"),
+            F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+        )
+        .orderBy("flag", "origin_month")
+    )

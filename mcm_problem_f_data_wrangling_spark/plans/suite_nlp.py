@@ -1362,3 +1362,51 @@ def x_dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("grp")
         .orderBy("doc_id", "span_start")
     )
+
+
+@_q(
+    "x_corpus_shuffle_shards",
+    "Deterministic global corpus shuffle into training shards (the "
+    "pre-training data-order op: a reproducible whole-corpus shuffle "
+    "WITHOUT a global sort).  Each doc gets a seeded md5-portable "
+    "shuffle key; shard = key mod 16 (one hash shuffle), and within a "
+    "shard the key IS the read order — so any worker can "
+    "reconstruct its shard's exact sequence independently, which is "
+    "how a 1000-executor job shuffles 100 TB reproducibly.  Output "
+    "is the per-shard manifest: doc count, total chars, and the "
+    "first doc in shuffle order (arg-min over the key — collision "
+    "probability at 60 bits is ~n²/2⁶¹, negligible).  The balance "
+    "across shards is the evidence the hash key has no source/length "
+    "bias.",
+    """
+WITH k AS (
+  SELECT doc_id, n_chars,
+         CAST('0x' || substr(md5('shuf1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS skey
+  FROM documents
+)
+SELECT CAST(skey % 16 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(arg_min(doc_id, skey) AS BIGINT) AS first_doc
+FROM k
+GROUP BY 1
+ORDER BY 1
+""",
+    tags=("llm", "curation"),
+)
+def x_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    k = docs.select(
+        "doc_id",
+        "n_chars",
+        portable_hash64(F.col("doc_id").cast("string"), seed="shuf1:").alias("skey"),
+    )
+    return (
+        k.groupBy((F.col("skey") % 16).cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min_by("doc_id", "skey").cast("long").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )

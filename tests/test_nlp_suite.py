@@ -269,3 +269,27 @@ def test_dup_span_detection_planted_spans(spark, tmp_path):
         for r in REGISTRY["x_dup_span_detection"].spark(spark, sf_dir).collect()
     )
     assert got == [(1, 9, 20, 12, 5), (2, 1, 12, 12, 5)]
+
+
+def test_backtest_drift_error_laws(spark):
+    """w32_backtest_drift: every fold scores a full 3-step horizon,
+    errors are non-negative, and RMSE >= MAE (power-mean inequality)."""
+    rows = REGISTRY["w32_backtest_drift"].spark(spark, SF_SMOKE).collect()
+    assert rows and len(rows) % 6 == 0  # 6 folds per series
+    for r in rows:
+        assert r["n_steps"] == 3
+        assert r["mae"] >= 0 and r["rmse"] >= 0
+        assert r["rmse"] >= r["mae"] - 1e-9
+
+
+def test_corpus_shuffle_shards_partition_laws(spark):
+    """x_corpus_shuffle_shards: shards partition the corpus exactly
+    (doc counts sum to |documents|), ids are in [0, 16), and the
+    manifest is deterministic across runs."""
+    got = REGISTRY["x_corpus_shuffle_shards"].spark(spark, SF_SMOKE)
+    rows = got.collect()
+    n_docs_total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    assert all(0 <= r["shard"] < 16 for r in rows)
+    again = REGISTRY["x_corpus_shuffle_shards"].spark(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
