@@ -92,7 +92,7 @@ _FRONT = [
     "w22_ols_trend",
     "w31_theil_sen_trend",
     # r2: rolling-origin forecast backtest
-    "w32_backtest_drift",
+    "w35_backtest_drift",
 ]
 
 _BY_NAME = {q.name: q for q in _ALL}

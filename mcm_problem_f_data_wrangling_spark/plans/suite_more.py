@@ -1918,7 +1918,7 @@ def w34_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "w32_backtest_drift",
+    "w35_backtest_drift",
     "Rolling-origin backtest of the RW-with-drift forecaster (the "
     "standard forecast-evaluation protocol; the model mirrors the "
     "reference's fit_rw_drift_params, EDA.ipynb cell 27): 6 folds per "
@@ -1973,7 +1973,7 @@ ORDER BY 1, 2
 """,
     tags=("M3", "window", "forecast"),
 )
-def w32_backtest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def w35_backtest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     mon = monthly_lineitem(spark, sf_dir)

@@ -272,9 +272,9 @@ def test_dup_span_detection_planted_spans(spark, tmp_path):
 
 
 def test_backtest_drift_error_laws(spark):
-    """w32_backtest_drift: every fold scores a full 3-step horizon,
+    """w35_backtest_drift: every fold scores a full 3-step horizon,
     errors are non-negative, and RMSE >= MAE (power-mean inequality)."""
-    rows = REGISTRY["w32_backtest_drift"].spark(spark, SF_SMOKE).collect()
+    rows = REGISTRY["w35_backtest_drift"].spark(spark, SF_SMOKE).collect()
     assert rows and len(rows) % 6 == 0  # 6 folds per series
     for r in rows:
         assert r["n_steps"] == 3
