@@ -34,6 +34,7 @@ _FRONT = [
     "x_dedup_chunks",
     "x_dedup_incremental",
     "x_dedup_rate_by_source",
+    "x_dedup_canonical_pick",
     # similarity / embeddings
     "x_sim_search_bruteforce",
     "x_sim_search_ivf",

@@ -1410,3 +1410,81 @@ def x_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@_q(
+    "x_dedup_canonical_pick",
+    "Canonical-variant selection within duplicate groups (the 'which "
+    "copy survives' policy applied after grouping — FineWeb/CCNet "
+    "keep-longest, vs the min-id rule exact dedup uses): docs group "
+    "by a bag-of-words fingerprint (sorted distinct token set), so "
+    "reordered / repetition-variant copies land together while their "
+    "lengths still differ; each group keeps its LONGEST variant "
+    "(n_chars desc, doc_id tie-break — a total order, deterministic "
+    "cross-engine).  Per source: docs, kept, dropped, and how often "
+    "the quality policy overrode naive min-id — the delta that "
+    "justifies carrying a policy at all.  One window over the "
+    "fingerprint exchange; the fingerprint is a row-local 60-bit "
+    "md5-portable hash, so nothing wider than (id, source, ints) "
+    "ever shuffles.",
+    """
+WITH fp AS (
+  SELECT doc_id, source, n_chars,
+         CAST('0x' || substr(md5(array_to_string(list_sort(list_distinct(
+           list_filter(regexp_split_to_array(text, '\\s+'), t -> t != ''))), ' ')), 1, 15) AS BIGINT) AS fingerprint
+  FROM documents
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY n_chars DESC, doc_id) AS rk,
+         MIN(doc_id) OVER (PARTITION BY fingerprint) AS min_id,
+         COUNT(*) OVER (PARTITION BY fingerprint) AS grp_n
+  FROM fp
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN rk = 1 AND grp_n > 1 AND doc_id != min_id THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_overrides
+FROM r GROUP BY 1 ORDER BY 1
+""",
+    tags=("llm", "dedup"),
+)
+def x_dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        portable_hash64(
+            F.concat_ws(" ", F.sort_array(F.array_distinct(tokens("text"))))
+        ).alias("fingerprint"),
+    )
+    wf = Window.partitionBy("fingerprint")
+    r = fp.select(
+        "*",
+        F.row_number()
+        .over(wf.orderBy(F.desc("n_chars"), "doc_id"))
+        .alias("rk"),
+        F.min("doc_id").over(wf).alias("min_id"),
+        F.count(F.lit(1)).over(wf).alias("grp_n"),
+    )
+    kept = (F.col("rk") == 1).cast("int")
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum((F.col("rk") > 1).cast("int")).cast("long").alias("n_dropped"),
+            F.sum(
+                (
+                    (F.col("rk") == 1)
+                    & (F.col("grp_n") > 1)
+                    & (F.col("doc_id") != F.col("min_id"))
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_quality_overrides"),
+        )
+        .orderBy("source")
+    )

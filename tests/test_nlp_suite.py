@@ -293,3 +293,35 @@ def test_corpus_shuffle_shards_partition_laws(spark):
     assert all(0 <= r["shard"] < 16 for r in rows)
     again = REGISTRY["x_corpus_shuffle_shards"].spark(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_canonical_pick_keeps_longest_variant(spark, tmp_path):
+    """x_dedup_canonical_pick on planted variants: three docs share a
+    token SET but differ in repetition/length -> the longest survives
+    (an override of naive min-id); a singleton doc is kept as-is."""
+    import pandas as pd
+
+    from mcm_problem_f_data_wrangling_spark.plans import REGISTRY
+
+    base = "alpha beta gamma"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [5, 6, 7, 9],
+            "text": [
+                base,                       # shortest, smallest id
+                f"{base} beta",             # longer
+                f"{base} beta gamma alpha", # longest -> canonical
+                "delta epsilon",            # singleton group
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+        }
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/documents.parquet", index=False)
+
+    [r] = REGISTRY["x_dedup_canonical_pick"].spark(spark, sf_dir).collect()
+    assert (r["n_docs"], r["n_kept"], r["n_dropped"], r["n_quality_overrides"]) == (
+        4, 2, 2, 1,
+    )
