@@ -71,8 +71,9 @@ _FRONT = [
     "x_e2e_training_corpus",
     "x_corpus_drift_kl",
     "x_source_overlap_matrix",
-    # sketch accuracy (in-query bounded-error booleans, oracle-pinned)
+    # accuracy gates (in-query bounded-error booleans, oracle-pinned)
     "x_sketch_accuracy_gate",
+    "x_ann_recall_gate",
     # TPC-H classic shapes
     "q01_pricing_summary",
     "q05_star_join_revenue",

@@ -3038,3 +3038,66 @@ def x_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import jaccard_join_prefix
 
     return jaccard_join_prefix(table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "x_ann_recall_gate",
+    "Driver-checkable ANN accuracy (the similarity-search analogue of "
+    "x_sketch_accuracy_gate): train the spherical-k-means IVF "
+    "quantizer (operators/similarity.py train_ivf_cells, 10 cells), "
+    "then for 3 fixed probe vectors measure recall@10 of IVF search "
+    "vs the exact brute-force baseline at n_probe 1 and 2, and emit "
+    "in-query booleans asserting recall within generous envelopes "
+    "(>= 0.5 probing 1/10 cells, >= 0.6 probing 2 — observed "
+    "0.7-1.0, so every floor has >= 0.1 margin against k-means "
+    "FP-order jitter) plus the structural monotonicity law "
+    "recall@2 >= recall@1 (probed cells are a superset).  The oracle "
+    "pins the booleans TRUE, so quantizer quality drifting out of "
+    "envelope fails the value-hash gate instead of living only in "
+    "pytest.  "
+    "Raw recalls are FP-order-dependent (k-means training) and stay "
+    "OUT of the hashed output.  Top-k collects are O(k) rows each "
+    "(documented driver-side scalars).",
+    """
+SELECT CAST(qid AS BIGINT) AS qid, CAST(n_probe AS INT) AS n_probe,
+       CAST(k AS INT) AS k, recall_ok, monotone_ok
+FROM (VALUES (0, 1, 10, TRUE, TRUE), (0, 2, 10, TRUE, TRUE),
+             (1, 1, 10, TRUE, TRUE), (1, 2, 10, TRUE, TRUE),
+             (2, 1, 10, TRUE, TRUE), (2, 2, 10, TRUE, TRUE)) v(qid, n_probe, k, recall_ok, monotone_ok)
+""",
+    tags=("scale", "similarity"),
+)
+def x_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        query_vector_of,
+        train_ivf_cells,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _ = train_ivf_cells(emb, k=10, iters=3)
+    assigned = assigned.persist()
+    envelopes = {1: 0.5, 2: 0.6}
+    out = []
+    try:
+        for qid in (0, 1, 2):
+            q = query_vector_of(emb, qid)
+            exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+            recalls = {}
+            for n_probe, floor in envelopes.items():
+                got = {
+                    r["vec_id"]
+                    for r in ivf_topk(
+                        assigned, q, k=10, cell_col="cell", n_probe=n_probe
+                    ).collect()
+                }
+                recalls[n_probe] = len(exact & got) / 10.0
+            monotone = recalls[2] >= recalls[1]
+            for n_probe, floor in envelopes.items():
+                out.append((qid, n_probe, 10, recalls[n_probe] >= floor, monotone))
+    finally:
+        assigned.unpersist()
+    return spark.createDataFrame(
+        out, "qid bigint, n_probe int, k int, recall_ok boolean, monotone_ok boolean"
+    )
