@@ -20,9 +20,22 @@ _ALL = (*CORE_QUERIES, *EXT_QUERIES, *MORE_QUERIES, *TPCH_QUERIES, *NLP_QUERIES)
 # same window.  Every query keeps its oracle either way — the builder's
 # mirror (tools/check_parity.py) always runs ALL of them.
 _FRONT = [
+    # --- first ~50 = this round's driver budget: regression fixes,
+    # --- everything NEW in r2, then families r1 never checked
     "flagship_career_collapse",   # driver smoke target stays first
     "w04_rolling_corr",           # r1 driver-gate ERROR → fixed (try_divide)
     "a08_nested_array_agg",       # r1 driver-gate ERROR → fixed (to_json)
+    # r2 new: last three TPC-H classic forms (synthesized partsupp)
+    "q02_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promo_suppliers",
+    # r2 new: span dedup, canonical pick, sharding, backtest, gates
+    "x_dup_span_detection",
+    "x_dedup_canonical_pick",
+    "x_corpus_shuffle_shards",
+    "w35_backtest_drift",
+    "x_sketch_accuracy_gate",
+    "x_ann_recall_gate",
     # dedup family (scale-path fixes from the r1 verdict included)
     "x_dedup_ngram_jaccard",
     "x_embed_neardup_pairs",
@@ -34,7 +47,6 @@ _FRONT = [
     "x_dedup_chunks",
     "x_dedup_incremental",
     "x_dedup_rate_by_source",
-    "x_dedup_canonical_pick",
     # similarity / embeddings
     "x_sim_search_bruteforce",
     "x_sim_search_ivf",
@@ -42,59 +54,47 @@ _FRONT = [
     "x_sim_hard_negatives",
     "x_embed_class_stats",
     "x_embed_centroid_eval",
-    # text analysis / quality
-    "x_text_quality",
-    "x_lang_id",
-    "x_token_corpus_stats",
-    "x_token_entropy",
-    "x_text_pii_redact",
-    "x_text_rarity_score",
-    "x_quality_repetition_signals",
-    "x_quality_filter_funnel",
-    "x_quality_lr_score",
-    "x_decontaminate_ngram_overlap",
-    "x_dup_ngram_fraction",
-    "x_dup_span_detection",
-    # curation / mixing
-    "x_corpus_shuffle_shards",
-    "x_curation_hash_split",
-    "x_curation_temperature_mix",
-    "x_curation_stratified_mix",
-    "x_curation_dsir_score",
-    # retrieval / indexing
-    "x_tfidf_top_terms_per_doc",
-    "x_bm25_topk",
-    "x_inverted_index",
-    # chunk / pack / end-to-end corpus
-    "x_pack_sequences",
-    "x_doc_chunking",
-    "x_e2e_training_corpus",
-    "x_corpus_drift_kl",
-    "x_source_overlap_matrix",
-    # accuracy gates (in-query bounded-error booleans, oracle-pinned)
-    "x_sketch_accuracy_gate",
-    "x_ann_recall_gate",
-    # TPC-H classic shapes
+    # TPC-H classic shapes r1 did not check
     "q01_pricing_summary",
     "q05_star_join_revenue",
     "q09_product_profit",
     "q18_large_volume_customers",
     "q21_waiting_orders",
-    # r2: last three classic forms, closed via synthesized partsupp
-    "q02_min_cost_supplier",
-    "q11_important_stock",
-    "q20_potential_promo_suppliers",
     # sessionization / event analytics
     "s08_tumbling_window_rollup",
     "s09_sessionize_batch",
     "s13_retention_cohorts",
     "s15_scd2_history",
     "s16_cdc_apply",
-    # trend estimators added late in r1
+    # text analysis / quality
+    "x_text_quality",
+    "x_lang_id",
+    "x_token_corpus_stats",
+    "x_text_pii_redact",
+    "x_quality_filter_funnel",
+    "x_quality_lr_score",
+    "x_decontaminate_ngram_overlap",
+    "x_dup_ngram_fraction",
+    # chunk / pack / end-to-end corpus
+    "x_pack_sequences",
+    "x_doc_chunking",
+    "x_e2e_training_corpus",
+    # --- below here: next rotation's candidates (still oracle-checked
+    # --- by the builder's mirror every round)
+    "x_token_entropy",
+    "x_text_rarity_score",
+    "x_quality_repetition_signals",
+    "x_corpus_drift_kl",
+    "x_source_overlap_matrix",
+    "x_curation_hash_split",
+    "x_curation_temperature_mix",
+    "x_curation_stratified_mix",
+    "x_curation_dsir_score",
+    "x_tfidf_top_terms_per_doc",
+    "x_bm25_topk",
+    "x_inverted_index",
     "w22_ols_trend",
     "w31_theil_sen_trend",
-    # r2: rolling-origin forecast backtest
-    "w35_backtest_drift",
 ]
 
 _BY_NAME = {q.name: q for q in _ALL}
