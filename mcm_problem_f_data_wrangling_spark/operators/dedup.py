@@ -605,3 +605,66 @@ def incremental_lsh_dedup(
     kept = new_docs.join(dropped, id_col, "left_anti")
     kept_sigs = new_sigs.join(dropped, id_col, "left_anti")
     return kept, kept_sigs
+
+
+def dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_run: int = 3,
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans per doc
+    (span-level dedup signal, Lee et al. 2022, approximated at k-gram
+    resolution).  Output: (doc_id, span_start, span_end, span_tokens,
+    n_grams) with 1-based inclusive token positions.
+
+    Consecutive positions whose k-gram appears in >= 2 DISTINCT docs
+    merge into maximal runs via the islands trick (pos - row_number);
+    runs shorter than ``min_run`` grams are suppressed.  Gram hashes
+    feed equality only (engine-native hash); the dup-gram set builds
+    from a pre-deduped (hash, doc) projection so the distinct-doc
+    count is map-side combinable; positions rejoin via an
+    AQE-skew-splittable semi-join on the hash — never a window over
+    the hash partition (see x_dup_ngram_fraction's 100 TB note); the
+    islands window partitions by doc, bounded and skew-free.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.textfn import strict_word_shingles
+
+    g = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(strict_word_shingles(text_col, k)).alias("pos0", "s"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.xxhash64("s").alias("h"),
+    )
+    # two consumers (dup-set build + position rejoin) — materialize the
+    # shingle+hash pipeline once (x_dup_ngram_fraction precedent)
+    g = g.localCheckpoint(eager=True)
+    dup = (
+        g.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = g.join(dup, "h", "left_semi").withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+            (F.max("pos") + k - F.min("pos")).cast("long").alias("span_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .filter(F.col("n_grams") >= min_run)
+        .drop("grp")
+        .orderBy("doc_id", "span_start")
+    )

@@ -1324,44 +1324,9 @@ ORDER BY doc_id, span_start
     tags=("llm", "dedup"),
 )
 def x_dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    g = (
-        docs.select(
-            "doc_id", F.posexplode(strict_word_shingles("text", 8)).alias("pos0", "s")
-        )
-        .select(
-            "doc_id",
-            (F.col("pos0") + 1).cast("long").alias("pos"),
-            F.xxhash64("s").alias("h"),
-        )
-    )
-    # two consumers (dup-set build + position rejoin) — materialize the
-    # shingle+hash pipeline once (x_dup_ngram_fraction precedent)
-    g = g.localCheckpoint(eager=True)
-    dup = (
-        g.select("h", "doc_id")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    runs = g.join(dup, "h", "left_semi").withColumn(
-        "grp", F.col("pos") - F.row_number().over(w)
-    )
-    return (
-        runs.groupBy("doc_id", "grp")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + 7).cast("long").alias("span_end"),
-            (F.max("pos") + 7 - F.min("pos") + 1).cast("long").alias("span_tokens"),
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-        )
-        .filter(F.col("n_grams") >= 3)
-        .drop("grp")
-        .orderBy("doc_id", "span_start")
-    )
+    from ..operators.dedup import dup_spans
+
+    return dup_spans(table(spark, sf_dir, "documents"), k=8, min_run=3)
 
 
 @_q(

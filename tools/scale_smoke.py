@@ -351,7 +351,54 @@ def main() -> None:
             hp = srp_hyperplanes(16, n_bits=10, seed=7)
             return embedding_neardup_pairs(vecs, hyperplanes=hp, n_bits=10).count()
 
+        def dup_spans_220k():
+            # round-2 op: maximal duplicated spans.  Every 10th doc
+            # gets a copy with a divergent tail, so 20k doc pairs share
+            # a 30-token prefix -> real dup-gram runs to merge.
+            from mcm_problem_f_data_wrangling_spark.operators.dedup import dup_spans
+
+            copies = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail_a tail_b tail_c")).alias("text"),
+            )
+            return dup_spans(docs.unionByName(copies), k=8, min_run=3).count()
+
+        def canonical_pick_220k():
+            # round-2 op: bag-of-words grouping + keep-longest window
+            from pyspark.sql import Window
+
+            from mcm_problem_f_data_wrangling_spark.functions.textfn import (
+                portable_hash64,
+                tokens,
+            )
+
+            copies = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" "), F.col("text")).alias("text"),
+            )
+            alld = docs.unionByName(copies).withColumn("n_chars", F.length("text"))
+            fp = alld.select(
+                "doc_id",
+                "n_chars",
+                portable_hash64(
+                    F.concat_ws(" ", F.sort_array(F.array_distinct(tokens("text"))))
+                ).alias("fingerprint"),
+            )
+            wf = Window.partitionBy("fingerprint")
+            return (
+                fp.select(
+                    "*",
+                    F.row_number()
+                    .over(wf.orderBy(F.desc("n_chars"), "doc_id"))
+                    .alias("rk"),
+                )
+                .filter(F.col("rk") == 1)
+                .count()
+            )
+
         timed("minhash_200k_docs", minhash)
+        timed("dup_span_detection_220k_docs", dup_spans_220k)
+        timed("canonical_pick_220k_docs", canonical_pick_220k)
         timed("jaccard_prefix_200k_docs", jaccard_prefix_200k)
         timed("srp_neardup_100k_vectors_1024bands", srp_neardup_100k)
         timed("asof_join_1m_x_1m", asof)
