@@ -36,6 +36,7 @@ _FRONT = [
     "w35_backtest_drift",
     "x_sketch_accuracy_gate",
     "x_ann_recall_gate",
+    "x_lsh_recall_gate",
     # dedup family (scale-path fixes from the r1 verdict included)
     "x_dedup_ngram_jaccard",
     "x_embed_neardup_pairs",

@@ -3101,3 +3101,120 @@ def x_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "qid bigint, n_probe int, k int, recall_ok boolean, monotone_ok boolean"
     )
+
+
+_LSH_RECALL_ORACLE = f"""
+WITH {_SIG_CTE},
+banded AS ({_BANDED_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+tok AS (SELECT doc_id, unnest(list_distinct(shingles)) AS token FROM sh),
+cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT doc_id_1, doc_id_2,
+         CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) AS j,
+         CASE WHEN c.doc_id_1 IS NULL THEN 0 ELSE 1 END AS is_cand
+  FROM inter
+  JOIN cnt ca ON doc_id_1 = ca.doc_id
+  JOIN cnt cb ON doc_id_2 = cb.doc_id
+  LEFT JOIN cand c USING (doc_id_1, doc_id_2)
+  WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= 0.3
+),
+n_cand AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand)
+SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(is_cand) AS BIGINT) AS n_hit,
+       (SELECT n_candidates FROM n_cand) AS n_candidates,
+       ROUND(CAST(SUM(is_cand) AS DOUBLE) / NULLIF(COUNT(*), 0), 9) AS recall
+FROM (VALUES (0.3), (0.5), (0.8)) t(threshold)
+JOIN exact e ON e.j >= t.threshold
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@_q(
+    "x_lsh_recall_gate",
+    "Driver-checkable MinHash-LSH recall/precision audit (the dedup "
+    "analogue of x_ann_recall_gate, but FULLY deterministic — every "
+    "hash is md5-portable, so the oracle recomputes the identical "
+    "recall rather than pinning booleans): ground truth is the EXACT "
+    "AllPairs prefix-filter Jaccard join at >= 0.3 "
+    "(jaccard_join_prefix — complete by construction, no banding "
+    "recall loss), candidates are the production 8-band x 2-row LSH "
+    "self-join; output per threshold (0.3 / 0.5 / 0.8) is true-pair "
+    "count, hit count, global candidate count, and recall.  This is "
+    "the audit a 100 TB dedup run ships alongside its LSH pass: the "
+    "exact join is feasible on a sampled shard (here the whole "
+    "sf0.01 corpus), recall quantifies what the banding chemistry "
+    "(1-(1-J^2)^8) delivers on REAL data, and n_candidates vs "
+    "n_true_pairs exposes the precision cost.  Everything after the "
+    "two pair joins is O(pairs)-sized; the threshold fan-out is a "
+    "single conditional aggregation unpivoted with stack(), so no "
+    "join ever touches the pair tables again.",
+    _LSH_RECALL_ORACLE,
+    tags=("scale", "dedup"),
+)
+def x_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_join_prefix
+
+    docs = table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    exact = jaccard_join_prefix(docs, threshold=0.3).select(
+        "doc_id_1", "doc_id_2", "jaccard"
+    )
+    flagged = exact.join(
+        cand.withColumn("is_cand", F.lit(1)), ["doc_id_1", "doc_id_2"], "left"
+    ).select("jaccard", F.coalesce("is_cand", F.lit(0)).alias("is_cand"))
+    # single-pass conditional aggregation over (true pairs UNION candidate
+    # markers), unpivoted with stack() — the threshold fan-out never joins
+    # against the pair tables (a 3-row theta-join compiles to
+    # BroadcastNestedLoopJoin, which the plan audit rightly flags)
+    u = flagged.select("jaccard", "is_cand", F.lit(0).alias("kind")).unionByName(
+        cand.select(
+            F.lit(None).cast("double").alias("jaccard"),
+            F.lit(0).alias("is_cand"),
+            F.lit(1).alias("kind"),
+        )
+    )
+    thresholds = (0.3, 0.5, 0.8)
+    aggs = [F.sum("kind").cast("long").alias("n_candidates")]
+    for i, t in enumerate(thresholds):
+        true_at = (F.col("kind") == 0) & (F.col("jaccard") >= F.lit(t))
+        aggs.append(F.count(F.when(true_at, 1)).cast("long").alias(f"t{i}_true"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(true_at, F.col("is_cand"))), F.lit(0))
+            .cast("long")
+            .alias(f"t{i}_hit")
+        )
+    one = u.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), t{i}_true, t{i}_hit" for i, t in enumerate(thresholds)
+    )
+    return (
+        one.selectExpr(
+            f"stack({len(thresholds)}, {stack_args})"
+            " AS (threshold, n_true_pairs, n_hit)",
+            "n_candidates",
+        )
+        .where(F.col("n_true_pairs") > 0)  # oracle's inner join drops empty thresholds
+        .select(
+            "threshold",
+            "n_true_pairs",
+            "n_hit",
+            "n_candidates",
+            F.round(
+                F.try_divide(F.col("n_hit").cast("double"), F.col("n_true_pairs")), 9
+            ).alias("recall"),
+        )
+        .orderBy("threshold")
+    )

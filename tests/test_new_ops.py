@@ -319,3 +319,35 @@ def test_theil_sen_matches_numpy_and_resists_outlier(spark, tmp_path):
     assert abs(r["slope_med"] - 2.0) < 0.25  # outlier-resistant
     ref_intercept = round(float(np.median([y - ref_slope * x for x, y in pts])), 6)
     assert abs(r["intercept_med"] - ref_intercept) < 1e-9
+
+
+def test_lsh_recall_gate_complete_on_testdata(spark):
+    """x_lsh_recall_gate: ground truth comes from the COMPLETE
+    prefix-filter join, so every near-identical testdata pair must be
+    found by LSH at J>=0.8 (detection prob 1-(1-0.64)^8 ~ 0.9997 per
+    pair; the generator's duplicates are ~exact so in practice all
+    hit), and the structural laws hold: n_hit <= n_true_pairs,
+    n_hit <= n_candidates, recall in [0,1], and monotone thresholds
+    (n_true_pairs non-increasing as threshold rises)."""
+    from mcm_problem_f_data_wrangling_spark.plans import REGISTRY
+
+    rows = {
+        r["threshold"]: r
+        for r in REGISTRY["x_lsh_recall_gate"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert rows, "gate must produce at least one threshold row"
+    prev_true = None
+    for thr in sorted(rows):
+        r = rows[thr]
+        assert r["n_hit"] <= r["n_true_pairs"]
+        assert r["n_hit"] <= r["n_candidates"]
+        assert 0.0 <= r["recall"] <= 1.0
+        if prev_true is not None:
+            assert r["n_true_pairs"] <= prev_true
+        prev_true = r["n_true_pairs"]
+    # the generator's planted duplicates are near-exact: at the top
+    # threshold LSH must find every true pair
+    top = rows[max(rows)]
+    assert top["recall"] == 1.0
