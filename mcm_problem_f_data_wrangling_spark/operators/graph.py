@@ -74,16 +74,6 @@ def connected_components(
     """
     spark = edges.sparkSession
     sym = symmetrize_edges(edges, src, dst)
-    if nodes is None:
-        vertices = sym.select(F.col("a").alias(node_col)).dropDuplicates()
-    else:
-        # edges may mention vertices absent from `nodes`; the union keeps
-        # the label table closed over everything the joins will touch
-        vertices = (
-            nodes.select(F.col(node_col))
-            .unionByName(sym.select(F.col("a").alias(node_col)))
-            .dropDuplicates()
-        )
 
     base = work_dir or tempfile.mkdtemp(prefix="cc_state_")
     own_dir = work_dir is None
@@ -92,6 +82,20 @@ def connected_components(
         # the edge set is static across rounds — pin it in memory
         # (spillable) instead of rescanning parquet every iteration
         sym = spark.read.parquet(f"{base}/edges").persist()
+        # derive the vertex set from the MATERIALIZED edges, not the
+        # input lineage: building it from the pre-write plan re-executes
+        # the (possibly expensive — e.g. a prefix-filter Jaccard join)
+        # edge computation a second time for the labels_0 write
+        if nodes is None:
+            vertices = sym.select(F.col("a").alias(node_col)).dropDuplicates()
+        else:
+            # edges may mention vertices absent from `nodes`; the union keeps
+            # the label table closed over everything the joins will touch
+            vertices = (
+                nodes.select(F.col(node_col))
+                .unionByName(sym.select(F.col("a").alias(node_col)))
+                .dropDuplicates()
+            )
         vertices.select(
             F.col(node_col), F.col(node_col).alias("component")
         ).write.mode("overwrite").parquet(f"{base}/labels_0")
@@ -162,7 +166,7 @@ def duplicate_clusters(
     """Resolve exact + near-dup evidence into clusters with one survivor.
 
     Edge set = (a) star edges doc→min-doc within each exact-fingerprint
-    group and (b) prefix-filtered exact token-set Jaccard pairs at
+    group and (b) prefix-filtered exact bigram-shingle Jaccard pairs at
     ``jaccard_threshold`` — the two cheap evidence sources; transitive
     closure across BOTH is what a pairwise keep-rule cannot express.
 

@@ -196,15 +196,26 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "x_dedup_ngram_jaccard",
-    "n-gram (token-set) Jaccard near-dup pairs — EXACT via AllPairs "
-    "prefix filtering (round-2: replaces length-bucket banding, whose "
-    "within-bucket fan-out degenerated toward O(n²) on homogeneous-"
-    "length corpora and missed boundary-straddling pairs).  The oracle "
-    "is the brute-force all-pairs definition; the Spark plan produces "
-    "the identical pair set from rare-token prefix candidates.",
+    "n-gram (bigram-shingle-set) Jaccard near-dup pairs — EXACT via "
+    "AllPairs prefix filtering (round-2: replaces length-bucket "
+    "banding, whose within-bucket fan-out degenerated toward O(n²) on "
+    "homogeneous-length corpora and missed boundary-straddling pairs; "
+    "the feature unit is the biGRAM, not the raw token — on this "
+    "small-vocab corpus every token has df ~ 0.7n, so a token-set "
+    "join has no rare prefixes and its TRUE result is itself "
+    "quadratic: 99.1% of all pairs pass J >= 0.2.  Bigrams restore "
+    "the feature sparsity prefix filtering needs at any scale).  The "
+    "oracle is the brute-force all-pairs definition; the Spark plan "
+    "produces the identical pair set from rare-gram prefix "
+    "candidates.",
     f"""
-WITH d AS (
-  SELECT doc_id, list_distinct({_TOKS}) AS tok FROM documents
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+d AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+    THEN list_transform(generate_series(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+1], ' '))
+    ELSE [array_to_string(toks, ' ')] END) AS tok
+  FROM t
 )
 SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
        ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
@@ -874,7 +885,11 @@ ex AS (
     ON f.fingerprint = k.fingerprint AND f.doc_id = k.keep
 ),
 jd AS (
-  SELECT doc_id, list_distinct(toks) AS tok FROM ex
+  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+    THEN list_transform(generate_series(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+1], ' '))
+    ELSE [array_to_string(toks, ' ')] END) AS tok
+  FROM ex
 ),
 neardrop AS (
   SELECT DISTINCT b.doc_id FROM jd a JOIN jd b
@@ -1052,7 +1067,10 @@ def x_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
 @_q(
     "x_dedup_clusters_cc",
     "Duplicate-CLUSTER resolution: exact-fingerprint star edges + "
-    "prefix-filtered exact Jaccard pairs → distributed connected components "
+    "prefix-filtered exact bigram-shingle Jaccard pairs (round-2: "
+    "token-level edges made 99% of all pairs edges on this "
+    "small-vocab corpus — one degenerate giant cluster) "
+    "→ distributed connected components "
     "(min-label propagation with pointer jumping, O(log d) rounds, "
     "operators/graph.py) → one deterministic survivor (min doc_id) per "
     "cluster.  Near-duplication is transitive; a pairwise keep-rule "
@@ -1070,8 +1088,13 @@ star AS (
   FROM fpt f JOIN fpg g USING (fingerprint)
   WHERE f.doc_id != g.keep
 ),
+jt AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 jd AS (
-  SELECT doc_id, list_distinct({_TOKS}) AS tok FROM documents
+  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+    THEN list_transform(generate_series(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+1], ' '))
+    ELSE [array_to_string(toks, ' ')] END) AS tok
+  FROM jt
 ),
 jac AS (
   SELECT a.doc_id AS src, b.doc_id AS dst
