@@ -57,7 +57,7 @@ from ..operators.similarity import (
     ivf_topk,
     query_vector_of,
 )
-from .base import DSUM, MONTH_OF, MONTHLY_CTE, Query, dsum, monthly_lineitem, table
+from .base import DSUM, MONTH_OF, MONTHLY_CTE, Query, dsum, monthly_lineitem, spread, table
 from ..functions.rolling import ewma_sql
 
 QUERIES: list[Query] = []
@@ -1058,7 +1058,9 @@ GROUP BY tr.doc_id
     tags=("M4", "decontam"),
 )
 def x_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # spread(): the train-side 8-gram shingle map dominates; one-row-group
+    # testdata scan otherwise pins it to a single task
+    docs = spread(table(spark, sf_dir, "documents"))
     ev = docs.filter(F.col("doc_id") % 10 == 0)
     tr = docs.filter(F.col("doc_id") % 10 != 0)
     return ngram_decontaminate(tr, ev, k=8)

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..functions.textfn import portable_hash64, strict_word_shingles, tokens
-from .base import Query, table
+from .base import Query, spread, table
 
 QUERIES: list[Query] = []
 
@@ -269,7 +269,10 @@ GROUP BY 1
     tags=("llm", "dedup"),
 )
 def x_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # spread(): the 8-gram shingle+hash map dominates this query and the
+    # testdata scan is one row group (one task) — measured 2.2s -> 0.9s
+    # at sf0.1; identity at production scan widths
+    docs = spread(table(spark, sf_dir, "documents"))
     # the hash only feeds EQUALITY (counts per gram) and never appears
     # in the output, so the engine-specific JVM-native xxhash64 is
     # correct here (textfn guidance) and ~2x cheaper than the
@@ -1326,7 +1329,8 @@ ORDER BY doc_id, span_start
 def x_dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dup_spans
 
-    return dup_spans(table(spark, sf_dir, "documents"), k=8, min_run=3)
+    # spread(): same 8-gram map dominance as x_dup_ngram_fraction
+    return dup_spans(spread(table(spark, sf_dir, "documents")), k=8, min_run=3)
 
 
 @_q(
