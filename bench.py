@@ -29,19 +29,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     bench_set = headline_queries()
+
+    def run(q) -> None:
+        # noop sink, not count(): count() lets Catalyst prune every
+        # unaggregated output column, so projection-shaped queries
+        # (signatures, quality scores) would be timed WITHOUT their
+        # actual compute.  The noop v2 sink executes the full plan,
+        # all columns, and discards rows executor-side.
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # warmup: JVM codegen + parquet footer caches (not timed).  Every
     # query runs once untimed — warming only a subset leaves the rest
     # paying first-run codegen inside their timed run, which showed up
     # as ±40% run-to-run noise on the suite total.
     for q in bench_set:
-        q.spark(spark, sf_dir).count()
+        run(q)
 
     timings: dict[str, float] = {}
     for q in bench_set:
         t0 = time.perf_counter()
-        n = q.spark(spark, sf_dir).count()
+        run(q)
         timings[q.name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

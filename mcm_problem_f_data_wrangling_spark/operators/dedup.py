@@ -70,8 +70,17 @@ def minhash_signature_cols(text_col: str = "text", k: int = MINHASH_K, shingle_k
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K) -> DataFrame:
-    """Per-doc MinHash signature table: (id, s0..s{k-1})."""
-    return df.select(F.col(id_col), *minhash_signature_cols(text_col, k))
+    """Per-doc MinHash signature table: (id, s0..s{k-1}).
+
+    ``spread``: k seeded min-hash passes over the shingle array are
+    the dominant per-row cost of every LSH pipeline (measured ~12 s on
+    ONE core for 5 000 docs x 16 hashes at sf0.1); a single-row-group
+    scan would serialize them all on one task.  Identity at production
+    scan widths (operators/skew.py).
+    """
+    from .skew import spread
+
+    return spread(df).select(F.col(id_col), *minhash_signature_cols(text_col, k))
 
 
 def lsh_candidate_pairs(
@@ -167,7 +176,9 @@ def ngram_jaccard_pairs(
     scale; bigrams differentiate this operator from
     :func:`jaccard_join_prefix`'s trigrams.
     """
-    tok = df.select(
+    from .skew import spread
+
+    tok = spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_shingles(text_col, k=shingle_k))).alias(
             "token"
@@ -280,6 +291,11 @@ def embedding_neardup_pairs(
     from pyspark.sql import Window
 
     from ..functions.vectors import dot, l2_norm
+    from .skew import spread
+
+    # the decimal-exact SRP dot products are the dominant per-row cost;
+    # see minhash_signatures' spread note
+    df = spread(df)
 
     if band_col is not None:
         banded = df.select(
@@ -369,6 +385,9 @@ def edit_distance_pairs(
     fuzzy-match query (the residual cost is the banded candidate join
     itself, not the verifier).
     """
+    from .skew import spread
+
+    df = spread(df)
     a = df.select(
         *band_cols,
         F.col(id_col).alias("id_1"),
@@ -476,7 +495,9 @@ def jaccard_join_prefix(
     in one IEEE division, so the brute-force oracle hash-matches.
     Output: (doc_id_1, doc_id_2, n_1, n_2, n_common, jaccard).
     """
-    tok = df.select(
+    from .skew import spread
+
+    tok = spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_shingles(text_col, k=shingle_k))).alias(
             "token"

@@ -723,3 +723,137 @@ def arma_equation_block(fit_df: DataFrame, exog_name: str = "x") -> dict[str, st
             f"  ({ar})({sar})(1-B)(1-B^12)(u_t - {r['c']:.4f}) = ({ma})({sma}) eps_t"
         )
     return blocks
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive triple exponential smoothing (engine extension:
+# the standard non-ARIMA baseline the reference's notebook workflow
+# would reach for next to ``fit_best_sarimax`` — same per-series
+# applyInPandas boundary as the AIC grid, pure numpy).
+# ---------------------------------------------------------------------------
+
+HW_SCHEMA = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("alpha", DoubleType()),
+        StructField("beta", DoubleType()),
+        StructField("gamma", DoubleType()),
+        StructField("sse", DoubleType()),
+        StructField("n_obs", LongType()),
+        StructField("step", LongType()),
+        StructField("forecast", DoubleType()),
+    ]
+)
+
+# coarse smoothing grid: 27 candidates — HW's SSE surface is smooth and
+# flat near the optimum, so a coarse grid is the standard cheap selector
+HW_GRID = (0.2, 0.5, 0.8)
+
+
+def _hw_fit_sse(y, season: int, alpha: float, beta: float, gamma: float):
+    """Additive Holt-Winters recursion → (one-step SSE, level, trend,
+    seasonals) at the end of the series.
+
+    Classical initialization with TREND-ADJUSTED seasonals: trend =
+    mean per-period gain between season 1 and season 2; level = season-1
+    mean projected to the END of season 1 (t = s-1); seasonal_i =
+    y_i minus the fitted line at i — subtracting the raw season mean
+    instead would leak the within-season trend ramp (±trend·s/2) into
+    the seasonal profile and the recursion then spends the whole series
+    un-learning it.  The recursion starts at t = season.  Pure-python
+    loop over an O(100)-point series inside the per-group Pandas
+    boundary (X3 precedent).
+    """
+    import numpy as np
+
+    s = season
+    m1 = float(np.mean(y[:s]))
+    trend = float((np.mean(y[s : 2 * s]) - m1) / s)
+    mid = (s - 1) / 2.0
+    level = m1 + trend * mid  # level at t = s-1
+    seas = [float(y[i] - (m1 + (i - mid) * trend)) for i in range(s)]
+    sse = 0.0
+    for t in range(s, len(y)):
+        pred = level + trend + seas[t % s]
+        err = y[t] - pred
+        sse += err * err
+        new_level = alpha * (y[t] - seas[t % s]) + (1 - alpha) * (level + trend)
+        trend = beta * (new_level - level) + (1 - beta) * trend
+        seas[t % s] = gamma * (y[t] - new_level) + (1 - gamma) * seas[t % s]
+        level = new_level
+    return sse, level, trend, seas
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    season: int = 12,
+    steps: int = 6,
+    grid=HW_GRID,
+) -> DataFrame:
+    """Per-group additive Holt-Winters fit + h-step forecast.
+
+    Selects (alpha, beta, gamma) from ``grid``³ by one-step in-sample
+    SSE, then forecasts ``level + h·trend + seasonal[(t+h) mod s]``.
+    One ``applyInPandas`` crossing; each group is O(n·|grid|³) local
+    work, so the stage scales with the number of series exactly like
+    the X3 AIC grid.  Groups shorter than 2·season observations can't
+    initialize trend/seasonals and fall back to RW-with-drift, flagged
+    with NULL smoothing parameters (the X3 degradation convention).
+    """
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(order_col)
+        y = pdf[value_col].astype(float).to_numpy()
+        key = str(pdf[group_col].iloc[0])
+
+        if len(y) < 2 * season or not np.isfinite(y).all():
+            d = pd.Series(y).diff().dropna()
+            mu = float(d.mean()) if len(d) else 0.0
+            finite = y[np.isfinite(y)] if len(y) else y
+            last = float(finite[-1]) if len(finite) else 0.0
+            return pd.DataFrame(
+                {
+                    "group": key,
+                    "alpha": float("nan"),
+                    "beta": float("nan"),
+                    "gamma": float("nan"),
+                    "sse": float("nan"),
+                    "n_obs": len(y),
+                    "step": range(1, steps + 1),
+                    "forecast": [last + (h + 1) * mu for h in range(steps)],
+                }
+            )
+
+        best = None
+        for a in grid:
+            for b in grid:
+                for g in grid:
+                    sse, level, trend, seas = _hw_fit_sse(y, season, a, b, g)
+                    if np.isfinite(sse) and (best is None or sse < best[0]):
+                        best = (sse, a, b, g, level, trend, seas)
+        sse, a, b, g, level, trend, seas = best
+        n = len(y)
+        # forecast target time for step h (1-based) is t = n+h-1 in the
+        # series' 0-based clock, so its seasonal slot is (n+h-1) mod s
+        fc = [
+            level + (h + 1) * trend + seas[(n + h) % season] for h in range(steps)
+        ]
+        return pd.DataFrame(
+            {
+                "group": key,
+                "alpha": a,
+                "beta": b,
+                "gamma": g,
+                "sse": float(sse),
+                "n_obs": n,
+                "step": range(1, steps + 1),
+                "forecast": fc,
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(fit, HW_SCHEMA)

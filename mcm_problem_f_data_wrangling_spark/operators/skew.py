@@ -108,3 +108,28 @@ def key_skew_profile(df: DataFrame, key_cols: list[str], top_k: int = 5) -> Data
         F.lit(max_cnt).cast("long").alias("max_cnt"),
         F.round(F.lit(skew), 9).alias("skew_factor"),
     )
+
+
+def spread(df: DataFrame, min_rows: int = 0) -> DataFrame:
+    """Small-scan parallelization guard for CPU-heavy row-local stages.
+
+    A single-row-group parquet file (the driver testdata's layout)
+    scans as ONE task regardless of cores, so an expensive per-row
+    pipeline sitting on the scan (16 seeded MinHash passes, 8-gram
+    shingling, levenshtein banding) serializes on a single core of 32.
+    When the scan is narrower than half the session's core budget,
+    redistribute rows round-robin BEFORE the heavy map; at production
+    scan widths (many files / row groups) this is an identity — it
+    never adds an exchange to a plan that is already parallel.  Half
+    the core budget keeps per-task row counts high enough that
+    task-launch overhead doesn't eat the win on bench-sized inputs
+    (measured: 16 parts beat 32 and 64 on the 5 000-doc sf0.1 corpus).
+
+    Only wired into operators whose dominant cost is the per-row
+    transform; for cheap maps the exchange costs more than it saves —
+    measured before each use.
+    """
+    target = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

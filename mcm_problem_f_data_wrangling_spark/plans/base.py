@@ -55,28 +55,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def spread(df: DataFrame, min_rows: int = 0) -> DataFrame:
-    """Small-scan parallelization guard for CPU-heavy row-local stages.
+    """Re-export of :func:`operators.skew.spread` (small-scan
+    parallelization guard) for query-level use — see that docstring."""
+    from ..operators.skew import spread as _spread
 
-    The driver's testdata writes each table as ONE parquet row group,
-    so the scan yields one task regardless of cores and a downstream
-    row-local pipeline (shingling, per-token hashing, regex batteries)
-    serializes on a single core of 32.  When the scan is narrower than
-    half the session's core budget, redistribute rows round-robin
-    BEFORE the heavy map; at production scale the scan is already
-    many-splits wide and this returns the input unchanged — it never
-    adds a shuffle to a plan that is already parallel.  Half the core
-    budget (not all of it) keeps per-task row counts high enough that
-    task-launch overhead doesn't eat the win on bench-sized inputs
-    (measured: 16 parts beat 32 and 64 on the 5 000-doc sf0.1 corpus).
-
-    Only apply to queries whose dominant cost is the per-row transform;
-    for cheap maps (plain MinHash, metadata projections) the exchange
-    costs more than it saves — measured before each use.
-    """
-    target = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    return _spread(df, min_rows)
 
 
 def dsum(col: Column | str, scale: int = 6) -> Column:

@@ -3243,3 +3243,35 @@ def x_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@_q(
+    "x3_holt_winters",
+    "Per-series additive Holt-Winters (triple exponential smoothing) "
+    "fit + 6-step forecast — the standard non-ARIMA forecasting "
+    "baseline alongside the X3 SARIMAX-lite grid, selected from a "
+    "27-point (alpha,beta,gamma) grid by one-step in-sample SSE "
+    "inside the same applyInPandas boundary (one Python crossing; "
+    "O(n·27) local work per series, scales with series count).  "
+    "Rows-only: the smoothing recursion is iterative, not "
+    "SQL-expressible; exact-model recovery, SSE-optimality, and the "
+    "short-series RW fallback are property-tested in "
+    "tests/test_forecast.py.",
+    None,
+    tags=("M3", "model"),
+)
+def x3_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.forecast import holt_winters_forecast
+
+    m = monthly_lineitem(spark, sf_dir)
+    out = holt_winters_forecast(m, "flag", "month", "revenue", season=12, steps=6)
+    return out.select(
+        F.col("group").alias("career"),
+        "alpha",
+        "beta",
+        "gamma",
+        F.round("sse", 2).alias("sse"),
+        "n_obs",
+        "step",
+        F.round("forecast", 4).alias("forecast"),
+    )

@@ -284,3 +284,83 @@ def test_arma_equation_block_renders(spark):
     assert set(blocks) == {"g", "s"}
     assert "qty_t + u_t" in blocks["g"] and "eps_t" in blocks["g"]
     assert "random walk with drift" in blocks["s"]
+
+
+class TestHoltWinters:
+    def _series(self, spark, n=48, level=100.0, trend=2.0, amp=10.0, season=12):
+        import math
+
+        rows = [
+            (
+                "s1",
+                i,
+                level + trend * i + amp * math.sin(2 * math.pi * (i % season) / season),
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "g string, t int, y double"), rows
+
+    def test_recovers_exact_additive_model(self, spark):
+        """On a noise-free level+trend+seasonal series the in-sample
+        one-step SSE of the best grid point is tiny and the 6-step
+        forecast continues the exact pattern."""
+        import math
+
+        from mcm_problem_f_data_wrangling_spark.operators.forecast import (
+            holt_winters_forecast,
+        )
+
+        df, rows = self._series(spark)
+        out = {
+            r["step"]: r
+            for r in holt_winters_forecast(df, "g", "t", "y", season=12, steps=6).collect()
+        }
+        n = len(rows)
+        for h in range(1, 7):
+            i = n + h - 1
+            truth = 100.0 + 2.0 * i + 10.0 * math.sin(2 * math.pi * (i % 12) / 12)
+            rel = abs(out[h]["forecast"] - truth) / abs(truth)
+            assert rel < 0.05, (h, out[h]["forecast"], truth)
+        assert out[1]["n_obs"] == n
+
+    def test_sse_is_grid_optimal(self, spark):
+        """The reported SSE equals the minimum over the full grid,
+        recomputed independently via _hw_fit_sse."""
+        from mcm_problem_f_data_wrangling_spark.operators.forecast import (
+            HW_GRID,
+            _hw_fit_sse,
+            holt_winters_forecast,
+        )
+
+        df, rows = self._series(spark, n=40, amp=5.0)
+        got = holt_winters_forecast(df, "g", "t", "y", season=12, steps=1).collect()[0]
+        y = [r[2] for r in rows]
+        best = min(
+            _hw_fit_sse(y, 12, a, b, g)[0]
+            for a in HW_GRID
+            for b in HW_GRID
+            for g in HW_GRID
+        )
+        assert got["sse"] == pytest.approx(best, rel=1e-9)
+
+    def test_short_series_falls_back_to_rw_drift(self, spark):
+        from mcm_problem_f_data_wrangling_spark.operators.forecast import (
+            holt_winters_forecast,
+        )
+
+        df = spark.createDataFrame(
+            [("s", i, 10.0 + 3.0 * i) for i in range(10)], "g string, t int, y double"
+        )
+        out = {
+            r["step"]: r
+            for r in holt_winters_forecast(df, "g", "t", "y", season=12, steps=3).collect()
+        }
+        import math
+
+        # Arrow maps the fallback's NaN params to SQL NULL; a vanilla
+        # (non-Arrow) session keeps NaN — both mean "no fit"
+        a = out[1]["alpha"]
+        assert a is None or math.isnan(a)
+        # RW with drift on a perfect line = exact continuation
+        for h in range(1, 4):
+            assert out[h]["forecast"] == pytest.approx(10.0 + 3.0 * (9 + h))
