@@ -129,6 +129,10 @@ def spread(df: DataFrame, min_rows: int = 0) -> DataFrame:
     transform; for cheap maps the exchange costs more than it saves —
     measured before each use.
     """
+    if df.isStreaming:
+        # partition introspection (df.rdd) is undefined for streaming
+        # plans; micro-batch parallelism is the source's concern
+        return df
     target = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
