@@ -723,3 +723,66 @@ def dup_spans(
         .drop("grp")
         .orderBy("doc_id", "span_start")
     )
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    hash_col: str = "simhash",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Near-duplicate pairs under Hamming distance over a fingerprint
+    column (SimHash — Charikar 2002 / Manku et al. WWW'07 — or a
+    64-bit perceptual image hash; any fixed-width bit fingerprint).
+
+    Exact by pigeonhole: the ``bits``-wide hash is split into
+    ``max_hamming + 1`` disjoint bands, so any pair within
+    ``max_hamming`` bit flips agrees EXACTLY on at least one band.
+    Candidates come from an equi-self-join on (band_idx, band_value)
+    — one shuffle keyed on the band, never an all-pairs cross join —
+    then the true Hamming distance (``bit_count(a XOR b)``) filters
+    candidates, so there are no false positives and (by pigeonhole)
+    no false negatives.  This is Manku's exact algorithm, not an
+    approximation.
+
+    Output: (<id>_1, <id>_2, hamming), id_1 < id_2, deduplicated
+    across bands.
+
+    Scale: band width = bits // (max_hamming+1); at 100 TB the band
+    value space (2^width per band) must stay large relative to n or a
+    band becomes a skewed hot key — for web-scale near-dup use a
+    64-bit SimHash with max_hamming=3 (Manku's production setting:
+    4 bands × 16 bits), not the 16-bit test-corpus default.
+    """
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    if width == 0:
+        raise ValueError("max_hamming too large for the hash width")
+    mask = (1 << width) - 1
+    h = F.col(hash_col)
+    bands = F.array(
+        *[F.shiftright(h, b * width).bitwiseAND(F.lit(mask)) for b in range(n_bands)]
+    )
+    banded = df.select(
+        F.col(id_col), h.alias("__h"), F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_1"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_2"),
+            F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h"))).cast("int").alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates([f"{id_col}_1", f"{id_col}_2"])
+    )
+    return pairs

@@ -122,3 +122,88 @@ def filter_funnel(df: DataFrame, stages: list[tuple[str, Column]]) -> DataFrame:
         .select("r.*")
         .withColumn("n_dropped", F.col("n_in") - F.col("n_kept"))
     )
+
+
+def doc_segments(toks: Column, seg_tokens: int = 3) -> Column:
+    """Non-overlapping ``seg_tokens``-token segments of a token array,
+    in document order (the "line" unit for corpus-level boilerplate
+    removal — this corpus has no newlines, so the segment stands in
+    for CCNet's physical line).
+
+    Segment i = tokens[i*k .. i*k+k); the tail segment may be short.
+    Row-local (one ``transform`` over a driver-computed index range).
+    """
+    n_seg = F.floor((F.size(toks) + seg_tokens - 1) / F.lit(seg_tokens)).cast("int")
+    return F.when(F.size(toks) <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(F.slice(toks, i * seg_tokens + 1, seg_tokens), " "),
+        )
+    )
+
+
+def boilerplate_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 3,
+    max_df: int = 4,
+    max_boiler_set: int = 1_000_000,
+) -> DataFrame:
+    """CCNet-style corpus-level boilerplate ("line") removal.
+
+    A segment (pseudo-line, :func:`doc_segments`) that occurs in more
+    than ``max_df`` DISTINCT documents is boilerplate (headers,
+    footers, cookie banners in a web corpus); every occurrence is
+    removed and each document's text is rebuilt from its surviving
+    segments in order.  CCNet §3.1 does this with physical lines; the
+    unit here is the k-token segment because the synthetic corpus is
+    newline-free.
+
+    Output: (doc_id, n_segments, n_boiler, cleaned_text,
+    removed_frac).
+
+    Scale shape (100 TB): ONE shuffle — the (segment → distinct-doc
+    count) aggregation, map-side combinable on the segment key.  The
+    boilerplate set itself is tiny by construction (only segments
+    with df > max_df survive; natural-language corpora have a short
+    heavy tail of repeated lines), so it is collected O(|boiler|) to
+    the driver and the removal pass is a row-local array filter on a
+    broadcast literal — no fact-to-fact join, no re-grouping shuffle
+    to reassemble documents.  ``max_boiler_set`` guards the collect:
+    exceeding it raises rather than silently shipping an unbounded
+    set.  (The alternative — left_anti join on the exploded segments
+    plus a doc_id re-aggregation — costs two more full-corpus
+    shuffles and is only preferable when the boilerplate set itself
+    is too large to broadcast.)
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    segged = toks.select(id_col, doc_segments(F.col("__toks"), seg_tokens).alias("__segs"))
+    seg_df = (
+        segged.select(F.col(id_col), F.explode("__segs").alias("seg"))
+        .groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") > max_df)
+    )
+    boiler = [r["seg"] for r in seg_df.select("seg").limit(max_boiler_set + 1).collect()]
+    if len(boiler) > max_boiler_set:
+        raise ValueError(
+            f"boilerplate set exceeds max_boiler_set={max_boiler_set}; "
+            "raise the cap or switch to the anti-join formulation"
+        )
+    boiler_lit = (
+        F.array(*[F.lit(s) for s in boiler]) if boiler else F.array().cast("array<string>")
+    )
+    kept = F.filter(F.col("__segs"), lambda s: ~F.array_contains(boiler_lit, s))
+    return segged.select(
+        F.col(id_col),
+        F.size("__segs").cast("bigint").alias("n_segments"),
+        (F.size("__segs") - F.size(kept)).cast("bigint").alias("n_boiler"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+        F.round(
+            F.try_divide(
+                (F.size("__segs") - F.size(kept)).cast("double"), F.size("__segs")
+            ),
+            9,
+        ).alias("removed_frac"),
+    )

@@ -37,6 +37,9 @@ _FRONT = [
     "x_sketch_accuracy_gate",
     "x_ann_recall_gate",
     "x_lsh_recall_gate",
+    # r2 new: corpus boilerplate removal + exact Hamming near-dup
+    "x_boilerplate_lines",
+    "x_dedup_simhash_hamming",
     # dedup family (scale-path fixes from the r1 verdict included)
     "x_dedup_ngram_jaccard",
     "x_embed_neardup_pairs",

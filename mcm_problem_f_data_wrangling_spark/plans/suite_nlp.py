@@ -45,6 +45,7 @@ from ..functions.textfn import LANG_MARKERS as _LM  # noqa: E402
 _EN_MARKERS_SQL = "[" + ", ".join(f"'{w}'" for w in _LM["en"]) + "]"
 
 from .suite_ext import _BANDED_SQL as _BANDS_SQL  # noqa: E402 — shared LSH banding oracle fragment
+from .suite_ext import _H16  # noqa: E402 — shared 16-bit md5 token-hash oracle fragment
 from .suite_ext import _SIG_CTE as _SIG_CTE_NLP  # noqa: E402 — shared md5-seeded MinHash oracle CTE
 
 # BM25 constants (Robertson/Okapi defaults)
@@ -1457,3 +1458,87 @@ def x_dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_q(
+    "x_boilerplate_lines",
+    "CCNet-style corpus-level boilerplate removal (CCNet §3.1, "
+    "Wenzek et al. 2020): a 3-token segment (the pseudo-'line' of "
+    "this newline-free corpus) occurring in > 4 DISTINCT documents "
+    "is boilerplate; every occurrence is stripped and each doc's "
+    "text is rebuilt from surviving segments in order.  ONE "
+    "map-side-combinable shuffle (segment -> distinct-doc count); "
+    "the boilerplate set is tiny by construction (heavy-tail lines "
+    "only), so it broadcasts as a literal and the removal pass is "
+    "row-local — no fact-to-fact join, no doc reassembly shuffle.",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+segs AS (
+  SELECT doc_id,
+         CASE WHEN len(t) <= 0 THEN []
+              ELSE list_transform(range(0, CAST(ceil(len(t) / 3.0) AS INT)),
+                                  i -> array_to_string(t[i*3+1:i*3+3], ' '))
+         END AS segs
+  FROM toks
+),
+boiler AS (
+  SELECT seg FROM (SELECT doc_id, unnest(segs) AS seg FROM segs)
+  GROUP BY seg HAVING COUNT(DISTINCT doc_id) > 4
+),
+bl AS (SELECT COALESCE(list(seg), []) AS bset FROM boiler)
+SELECT doc_id,
+       CAST(len(segs) AS BIGINT) AS n_segments,
+       CAST(len(segs) - len(list_filter(segs, s -> NOT list_contains(bset, s))) AS BIGINT) AS n_boiler,
+       array_to_string(list_filter(segs, s -> NOT list_contains(bset, s)), ' ') AS cleaned_text,
+       ROUND(CAST(len(segs) - len(list_filter(segs, s -> NOT list_contains(bset, s))) AS DOUBLE)
+             / NULLIF(len(segs), 0), 9) AS removed_frac
+FROM segs CROSS JOIN bl
+""",
+    tags=("llm", "quality"),
+)
+def x_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import boilerplate_removal
+
+    docs = table(spark, sf_dir, "documents")
+    return boilerplate_removal(docs, seg_tokens=3, max_df=4)
+
+
+@_q(
+    "x_dedup_simhash_hamming",
+    "SimHash near-dup pairs under Hamming distance <= 1 — EXACT via "
+    "Manku et al. (WWW'07) pigeonhole banding: the 16-bit fingerprint "
+    "splits into 2 disjoint 8-bit bands, any pair within 1 bit flip "
+    "agrees exactly on one band, so candidates come from an "
+    "equi-self-join on (band_idx, band_value) — one shuffle keyed on "
+    "the band, never a cross join — and bit_count(a XOR b) removes "
+    "false positives.  The oracle is the brute-force all-pairs "
+    "definition; the banded plan must reproduce it exactly.  (At web "
+    "scale: 64-bit SimHash, max_hamming=3, 4x16-bit bands — Manku's "
+    "production setting; the band value space must stay large "
+    "relative to n.)",
+    f"""
+WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+h AS (
+  SELECT doc_id, len(toks) AS n,
+         list_transform(toks, t -> {_H16('t')}) AS th
+  FROM toks_t
+),
+sh AS (
+  SELECT doc_id,
+         CAST({' + '.join(f"(CASE WHEN 2 * len(list_filter(th, x -> ((x >> {b}) & 1) = 1)) > n THEN {1 << b} ELSE 0 END)" for b in range(16))}
+              AS BIGINT) AS simhash
+  FROM h
+)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+""",
+    tags=("llm", "dedup"),
+)
+def x_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import hamming_neardup_pairs, simhash16
+
+    docs = table(spark, sf_dir, "documents")
+    sh = spread(docs.select("doc_id", simhash16("text").alias("simhash")))
+    return hamming_neardup_pairs(sh, "simhash", "doc_id", bits=16, max_hamming=1)

@@ -339,3 +339,49 @@ def test_incremental_lsh_dedup_matches_full_batch(spark):
         r["doc_id"] for r in docs.filter(F.col("doc_id") >= 400).collect()
     } - dropped
     assert got == want
+
+
+class TestHammingNeardup:
+    def test_pigeonhole_exact_64bit(self, spark):
+        """64-bit hashes, max_hamming=3 (Manku's production setting):
+        the banded plan must reproduce the brute-force pair set."""
+        from itertools import combinations
+
+        from mcm_problem_f_data_wrangling_spark.operators.dedup import (
+            hamming_neardup_pairs,
+        )
+
+        base = 0x0123_4567_89AB_CDEF
+        vals = [
+            base,
+            base ^ 0x1,                        # d=1 from base
+            base ^ 0x8000_0000_0000_0000,      # d=1 from base (top bit)
+            base ^ 0x7,                        # d=3 from base
+            base ^ 0x0F0F,                     # d=8 — beyond threshold
+            0x7EDC_BA98_7654_3210,             # far from everything
+        ]
+        df = spark.createDataFrame(
+            [(i, v - (1 << 64 if v >= 1 << 63 else 0)) for i, v in enumerate(vals)],
+            "doc_id INT, h LONG",
+        )
+        got = {
+            (r["doc_id_1"], r["doc_id_2"], r["hamming"])
+            for r in hamming_neardup_pairs(
+                df, "h", "doc_id", bits=64, max_hamming=3
+            ).collect()
+        }
+        want = {
+            (i, j, bin(vals[i] ^ vals[j]).count("1"))
+            for i, j in combinations(range(len(vals)), 2)
+            if bin(vals[i] ^ vals[j]).count("1") <= 3
+        }
+        assert got == want and len(want) >= 4
+
+    def test_width_guard(self, spark):
+        from mcm_problem_f_data_wrangling_spark.operators.dedup import (
+            hamming_neardup_pairs,
+        )
+
+        df = spark.createDataFrame([(0, 1)], "doc_id INT, h LONG")
+        with pytest.raises(ValueError, match="max_hamming"):
+            hamming_neardup_pairs(df, "h", "doc_id", bits=16, max_hamming=31)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mcm_problem_f_data_wrangling_spark.operators.quality import (
@@ -125,3 +126,57 @@ def test_filter_funnel_null_predicate_drops(spark):
     df = spark.createDataFrame([(None,), (1,)], "v int")
     out = filter_funnel(df, [("nonnull_pass", F.col("v") > 0)]).collect()
     assert out[0]["n_kept"] == 1 and out[0]["n_dropped"] == 1
+
+
+class TestBoilerplateRemoval:
+    def _docs(self, spark):
+        # "hdr foot" segment-aligned boilerplate in 6 of 7 docs (k=2);
+        # doc 6 is PURE boilerplate; doc 7 shares nothing
+        rows = [(i, "hdr foot uniq%d tok%d" % (i, i)) for i in range(6)]
+        rows.append((6, "hdr foot hdr foot"))
+        rows.append((7, "alpha beta gamma"))
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_removes_high_df_segments_and_keeps_order(self, spark):
+        from mcm_problem_f_data_wrangling_spark.operators.quality import (
+            boilerplate_removal,
+        )
+
+        out = {
+            r["doc_id"]: r
+            for r in boilerplate_removal(
+                self._docs(spark), seg_tokens=2, max_df=4
+            ).collect()
+        }
+        # "hdr foot" occurs in 7 docs > 4 → boiler; per-doc tails survive
+        assert out[0]["cleaned_text"] == "uniq0 tok0"
+        assert out[0]["n_segments"] == 2 and out[0]["n_boiler"] == 1
+        assert out[0]["removed_frac"] == 0.5
+        # pure-boilerplate doc survives as an EMPTY doc, not a dropped row
+        assert out[6]["cleaned_text"] == "" and out[6]["n_boiler"] == 2
+        # untouched doc: odd token count → short tail segment preserved
+        assert out[7]["cleaned_text"] == "alpha beta gamma"
+        assert out[7]["n_segments"] == 2 and out[7]["n_boiler"] == 0
+
+    def test_empty_boiler_set_is_identity(self, spark):
+        from mcm_problem_f_data_wrangling_spark.operators.quality import (
+            boilerplate_removal,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a b c d"), (1, "e f g h")], ["doc_id", "text"]
+        )
+        out = boilerplate_removal(df, seg_tokens=2, max_df=1).collect()
+        assert all(r["n_boiler"] == 0 for r in out)
+        assert {r["cleaned_text"] for r in out} == {"a b c d", "e f g h"}
+
+    def test_boiler_cap_raises(self, spark):
+        from mcm_problem_f_data_wrangling_spark.operators.quality import (
+            boilerplate_removal,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "same text here") for i in range(6)], ["doc_id", "text"]
+        )
+        with pytest.raises(ValueError, match="max_boiler_set"):
+            boilerplate_removal(df, seg_tokens=3, max_df=1, max_boiler_set=0)
