@@ -39,11 +39,13 @@ def main() -> None:
         q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # warmup: JVM codegen + parquet footer caches (not timed).  Every
-    # query runs once untimed — warming only a subset leaves the rest
-    # paying first-run codegen inside their timed run, which showed up
-    # as ±40% run-to-run noise on the suite total.
-    for q in bench_set:
-        run(q)
+    # query runs TWICE untimed — warming only a subset leaves the rest
+    # paying first-run codegen inside their timed run, and one pass
+    # still leaves C2 compilation landing inside the timed run (±20%
+    # observed on the heavy aggregates); two passes reach steady state.
+    for _ in range(2):
+        for q in bench_set:
+            run(q)
 
     timings: dict[str, float] = {}
     for q in bench_set:

@@ -40,6 +40,7 @@ _FRONT = [
     # r2 new: corpus boilerplate removal + exact Hamming near-dup
     "x_boilerplate_lines",
     "x_dedup_simhash_hamming",
+    "x_hybrid_rrf_fusion",
     # dedup family (scale-path fixes from the r1 verdict included)
     "x_dedup_ngram_jaccard",
     "x_embed_neardup_pairs",

@@ -1542,3 +1542,76 @@ def x_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = spread(docs.select("doc_id", simhash16("text").alias("simhash")))
     return hamming_neardup_pairs(sh, "simhash", "doc_id", bits=16, max_hamming=1)
+
+
+@_q(
+    "x_hybrid_rrf_fusion",
+    "Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009, "
+    "k=60) of the BM25 lexical top-20 and the cosine dense top-10 "
+    "for the same corpus — the standard RAG candidate-merge.  Both "
+    "legs are the ALREADY-ORACLED queries composed verbatim "
+    "(x_bm25_topk, x_sim_search_bruteforce); ranks are assigned on "
+    "their 6-decimal-rounded scores with id tie-breaks, so rank — "
+    "and therefore the fused 1/(k+r) sum — is integer-derived and "
+    "bit-identical cross-engine.  The fuse itself is a full outer "
+    "join of two <=20-row lists: driver-side-free, broadcastable, "
+    "and independent of corpus size — all heavy lifting stays in "
+    "the legs, which scan once each.",
+    None,  # filled in below: composes the two legs' oracle SQL verbatim
+    tags=("llm", "search"),
+)
+def x_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import REGISTRY
+
+    bm = REGISTRY["x_bm25_topk"].spark(spark, sf_dir)
+    cos = REGISTRY["x_sim_search_bruteforce"].spark(spark, sf_dir)
+    wb = Window.orderBy(F.desc("bm25"), "doc_id")
+    wc = Window.orderBy(F.desc("cos_sim"), "vec_id")
+    bmr = bm.select("doc_id", F.row_number().over(wb).alias("bm25_rank"))
+    cosr = cos.select("vec_id", F.row_number().over(wc).alias("cos_rank"))
+    fused = bmr.join(cosr, bmr["doc_id"] == cosr["vec_id"], "full_outer").select(
+        F.coalesce(bmr["doc_id"], cosr["vec_id"]).alias("doc_id"),
+        "bm25_rank",
+        "cos_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(60) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(60) + F.col("cos_rank")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)
+
+
+def _install_rrf_oracle() -> None:
+    """The RRF oracle composes the two legs' committed oracle SQL as
+    subqueries (DuckDB supports WITH inside a derived table), so the
+    fusion oracle can never drift from the leg oracles."""
+    from .suite_ext import QUERIES as _EXT_QUERIES
+
+    by_name = {q.name: q for q in (*QUERIES, *_EXT_QUERIES)}
+    bm_sql = by_name["x_bm25_topk"].sql
+    cos_sql = by_name["x_sim_search_bruteforce"].sql
+    from dataclasses import replace
+
+    rrf = by_name["x_hybrid_rrf_fusion"]
+    sql = f"""
+WITH bmr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+  FROM ({bm_sql}) bm_leg
+),
+cosr AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS cos_rank
+  FROM ({cos_sql}) cos_leg
+)
+SELECT COALESCE(bmr.doc_id, cosr.vec_id) AS doc_id,
+       CAST(bm25_rank AS INT) AS bm25_rank,
+       CAST(cos_rank AS INT) AS cos_rank,
+       ROUND(COALESCE(1.0 / (60 + bm25_rank), 0.0)
+             + COALESCE(1.0 / (60 + cos_rank), 0.0), 9) AS rrf_score
+FROM bmr FULL OUTER JOIN cosr ON bmr.doc_id = cosr.vec_id
+ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+    QUERIES[QUERIES.index(rrf)] = replace(rrf, sql=sql)
+
+
+_install_rrf_oracle()
