@@ -396,7 +396,49 @@ def main() -> None:
                 .count()
             )
 
+        def boilerplate_200k():
+            # round-2 op: corpus-level boilerplate removal.  Every 5th
+            # doc carries a shared 6-token header (two aligned 3-token
+            # segments with corpus-wide df = 40k >> max_df), so the
+            # boilerplate set is non-empty but tiny — the op's design
+            # point (heavy-tail lines, broadcast-able set).
+            from mcm_problem_f_data_wrangling_spark.operators.quality import (
+                boilerplate_removal,
+            )
+
+            hdr = docs.withColumn(
+                "text",
+                F.when(
+                    F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                    F.concat(F.lit("terms of service apply to all "), F.col("text")),
+                ).otherwise(F.col("text")),
+            )
+            return boilerplate_removal(hdr, seg_tokens=3, max_df=10_000).count()
+
+        def hamming_neardup_220k():
+            # round-2 op: 64-bit fingerprint Hamming near-dup at
+            # Manku's production setting (4 bands x 16 bits, d <= 3).
+            # Every 10th doc gets a copy with 2 flipped bits -> 20k
+            # planted pairs; bucket width stays O(n / 2^16) per band.
+            from mcm_problem_f_data_wrangling_spark.functions.textfn import (
+                portable_hash64,
+            )
+            from mcm_problem_f_data_wrangling_spark.operators.dedup import (
+                hamming_neardup_pairs,
+            )
+
+            fp = docs.select("doc_id", portable_hash64(F.col("text")).alias("h"))
+            flipped = fp.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.col("h").bitwiseXOR(F.lit(5)).alias("h"),
+            )
+            return hamming_neardup_pairs(
+                fp.unionByName(flipped), "h", "doc_id", bits=64, max_hamming=3
+            ).count()
+
         timed("minhash_200k_docs", minhash)
+        timed("boilerplate_removal_200k_docs", boilerplate_200k)
+        timed("hamming_neardup_220k_docs_64bit", hamming_neardup_220k)
         timed("dup_span_detection_220k_docs", dup_spans_220k)
         timed("canonical_pick_220k_docs", canonical_pick_220k)
         timed("jaccard_prefix_200k_docs", jaccard_prefix_200k)
