@@ -2,8 +2,8 @@
 
 Runs the headline queries (one per major operator family) at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]``, timing one warm run each after a JVM/
-session warmup pass, and prints::
+``local[$SPARK_GRAFT_CPUS]``, timing the median of three warm runs each
+after two JVM/session warmup passes, and prints::
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": ...}
@@ -47,11 +47,17 @@ def main() -> None:
         for q in bench_set:
             run(q)
 
+    # median of 3 timed runs per query: single-run wall at this scale
+    # (0.3-2 s/query) carries ±20% scheduler/GC noise; the median is
+    # robust to one bad run without hiding real regressions.
     timings: dict[str, float] = {}
     for q in bench_set:
-        t0 = time.perf_counter()
-        run(q)
-        timings[q.name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(q)
+            runs.append(time.perf_counter() - t0)
+        timings[q.name] = round(sorted(runs)[1], 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
