@@ -1,0 +1,130 @@
+"""Streaming running totals via ``transformWithStateInPandas`` —
+Spark 4's arbitrary-stateful-processing API (SPARK-46815, the
+successor to ``applyInPandasWithState``: typed state variables,
+optional per-state TTL, timers).
+
+Engine extension (the reference is pure batch, SURVEY.md §2.8); the
+pipeline use case is live ingest accounting — per-source running
+document/byte totals that downstream curation mixes read without
+rescanning the corpus.
+
+Per key the state is exactly one (count, total) pair — O(1) per key
+regardless of stream length, watermark-free (totals never expire
+unless a TTL is configured).  Output mode is Update: each micro-batch
+emits one refreshed row per key seen in that batch.
+
+Batch equivalence: on any ordered replay of the same rows, the final
+emitted row per key equals the batch ``groupBy(key).agg(count, sum)``
+— pytest-checked via availableNow over a file source
+(tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.streaming.stateful_processor import TimerValues
+
+_STATE_SCHEMA = "cnt LONG, total DOUBLE"
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """count + sum per key, ValueState-backed, optional TTL."""
+
+    def __init__(self, value_col: str, ttl_ms: int | None = None) -> None:
+        self._value_col = value_col
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState(
+            "totals", _STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues: "TimerValues"
+    ) -> Iterator[pd.DataFrame]:
+        cnt, total = (
+            self._totals.get() if self._totals.exists() else (0, 0.0)
+        )
+        for pdf in rows:
+            v = pdf[self._value_col]
+            cnt += int(v.count())  # non-null, matching batch F.count(col)
+            total += float(v.sum()) if v.count() else 0.0
+        self._totals.update((cnt, total))
+        yield pd.DataFrame(
+            {"key": [key[0]], "cnt": [cnt], "total": [total]}
+        )
+
+    def close(self) -> None:  # nothing to release
+        pass
+
+
+def running_totals_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key running (count, sum) over a stream.
+
+    Output: (key, cnt, total), one refreshed row per key per
+    micro-batch (Update mode).  ``ttl_ms`` ages out idle keys' state
+    (RocksDB/HDFS state store hygiene for unbounded key spaces —
+    without it, per-key state lives forever by design).
+
+    Env gate: ``transformWithStateInPandas``'s state-server protocol
+    speaks protobuf between the JVM and the Python workers; this
+    container ships PySpark without the ``protobuf`` package, so the
+    query would crash at stream start with an opaque
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE.  Fail fast with a
+    clear message instead (same policy as the openpyxl-gated Excel
+    sink, sources/writers.py).  The processor itself and the batch
+    twin are fully implemented and tested; the stream path runs
+    anywhere protobuf is installed.
+    """
+    import importlib.util
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        has_protobuf = False
+    if not has_protobuf:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(its JVM<->Python state-server protocol); install protobuf "
+            "to enable the streaming path. The batch twin "
+            "(running_totals_batch) is unaffected."
+        )
+    return (
+        stream_df.withColumnRenamed(key_col, "key")
+        .groupBy("key")
+        .transformWithStateInPandas(
+            RunningTotalsProcessor(value_col, ttl_ms),
+            outputStructType="key STRING, cnt LONG, total DOUBLE",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def running_totals_batch(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Batch twin: the final state every key converges to."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.count(value_col).alias("cnt"),
+            # running totals start at 0.0, so an all-null key is 0.0
+            # here too (not SQL SUM's NULL-of-empty)
+            F.coalesce(F.sum(value_col).cast("double"), F.lit(0.0)).alias("total"),
+        )
+    )

@@ -409,3 +409,100 @@ def test_decontaminate_stream_matches_batch_anti_join(spark, tmp_path_factory):
     }
     assert got == want
     assert all(i % 7 not in (1, 4) for i in got)
+
+
+def _has_protobuf() -> bool:
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+_HAS_PROTOBUF = _has_protobuf()
+
+
+def test_transform_with_state_running_totals_matches_batch(
+    spark, tmp_path_factory
+):
+    """Spark-4 transformWithStateInPandas: per-key running (count,sum)
+    converges to the batch aggregate; Update mode emits a refreshed
+    row per key per micro-batch, so the LAST row per key is the
+    total.  Two files force two micro-batches (maxFilesPerTrigger=1)
+    to exercise state carry-over across batches.
+
+    Env gate: the transformWithState state-server protocol needs
+    protobuf, absent from this container — in that case assert the
+    operator fails FAST with the documented message (not the opaque
+    mid-query crash) and check the processor logic + batch twin
+    directly."""
+    import pandas as pd
+
+    from mcm_problem_f_data_wrangling_spark.streaming.running import (
+        RunningTotalsProcessor,
+        running_totals_batch,
+        running_totals_stream,
+    )
+
+    d = tmp_path_factory.mktemp("tws")
+    rows1 = [("a", 1.0), ("a", 2.0), ("b", 10.0), ("c", None)]
+    rows2 = [("a", 4.0), ("b", None), ("b", 30.0)]
+    schema = "src STRING, value DOUBLE"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(d / "f2"))
+
+    both = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        r["key"]: (r["cnt"], r["total"])
+        for r in running_totals_batch(both, "src", "value").collect()
+    }
+    assert want["a"] == (3, 7.0) and want["b"] == (2, 40.0) and want["c"] == (0, 0.0)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+
+    if not _HAS_PROTOBUF:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_totals_stream(stream, "src", "value")
+        # drive the processor's own logic through a fake state handle:
+        # two "micro-batches" for key a must carry state across calls
+        class _FakeState:
+            def __init__(self):
+                self._v = None
+            def exists(self):
+                return self._v is not None
+            def get(self):
+                return self._v
+            def update(self, v):
+                self._v = v
+
+        proc = RunningTotalsProcessor("value")
+        proc._totals = _FakeState()
+        out1 = list(proc.handleInputRows(("a",), iter([pd.DataFrame({"value": [1.0, 2.0]})]), None))
+        out2 = list(proc.handleInputRows(("a",), iter([pd.DataFrame({"value": [4.0, None]})]), None))
+        assert out1[0].iloc[0].tolist() == ["a", 2, 3.0]
+        assert out2[0].iloc[0].tolist() == ["a", 3, 7.0]
+        return
+
+    out = running_totals_stream(stream, "src", "value")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.sql("SELECT * FROM tws_totals").collect()
+    assert len(emitted) >= 4
+    last = {}
+    for r in emitted:  # memory sink appends in batch order
+        last[r["key"]] = (r["cnt"], r["total"])
+    assert last == want
