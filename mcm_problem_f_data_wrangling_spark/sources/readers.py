@@ -214,3 +214,10 @@ def read_jsonl_permissive(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar, splittable, filter-pushdown-capable (the
+    plan shows PushedFilters against the ORC reader exactly like
+    parquet; asserted in tests/test_plan_pushdown.py)."""
+    return spark.read.orc(path)

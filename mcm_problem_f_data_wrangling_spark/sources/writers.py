@@ -284,3 +284,20 @@ def compact_parquet(
     dest = out_path or (path.rstrip("/") + ".compacted")
     df.write.mode("overwrite").parquet(dest)
     return len(glob.glob(os.path.join(dest, "*.parquet")))
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (second columnar interchange format, built into
+    Spark).  Same layout levers as parquet: splittable stripes,
+    Hive-style partition directories, predicate pushdown via
+    min/max + optional bloom filters on read.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

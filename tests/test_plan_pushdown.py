@@ -136,3 +136,34 @@ def test_q05_q07_dimension_chain_broadcasts(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC sink/scan parity with parquet: values survive a roundtrip
+    (incl. date/decimal/array types) and predicate + projection reach
+    the ORC reader (PushedFilters / ReadSchema)."""
+    from mcm_problem_f_data_wrangling_spark.sources.readers import read_orc
+    from mcm_problem_f_data_wrangling_spark.sources.writers import write_orc
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.col("id").cast("decimal(18,6)").alias("amt"),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int") % 30).alias("d"),
+        F.array(F.col("id"), F.col("id") + 1).alias("arr"),
+    )
+    path = str(tmp_path / "orc_rt")
+    write_orc(df, path, partition_by=["grp"])
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    got = {r["id"]: (r["amt"], r["d"], list(r["arr"])) for r in back.collect()}
+    want = {r["id"]: (r["amt"], r["d"], list(r["arr"])) for r in df.collect()}
+    assert got == want
+
+    q = back.filter(F.col("id") > 900).select("id", "amt")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "id" in plan
+    # partition pruning on the hive layout
+    p = back.filter(F.col("grp") == 3)
+    pruned = p._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pruned and "grp" in pruned
