@@ -37,10 +37,15 @@ _FRONT = [
     "x_sketch_accuracy_gate",
     "x_ann_recall_gate",
     "x_lsh_recall_gate",
-    # r2 new: corpus boilerplate removal + exact Hamming near-dup
+    # r2 new: corpus boilerplate removal + exact Hamming near-dup + RRF
     "x_boilerplate_lines",
     "x_dedup_simhash_hamming",
     "x_hybrid_rrf_fusion",
+    # model layer (X3-X5): rows-only by design — a driver row upgrades
+    # them from "builder-tested" to "driver-recorded" (r1 verdict note)
+    "x3_aic_grid_fit",
+    "x4_diagnostics",
+    "x5_monte_carlo_fan",
     # dedup family (scale-path fixes from the r1 verdict included)
     "x_dedup_ngram_jaccard",
     "x_embed_neardup_pairs",
