@@ -230,3 +230,43 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "media_type", "embedding"])
 
     return df.mapInPandas(feats, FEATURES_SCHEMA)
+
+
+def phash64(payload_col: str = "payload") -> Column:
+    """64-bit perceptual-hash column for image near-dup detection.
+
+    STAND-IN: a real pHash is a DCT over the decoded, downscaled
+    grayscale image (image libs absent from this container — same
+    boundary as :func:`_fake_decode`); this derives the 64 bits from
+    md5 of the payload bytes, so the Spark-side *plumbing* — a LONG
+    fingerprint column feeding ``operators.dedup.
+    hamming_neardup_pairs(bits=64, max_hamming<=10)``, Manku-banded,
+    never all-pairs — is real and tested, and swapping in a true DCT
+    hash changes only this expression.  JVM-side (no Python).
+
+    Note the semantic difference from production: md5 of bytes gives
+    similar *hashes* only for identical payloads, a DCT hash gives
+    them for visually similar images; the downstream banding is
+    identical either way.
+    """
+    h = F.md5(F.col(payload_col))
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return (F.shiftleft(hi, 32).bitwiseOR(lo)).alias("phash")
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup candidate pairs by perceptual-hash Hamming
+    distance — the standard image-dedup pipeline stage (pHash →
+    pigeonhole bands → exact Hamming verify)."""
+    from .dedup import hamming_neardup_pairs
+
+    hashed = df.select(F.col(id_col), phash64(payload_col).alias("phash"))
+    return hamming_neardup_pairs(
+        hashed, "phash", id_col, bits=64, max_hamming=max_hamming
+    )

@@ -309,3 +309,25 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "score"}
     rows = {r["id"]: r["score"] for r in df.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_phash_neardup_finds_identical_payloads(spark):
+    """md5-derived 64-bit stand-in: identical payloads collide at
+    Hamming 0; distinct payloads land far apart (>> max_hamming) with
+    overwhelming probability, so only the planted duplicate pair
+    surfaces."""
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        phash_neardup_pairs,
+    )
+
+    rows = [
+        (0, bytearray(b"cat picture bytes")),
+        (1, bytearray(b"dog picture bytes")),
+        (2, bytearray(b"cat picture bytes")),  # exact dup of 0
+        (3, bytearray(b"sunset picture")),
+    ]
+    df = spark.createDataFrame(rows, "media_id INT, payload BINARY")
+    pairs = phash_neardup_pairs(df, max_hamming=3).collect()
+    assert [(r["media_id_1"], r["media_id_2"], r["hamming"]) for r in pairs] == [
+        (0, 2, 0)
+    ]
