@@ -759,11 +759,17 @@ def hamming_neardup_pairs(
     width = bits // n_bands
     if width == 0:
         raise ValueError("max_hamming too large for the hash width")
-    mask = (1 << width) - 1
     h = F.col(hash_col)
-    bands = F.array(
-        *[F.shiftright(h, b * width).bitwiseAND(F.lit(mask)) for b in range(n_bands)]
-    )
+    if width >= 64:
+        # max_hamming=0 on a 64-bit hash: one band = the hash itself
+        # (a 64-bit mask literal would overflow a signed long)
+        band_exprs = [h]
+    else:
+        mask = (1 << width) - 1
+        band_exprs = [
+            F.shiftright(h, b * width).bitwiseAND(F.lit(mask)) for b in range(n_bands)
+        ]
+    bands = F.array(*band_exprs)
     banded = df.select(
         F.col(id_col), h.alias("__h"), F.posexplode(bands).alias("band_idx", "band_val")
     )

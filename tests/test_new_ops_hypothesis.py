@@ -105,3 +105,93 @@ def test_chunking_invariants_fuzz(sparkref, docs, chunk, stride):
             for r in got:
                 covered.update(range(r["start_token"], r["start_token"] + r["n_tokens"]))
             assert covered == set(range(len(ws)))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    hashes=st.lists(
+        st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+        min_size=2,
+        max_size=24,
+    ),
+    max_hamming=st.integers(min_value=0, max_value=7),
+)
+def test_hamming_neardup_exact_vs_bruteforce(sparkref, hashes, max_hamming):
+    """Pigeonhole banding is EXACT: for random (incl. adversarially
+    close — hypothesis shrinks toward duplicates) 64-bit values and
+    any threshold, the banded pair set equals brute force."""
+    from itertools import combinations
+
+    from mcm_problem_f_data_wrangling_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+
+    df = sparkref.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "doc_id INT, h LONG"
+    )
+    got = {
+        (r["doc_id_1"], r["doc_id_2"], r["hamming"])
+        for r in hamming_neardup_pairs(
+            df, "h", "doc_id", bits=64, max_hamming=max_hamming
+        ).collect()
+    }
+    want = {
+        (i, j, bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1"))
+        for i, j in combinations(range(len(hashes)), 2)
+        if bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1") <= max_hamming
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    seg_tokens=st.integers(min_value=1, max_value=4),
+    max_df=st.integers(min_value=1, max_value=4),
+)
+def test_boilerplate_removal_vs_python_reference(sparkref, docs, seg_tokens, max_df):
+    """Tiny-vocab corpora force heavy segment collisions; the Spark
+    result must match a direct Python computation of the same spec
+    (segment df over DISTINCT docs, order-preserving removal)."""
+    from collections import defaultdict
+
+    from mcm_problem_f_data_wrangling_spark.operators.quality import (
+        boilerplate_removal,
+    )
+
+    def segs_of(text):
+        toks = [t for t in text.split() if t]
+        return [
+            " ".join(toks[i * seg_tokens : (i + 1) * seg_tokens])
+            for i in range((len(toks) + seg_tokens - 1) // seg_tokens)
+        ]
+
+    seg_docs = defaultdict(set)
+    for i, d in enumerate(docs):
+        for s in segs_of(d):
+            seg_docs[s].add(i)
+    boiler = {s for s, ids in seg_docs.items() if len(ids) > max_df}
+    want = {}
+    for i, d in enumerate(docs):
+        segs = segs_of(d)
+        kept = [s for s in segs if s not in boiler]
+        want[i] = (len(segs), len(segs) - len(kept), " ".join(kept))
+
+    df = sparkref.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id INT, text STRING"
+    )
+    out = boilerplate_removal(df, seg_tokens=seg_tokens, max_df=max_df).collect()
+    got = {r["doc_id"]: (r["n_segments"], r["n_boiler"], r["cleaned_text"]) for r in out}
+    assert got == want
