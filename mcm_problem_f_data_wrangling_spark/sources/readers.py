@@ -221,3 +221,14 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     plan shows PushedFilters against the ORC reader exactly like
     parquet; asserted in tests/test_plan_pushdown.py)."""
     return spark.read.orc(path)
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan across files with EVOLVED schemas (a long-lived
+    100 TB corpus accretes columns over time; per-file footers
+    disagree).  ``mergeSchema=true`` unions the footers — columns
+    absent from older files read as NULL.  Off by default in Spark
+    because footer merging costs a per-file read at planning time;
+    turn it on per-read here, not globally.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -180,3 +180,48 @@ class TestBoilerplateRemoval:
         )
         with pytest.raises(ValueError, match="max_boiler_set"):
             boilerplate_removal(df, seg_tokens=3, max_df=1, max_boiler_set=0)
+
+
+def test_observed_filter_funnel_counts_without_second_scan(spark, tmp_path):
+    from mcm_problem_f_data_wrangling_spark.operators.quality import (
+        filter_funnel,
+        observed_filter_funnel,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("m")
+    )
+    stages = [
+        ("nonzero", F.col("m") != 0),
+        ("small", F.col("m") < 5),
+    ]
+    out, obs = observed_filter_funnel(df, stages)
+    # ONE action drives both the result and the metrics
+    rows = out.collect()
+    assert len(rows) == 40 and all(r["m"] in (1, 2, 3, 4) for r in rows)
+    assert set(out.columns) == {"id", "m"}
+    got = obs.get
+    assert got["n_in"] == 100 and got["kept_nonzero"] == 90 and got["kept_small"] == 40
+    # agrees with the dedicated-scan reporter
+    report = {r["stage"]: r["n_kept"] for r in filter_funnel(df, stages).collect()}
+    assert report == {"nonzero": 90, "small": 40}
+
+
+def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
+    from mcm_problem_f_data_wrangling_spark.sources.readers import (
+        read_parquet_evolving,
+    )
+
+    old = spark.range(5).select(F.col("id"), F.lit("en").alias("lang"))
+    new = spark.range(5, 8).select(
+        F.col("id"), F.lit("de").alias("lang"), F.lit(0.9).alias("quality")
+    )
+    old.write.parquet(str(tmp_path / "d"), mode="overwrite")
+    new.write.parquet(str(tmp_path / "d"), mode="append")
+    back = read_parquet_evolving(spark, str(tmp_path / "d"))
+    assert set(back.columns) == {"id", "lang", "quality"}
+    rows = {r["id"]: (r["lang"], r["quality"]) for r in back.collect()}
+    assert rows[0] == ("en", None) and rows[7] == ("de", 0.9)
+    # plain read keeps ONE footer's schema (whichever file wins) —
+    # evolving read is the explicit opt-in
+    assert len(back.columns) >= len(spark.read.parquet(str(tmp_path / "d")).columns)
