@@ -7,9 +7,17 @@ from .suite_core import QUERIES as CORE_QUERIES
 from .suite_ext import QUERIES as EXT_QUERIES
 from .suite_more import QUERIES as MORE_QUERIES
 from .suite_nlp import QUERIES as NLP_QUERIES
+from .suite_sources import QUERIES as SOURCES_QUERIES
 from .suite_tpch import QUERIES as TPCH_QUERIES
 
-_ALL = (*CORE_QUERIES, *EXT_QUERIES, *MORE_QUERIES, *TPCH_QUERIES, *NLP_QUERIES)
+_ALL = (
+    *CORE_QUERIES,
+    *EXT_QUERIES,
+    *MORE_QUERIES,
+    *TPCH_QUERIES,
+    *NLP_QUERIES,
+    *SOURCES_QUERIES,
+)
 
 # Driver-gate window curation: the external correctness gate verifies
 # queries in registry order with a bounded budget (~50/round observed).
@@ -46,6 +54,10 @@ _FRONT = [
     "x3_aic_grid_fit",
     "x4_diagnostics",
     "x5_monte_carlo_fan",
+    # r2 new: §2.1 ingest-path roundtrips (S2-S5, P2-P4 driver rows)
+    "src01_tsv_ingest_normalize",
+    "src02_csv_date_parse_scan",
+    "src03_whitespace_tsv_scan",
     # dedup family (scale-path fixes from the r1 verdict included)
     "x_dedup_ngram_jaccard",
     "x_embed_neardup_pairs",

@@ -94,7 +94,10 @@ def read_csv(
     df = normalize_columns(reader.csv(path), lower=False)
     for c in date_cols or []:
         if c in df.columns:
-            df = df.withColumn(c, F.to_date(F.col(c)))
+            # try_to_date, not to_date: pandas errors="coerce" yields
+            # NaT on garbage; plain to_date THROWS under an ANSI-on
+            # session (the driver's vanilla config)
+            df = df.withColumn(c, F.try_to_date(F.col(c)))
     return df
 
 

@@ -34,18 +34,20 @@ def write_parquet(
     writer.parquet(path)
 
 
-def write_csv_single(df: DataFrame, path: str, header: bool = True) -> str:
+def write_csv_single(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> str:
     """S5: single-file CSV with pandas ``to_csv`` semantics.
 
     Writes via a temp directory then renames the lone part file to
     ``path``.  Deliberately ``coalesce(1)`` — parity with the
     reference's one-file outputs; use :func:`write_parquet` for bulk.
+    ``sep="\\t"`` produces the reference's tab-TSV flavor.
     """
     tmp = path + "._spark_tmp"
     (
         df.coalesce(1)
         .write.mode("overwrite")
         .option("header", str(header).lower())
+        .option("sep", sep)
         .csv(tmp)
     )
     part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
