@@ -148,7 +148,7 @@ def boilerplate_removal(
     id_col: str = "doc_id",
     seg_tokens: int = 3,
     max_df: int = 4,
-    max_boiler_set: int = 1_000_000,
+    max_boiler_set: int = 10_000,
 ) -> DataFrame:
     """CCNet-style corpus-level boilerplate ("line") removal.
 
@@ -176,6 +176,10 @@ def boilerplate_removal(
     plus a doc_id re-aggregation — costs two more full-corpus
     shuffles and is only preferable when the boilerplate set itself
     is too large to broadcast.)
+    ``max_boiler_set`` defaults near the literal-array break-even
+    (~10k): past that, plan size and the per-segment O(|boiler|)
+    membership scan make the anti-join formulation the right tool —
+    raising loudly beats silently building a megabyte Catalyst tree.
     """
     toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     segged = toks.select(id_col, doc_segments(F.col("__toks"), seg_tokens).alias("__segs"))
@@ -191,9 +195,9 @@ def boilerplate_removal(
             f"boilerplate set exceeds max_boiler_set={max_boiler_set}; "
             "raise the cap or switch to the anti-join formulation"
         )
-    boiler_lit = (
-        F.array(*[F.lit(s) for s in boiler]) if boiler else F.array().cast("array<string>")
-    )
+    # ONE array literal (a single py4j object), not F.array of |boiler|
+    # F.lit columns — the latter builds a Catalyst node per element
+    boiler_lit = F.lit(boiler) if boiler else F.array().cast("array<string>")
     kept = F.filter(F.col("__segs"), lambda s: ~F.array_contains(boiler_lit, s))
     return segged.select(
         F.col(id_col),
@@ -230,6 +234,8 @@ def observed_filter_funnel(
     """
     from pyspark.sql import Observation
 
+    if not stages:
+        raise ValueError("stages must be non-empty")
     flags = []
     cum = F.lit(True)
     for name, cond in stages:
@@ -242,6 +248,6 @@ def observed_filter_funnel(
         for name, _ in stages
     ]
     observed = flagged.observe(obs, *metrics)
-    last = f"__kept_{stages[-1][0]}"
+    last = f"__kept_{stages[-1][0]}"  # stages checked non-empty above
     out = observed.filter(F.col(last)).drop(*[f"__kept_{n}" for n, _ in stages])
     return out, obs

@@ -109,7 +109,10 @@ def read_whitespace_tsv(spark: SparkSession, path: str, n_cols: int, names: list
     split — stays in whole-stage codegen (no Python UDF).
     """
     lines = spark.read.text(path)
-    parts = F.split(F.trim(F.col("value")), r"\s+")
+    # limit=n_cols: the LAST column absorbs remaining tokens, so a
+    # whitespace-bearing final field ("UNITED STATES") round-trips
+    # instead of silently truncating to its first token
+    parts = F.split(F.trim(F.col("value")), r"\s+", n_cols)
     cols = [parts.getItem(i).alias(names[i]) for i in range(n_cols)]
     # drop the header row by filtering out lines equal to the header tokens
     first = lines.limit(1).collect()

@@ -103,12 +103,16 @@ def running_totals_stream(
             "to enable the streaming path. The batch twin "
             "(running_totals_batch) is unaffected."
         )
+    # declared key type must match the actual grouping column's, or
+    # the Arrow/state-server conversion crashes mid-query (an INT key
+    # emitted against a declared STRING field)
+    key_sql_type = stream_df.schema[key_col].dataType.simpleString()
     return (
         stream_df.withColumnRenamed(key_col, "key")
         .groupBy("key")
         .transformWithStateInPandas(
             RunningTotalsProcessor(value_col, ttl_ms),
-            outputStructType="key STRING, cnt LONG, total DOUBLE",
+            outputStructType=f"key {key_sql_type}, cnt LONG, total DOUBLE",
             outputMode="Update",
             timeMode="None",
         )
