@@ -205,3 +205,27 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_facts")
         spark.sql("DROP TABLE IF EXISTS bkt_dims")
+
+
+def test_dynamic_partition_pruning_fires_on_hive_layout(spark, tmp_path):
+    """At 100 TB the fact table is date/region partitioned and the
+    filter usually arrives on the DIM side; dynamic partition pruning
+    turns the dim predicate into a runtime partition filter on the
+    fact scan (no full-fact read).  Assert Spark plans the DPP
+    subquery against our hive-partitioned layout."""
+    facts = spark.range(20_000).select(
+        F.col("id").alias("v"), (F.col("id") % 10).alias("region_id")
+    )
+    dims = spark.range(10).select(
+        F.col("id").alias("region_id"),
+        F.concat(F.lit("R"), F.col("id")).alias("name"),
+    )
+    fdir, ddir = str(tmp_path / "facts"), str(tmp_path / "dims")
+    facts.write.partitionBy("region_id").parquet(fdir, mode="overwrite")
+    dims.write.parquet(ddir, mode="overwrite")
+    f = spark.read.parquet(fdir)
+    d = spark.read.parquet(ddir).filter(F.col("name") == "R3")
+    joined = f.join(d, "region_id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == 2_000
