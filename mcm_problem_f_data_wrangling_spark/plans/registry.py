@@ -58,6 +58,7 @@ _FRONT = [
     "src01_tsv_ingest_normalize",
     "src02_csv_date_parse_scan",
     "src03_whitespace_tsv_scan",
+    "x_quality_mad_outliers",
     # dedup family (scale-path fixes from the r1 verdict included)
     "x_dedup_ngram_jaccard",
     "x_embed_neardup_pairs",

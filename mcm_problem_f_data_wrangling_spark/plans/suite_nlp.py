@@ -1615,3 +1615,63 @@ ORDER BY rrf_score DESC, doc_id LIMIT 20
 
 
 _install_rrf_oracle()
+
+
+@_q(
+    "x_quality_mad_outliers",
+    "Robust per-source length-outlier detection: a doc whose |n_chars "
+    "- source median| exceeds 3x the source MAD (median absolute "
+    "deviation) is flagged — the standard robust alternative to "
+    "mean/std cleaning, immune to the very outliers it hunts.  Two "
+    "tiny per-source aggregates (exact interpolated percentile both "
+    "engines share) broadcast back onto the corpus scan; the robust "
+    "z is ROUND-pinned.  Scale: aggregate sides are O(sources) rows; "
+    "the corpus is scanned twice (med, then dev) — at 100 TB fold "
+    "the first scan's result into a stats table maintained "
+    "incrementally (operators/incremental.py pattern).",
+    """
+WITH med_t AS (
+  SELECT source, quantile_cont(n_chars, 0.5) AS med
+  FROM documents GROUP BY 1
+),
+mad_t AS (
+  SELECT d.source, quantile_cont(abs(d.n_chars - m.med), 0.5) AS mad
+  FROM documents d JOIN med_t m USING (source) GROUP BY 1
+)
+SELECT d.doc_id, d.source,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       m.med, v.mad,
+       ROUND((d.n_chars - m.med) / NULLIF(v.mad, 0), 6) AS robust_z
+FROM documents d
+JOIN med_t m USING (source)
+JOIN mad_t v USING (source)
+WHERE abs(d.n_chars - m.med) > 3 * v.mad
+""",
+    tags=("llm", "quality"),
+)
+def x_quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med")
+    )
+    dev = (
+        docs.join(broadcast(med), "source")
+        .groupBy("source")
+        .agg(F.percentile(F.abs(F.col("n_chars") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    return (
+        docs.join(broadcast(med), "source")
+        .join(broadcast(dev), "source")
+        .filter(F.abs(F.col("n_chars") - F.col("med")) > 3 * F.col("mad"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "med",
+            "mad",
+            F.round(
+                F.try_divide(F.col("n_chars") - F.col("med"), F.nullif("mad", F.lit(0.0))),
+                6,
+            ).alias("robust_z"),
+        )
+    )
