@@ -14,7 +14,7 @@ double formulas on identical inputs for the rest.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfn import tokens
@@ -2029,4 +2029,93 @@ def w35_backtest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
         )
         .orderBy("flag", "origin_month")
+    )
+
+
+@_q(
+    "w36_stl_decompose",
+    "STL-lite classical decomposition of the monthly revenue series "
+    "per flag: trend = centered 2x12 moving average (the standard "
+    "even-period weighting: half weight on the +-6 endpoints), "
+    "seasonal = per-calendar-month mean of the detrended series "
+    "centered to sum to zero, remainder = y - trend - seasonal.  "
+    "Engine extension beyond the reference's diff-based seasonality "
+    "(EDA.ipynb cell 25 seasonal_difference): gives the notebook's "
+    "decomposition plots a distributed, window-only implementation — "
+    "TWO ordered windows and one tiny (flag, month-of-year) "
+    "aggregate, no applyInPandas.  Revenue is decimal-exact before "
+    "the double window math; outputs ROUND-pinned.",
+    f"""
+WITH {MONTHLY_CTE},
+t AS (
+  SELECT flag, month, CAST(revenue AS DOUBLE) AS y,
+         CASE WHEN COUNT(*) OVER w11 = 11
+                   AND LAG(CAST(revenue AS DOUBLE), 6) OVER wo IS NOT NULL
+                   AND LEAD(CAST(revenue AS DOUBLE), 6) OVER wo IS NOT NULL
+              THEN (SUM(CAST(revenue AS DOUBLE)) OVER w11
+                    + 0.5 * LAG(CAST(revenue AS DOUBLE), 6) OVER wo
+                    + 0.5 * LEAD(CAST(revenue AS DOUBLE), 6) OVER wo) / 12.0
+         END AS trend
+  FROM monthly
+  WINDOW wo AS (PARTITION BY flag ORDER BY month),
+         w11 AS (PARTITION BY flag ORDER BY month ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+),
+s AS (
+  SELECT flag, month(month) AS moy, AVG(y - trend) AS s_raw
+  FROM t GROUP BY 1, 2
+),
+sc AS (
+  SELECT flag, moy, s_raw - AVG(s_raw) OVER (PARTITION BY flag) AS seasonal
+  FROM s
+)
+SELECT t.flag, t.month,
+       -- revenue stays UN-rounded: it is a decimal-exact sum cast to
+       -- double (bit-identical cross-engine); rounding it would
+       -- CREATE knife-edge .005 hazards (44390.425 at sf0.01)
+       t.y AS revenue,
+       ROUND(t.trend, 2) AS trend,
+       ROUND(sc.seasonal, 2) AS seasonal,
+       -- remainder from exact y and the ROUNDED drifty terms: each
+       -- input is hash-matched cross-engine, so the difference is too
+       ROUND(t.y - ROUND(t.trend, 2) - ROUND(sc.seasonal, 2), 2) AS remainder
+FROM t JOIN sc ON t.flag = sc.flag AND month(t.month) = sc.moy
+""",
+    tags=("M2", "window"),
+)
+def w36_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = monthly_lineitem(spark, sf_dir)
+    wo = Window.partitionBy("flag").orderBy("month")
+    w11 = wo.rowsBetween(-5, 5)
+    y = F.col("revenue").cast("double")
+    l6, d6 = F.lag(y, 6).over(wo), F.lead(y, 6).over(wo)
+    trend = F.when(
+        (F.count(y).over(w11) == 11) & l6.isNotNull() & d6.isNotNull(),
+        (F.sum(y).over(w11) + 0.5 * l6 + 0.5 * d6) / 12.0,
+    )
+    t = m.select("flag", "month", y.alias("y"), trend.alias("trend"))
+    s = t.groupBy(
+        F.col("flag").alias("s_flag"), F.month("month").alias("moy")
+    ).agg(F.avg(F.col("y") - F.col("trend")).alias("s_raw"))
+    sc = s.select(
+        "s_flag",
+        "moy",
+        (F.col("s_raw") - F.avg("s_raw").over(Window.partitionBy("s_flag"))).alias(
+            "seasonal"
+        ),
+    )
+    return (
+        t.join(
+            sc,
+            (F.col("flag") == F.col("s_flag")) & (F.month("month") == F.col("moy")),
+        )
+        .select(
+            "flag",
+            "month",
+            F.col("y").alias("revenue"),
+            F.round("trend", 2).alias("trend"),
+            F.round("seasonal", 2).alias("seasonal"),
+            F.round(
+                F.col("y") - F.round("trend", 2) - F.round("seasonal", 2), 2
+            ).alias("remainder"),
+        )
     )

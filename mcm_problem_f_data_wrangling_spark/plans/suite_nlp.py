@@ -1470,7 +1470,10 @@ def x_dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map-side-combinable shuffle (segment -> distinct-doc count); "
     "the boilerplate set is tiny by construction (heavy-tail lines "
     "only), so it broadcasts as a literal and the removal pass is "
-    "row-local — no fact-to-fact join, no doc reassembly shuffle.",
+    "row-local — no fact-to-fact join, no doc reassembly shuffle.  "
+    "Cross-engine seam: a fully-boilerplate doc keeps an EMPTY text "
+    "(Spark array_join of [] = ''; DuckDB array_to_string of [] is "
+    "NULL — COALESCEd to match).",
     f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 segs AS (
@@ -1489,7 +1492,7 @@ bl AS (SELECT COALESCE(list(seg), []) AS bset FROM boiler)
 SELECT doc_id,
        CAST(len(segs) AS BIGINT) AS n_segments,
        CAST(len(segs) - len(list_filter(segs, s -> NOT list_contains(bset, s))) AS BIGINT) AS n_boiler,
-       array_to_string(list_filter(segs, s -> NOT list_contains(bset, s)), ' ') AS cleaned_text,
+       COALESCE(array_to_string(list_filter(segs, s -> NOT list_contains(bset, s)), ' '), '') AS cleaned_text,
        ROUND(CAST(len(segs) - len(list_filter(segs, s -> NOT list_contains(bset, s))) AS DOUBLE)
              / NULLIF(len(segs), 0), 9) AS removed_frac
 FROM segs CROSS JOIN bl

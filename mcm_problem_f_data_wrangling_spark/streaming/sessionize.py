@@ -73,9 +73,14 @@ def sessionize_batch(
     # TIMESTAMP_NTZ cannot cast straight to BIGINT; route through
     # TIMESTAMP (exact under the session's pinned UTC zone) and compare
     # in integer microseconds.
-    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # whole-SECOND gap math (the documented cross-engine contract —
+    # the oracle floors epoch()); comparing raw microseconds instead
+    # flags a 21600.5 s gap that floored seconds call exactly 21600
+    ts_s = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1_000_000)
+    ).cast("long")
     new_session = F.when(
-        ts_us - F.lag(ts_us).over(w) > gap_seconds * 1_000_000, F.lit(1)
+        ts_s - F.lag(ts_s).over(w) > gap_seconds, F.lit(1)
     ).otherwise(F.lit(0))
     sid = F.sum(new_session).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -113,7 +118,6 @@ def sessionize_stream(
     used: it is nondeterministic and keeps an ``availableNow`` drain
     running empty micro-batches on a wall-clock cadence.
     """
-    gap_us = gap_seconds * 1_000_000
 
     def update(
         key: tuple,
@@ -138,7 +142,13 @@ def sessionize_stream(
             rows = rows[rows[ts_col].notna()]  # null event times carry no order
             for ts, val in zip(rows[ts_col], rows[value_col]):
                 ts_us = int(pd.Timestamp(ts).value // 1000)
-                if last_us is not None and ts_us - last_us > gap_us:
+                # whole-SECOND gap test, matching sessionize_batch's
+                # documented cross-engine contract (floored epoch
+                # seconds); raw-microsecond comparison would split a
+                # 21600.5 s gap the batch twin keeps together
+                if last_us is not None and (
+                    ts_us // 1_000_000 - last_us // 1_000_000 > gap_seconds
+                ):
                     closed.append((k, start_us, last_us, n, total))
                     start_us, n, total = ts_us, 0, 0.0
                 if start_us is None:
