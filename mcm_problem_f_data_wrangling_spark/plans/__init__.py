@@ -1,1 +1,7 @@
-from .registry import REGISTRY, Query, get_query, headline_queries  # noqa: F401
+from .registry import (  # noqa: F401
+    DRIVER_WINDOW,
+    REGISTRY,
+    Query,
+    get_query,
+    headline_queries,
+)

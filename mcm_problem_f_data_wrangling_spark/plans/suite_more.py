@@ -22,9 +22,30 @@ from ..operators.chunking import chunk_documents
 from ..operators.grid import force_complete_month_grid, interpolate_linear
 from ..operators.index import inverted_index
 from ..operators.similarity import semantic_dedup, train_ivf_cells
-from .base import DSUM, MONTHLY_CTE, Query, dsum, monthly_lineitem, spread, table
+from .base import (
+    DSUM,
+    MONTH_OF,
+    MONTHLY_CTE,
+    Query,
+    dsum,
+    month_of,
+    monthly_lineitem,
+    spread,
+    table,
+)
 
 QUERIES: list[Query] = []
+
+
+def _round2(c):
+    """Portable half-up 2dp rounding: FLOOR(x*100+0.5)/100.
+
+    ROUND(double, 2) diverges cross-engine on knife-edges (Spark
+    rounds the exact binary expansion, DuckDB the shortest decimal
+    repr); three IEEE ops on bit-identical inputs are bit-identical
+    out in both engines.
+    """
+    return F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
 
 
 def _q(name: str, doc: str, sql: str | None = None, headline: bool = False, tags: tuple[str, ...] = ()):
@@ -2043,29 +2064,44 @@ def w35_backtest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(EDA.ipynb cell 25 seasonal_difference): gives the notebook's "
     "decomposition plots a distributed, window-only implementation — "
     "TWO ordered windows and one tiny (flag, month-of-year) "
-    "aggregate, no applyInPandas.  Revenue is decimal-exact before "
-    "the double window math; outputs ROUND-pinned.",
+    "aggregate, no applyInPandas.  The trend numerator (2*SUM_11 + "
+    "lag6 + lead6) stays DECIMAL end-to-end — exact, "
+    "accumulation-order-free in both engines — with ONE double cast "
+    "and ONE IEEE divide by 24.0, so the .005 rounding knife-edge "
+    "that an ULP of double window-sum drift used to hit "
+    "(12928793.925) cannot recur.  Seasonal means are decimal-sum / "
+    "count for the same reason.",
     f"""
-WITH {MONTHLY_CTE},
+WITH md AS (
+  SELECT l_returnflag AS flag,
+         {MONTH_OF('l_shipdate')} AS month,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS rev_dec
+  FROM lineitem
+  GROUP BY 1, 2
+),
 t AS (
-  SELECT flag, month, CAST(revenue AS DOUBLE) AS y,
+  SELECT flag, month, CAST(rev_dec AS DOUBLE) AS y,
          CASE WHEN COUNT(*) OVER w11 = 11
-                   AND LAG(CAST(revenue AS DOUBLE), 6) OVER wo IS NOT NULL
-                   AND LEAD(CAST(revenue AS DOUBLE), 6) OVER wo IS NOT NULL
-              THEN (SUM(CAST(revenue AS DOUBLE)) OVER w11
-                    + 0.5 * LAG(CAST(revenue AS DOUBLE), 6) OVER wo
-                    + 0.5 * LEAD(CAST(revenue AS DOUBLE), 6) OVER wo) / 12.0
+                   AND LAG(rev_dec, 6) OVER wo IS NOT NULL
+                   AND LEAD(rev_dec, 6) OVER wo IS NOT NULL
+              THEN CAST(SUM(rev_dec) OVER w11 + SUM(rev_dec) OVER w11
+                        + LAG(rev_dec, 6) OVER wo
+                        + LEAD(rev_dec, 6) OVER wo AS DOUBLE) / 24.0
          END AS trend
-  FROM monthly
+  FROM md
   WINDOW wo AS (PARTITION BY flag ORDER BY month),
          w11 AS (PARTITION BY flag ORDER BY month ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
 ),
 s AS (
-  SELECT flag, month(month) AS moy, AVG(y - trend) AS s_raw
+  SELECT flag, month(month) AS moy,
+         CAST(SUM(CAST(y - trend AS DECIMAL(30,8))) AS DOUBLE)
+           / COUNT(y - trend) AS s_raw
   FROM t GROUP BY 1, 2
 ),
 sc AS (
-  SELECT flag, moy, s_raw - AVG(s_raw) OVER (PARTITION BY flag) AS seasonal
+  SELECT flag, moy,
+         s_raw - CAST(SUM(CAST(s_raw AS DECIMAL(30,8))) OVER (PARTITION BY flag) AS DOUBLE)
+                   / COUNT(s_raw) OVER (PARTITION BY flag) AS seasonal
   FROM s
 )
 SELECT t.flag, t.month,
@@ -2073,35 +2109,62 @@ SELECT t.flag, t.month,
        -- double (bit-identical cross-engine); rounding it would
        -- CREATE knife-edge .005 hazards (44390.425 at sf0.01)
        t.y AS revenue,
-       ROUND(t.trend, 2) AS trend,
-       ROUND(sc.seasonal, 2) AS seasonal,
-       -- remainder from exact y and the ROUNDED drifty terms: each
-       -- input is hash-matched cross-engine, so the difference is too
-       ROUND(t.y - ROUND(t.trend, 2) - ROUND(sc.seasonal, 2), 2) AS remainder
+       -- portable 2dp rounding: ROUND(double) itself diverges on
+       -- knife-edges (Spark rounds the exact binary expansion,
+       -- DuckDB the shortest decimal repr — 12928793.924999999 →
+       -- .92 vs .93); FLOOR(x*100+0.5)/100 is three IEEE ops on
+       -- bit-identical inputs, hence bit-identical out
+       FLOOR(t.trend * 100.0 + 0.5) / 100.0 AS trend,
+       FLOOR(sc.seasonal * 100.0 + 0.5) / 100.0 AS seasonal,
+       FLOOR((t.y - FLOOR(t.trend * 100.0 + 0.5) / 100.0
+                  - FLOOR(sc.seasonal * 100.0 + 0.5) / 100.0) * 100.0 + 0.5)
+         / 100.0 AS remainder
 FROM t JOIN sc ON t.flag = sc.flag AND month(t.month) = sc.moy
 """,
     tags=("M2", "window"),
 )
 def w36_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = monthly_lineitem(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        month_of("l_shipdate").alias("month"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("decimal(24,6)")
+        .alias("rev_dec")
+    )
     wo = Window.partitionBy("flag").orderBy("month")
     w11 = wo.rowsBetween(-5, 5)
-    y = F.col("revenue").cast("double")
-    l6, d6 = F.lag(y, 6).over(wo), F.lead(y, 6).over(wo)
+    rd = F.col("rev_dec")
+    l6, d6 = F.lag(rd, 6).over(wo), F.lead(rd, 6).over(wo)
+    s11 = F.sum(rd).over(w11)
+    # decimal-exact numerator (2*sum11 + lag6 + lead6), one double
+    # cast, one IEEE divide — bit-identical in Spark and DuckDB
     trend = F.when(
-        (F.count(y).over(w11) == 11) & l6.isNotNull() & d6.isNotNull(),
-        (F.sum(y).over(w11) + 0.5 * l6 + 0.5 * d6) / 12.0,
+        (F.count(rd).over(w11) == 11) & l6.isNotNull() & d6.isNotNull(),
+        (s11 + s11 + l6 + d6).cast("double") / 24.0,
     )
-    t = m.select("flag", "month", y.alias("y"), trend.alias("trend"))
+    t = m.select(
+        "flag", "month", rd.cast("double").alias("y"), trend.alias("trend")
+    )
+    dt = (F.col("y") - F.col("trend")).cast("decimal(30,8)")
     s = t.groupBy(
         F.col("flag").alias("s_flag"), F.month("month").alias("moy")
-    ).agg(F.avg(F.col("y") - F.col("trend")).alias("s_raw"))
+    ).agg(
+        (
+            F.sum(dt).cast("double")
+            / F.count(F.col("y") - F.col("trend"))
+        ).alias("s_raw")
+    )
+    wf = Window.partitionBy("s_flag")
     sc = s.select(
         "s_flag",
         "moy",
-        (F.col("s_raw") - F.avg("s_raw").over(Window.partitionBy("s_flag"))).alias(
-            "seasonal"
-        ),
+        (
+            F.col("s_raw")
+            - F.sum(F.col("s_raw").cast("decimal(30,8)")).over(wf).cast("double")
+            / F.count("s_raw").over(wf)
+        ).alias("seasonal"),
     )
     return (
         t.join(
@@ -2112,10 +2175,10 @@ def w36_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flag",
             "month",
             F.col("y").alias("revenue"),
-            F.round("trend", 2).alias("trend"),
-            F.round("seasonal", 2).alias("seasonal"),
-            F.round(
-                F.col("y") - F.round("trend", 2) - F.round("seasonal", 2), 2
+            _round2(F.col("trend")).alias("trend"),
+            _round2(F.col("seasonal")).alias("seasonal"),
+            _round2(
+                F.col("y") - _round2(F.col("trend")) - _round2(F.col("seasonal"))
             ).alias("remainder"),
         )
     )

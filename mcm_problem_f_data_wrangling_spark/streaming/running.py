@@ -103,12 +103,29 @@ def running_totals_stream(
             "to enable the streaming path. The batch twin "
             "(running_totals_batch) is unaffected."
         )
+    if key_col == value_col:
+        raise ValueError(
+            f"key_col and value_col must differ (both {key_col!r})"
+        )
+    if value_col == "key":
+        raise ValueError(
+            "value_col may not be named 'key' (reserved for the "
+            "grouping column in the output schema)"
+        )
     # declared key type must match the actual grouping column's, or
     # the Arrow/state-server conversion crashes mid-query (an INT key
     # emitted against a declared STRING field)
     key_sql_type = stream_df.schema[key_col].dataType.simpleString()
+    # select (not rename) to a fresh 2-col frame: withColumnRenamed
+    # would leave a duplicate/ambiguous 'key' if the input already
+    # has one, and pruning to exactly (key, value) also keeps the
+    # state-server Arrow batches minimal
+    from pyspark.sql import functions as F
+
     return (
-        stream_df.withColumnRenamed(key_col, "key")
+        stream_df.select(
+            F.col(key_col).alias("key"), F.col(value_col).alias(value_col)
+        )
         .groupBy("key")
         .transformWithStateInPandas(
             RunningTotalsProcessor(value_col, ttl_ms),

@@ -9,20 +9,27 @@ serialized with ``to_json(sort_array(...))`` by convention.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
 
-from mcm_problem_f_data_wrangling_spark.plans import REGISTRY
+from mcm_problem_f_data_wrangling_spark.plans import DRIVER_WINDOW, REGISTRY
 
-# the driver verifies roughly this many queries per round, in order
-DRIVER_WINDOW = 56
-
-
-@pytest.mark.parametrize(
-    "name", list(REGISTRY)[:DRIVER_WINDOW]
+# smallest SF is plenty: only the *schema* is inspected, never rows.
+# Derived from the same env var bench.py honors so an alternate
+# testdata root flows through automatically.
+_SF_DIR = os.path.join(
+    os.path.dirname(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+    ),
+    "sf0.001",
 )
+
+
+@pytest.mark.parametrize("name", list(REGISTRY)[:DRIVER_WINDOW])
 def test_window_query_schema_is_canonicalizer_safe(spark, name):
-    df = REGISTRY[name].spark(spark, "/root/testdata/sf0.001")
+    df = REGISTRY[name].spark(spark, _SF_DIR)
     complex_cols = [
         f.name
         for f in df.schema.fields

@@ -75,6 +75,10 @@ def main() -> int:
             hits.append("unexpected-python-stage")
         if name in baseline and n_ex > baseline[name]:
             hits.append(f"shuffle-regression({baseline[name]}→{n_ex})")
+        elif baseline and name not in baseline:
+            # a registry name absent from the snapshot would otherwise
+            # be silently unguarded against shuffle regressions
+            hits.append("missing-from-snapshot")
         status = "FLAG " + ",".join(hits) if hits else "ok"
         print(f"{status:6s} {name:40s} exchanges={n_ex} pythonStages={n_py}")
         if hits:
