@@ -50,37 +50,61 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def minhash_signature_cols(text_col: str = "text", k: int = MINHASH_K, shingle_k: int = 3) -> list[Column]:
-    """k MinHash components over word shingles, as named columns s0..s{k-1}.
+def minhash_hashpair_col(text_col: str = "text", shingle_k: int = 3) -> Column:
+    """Per-shingle (h1, h2) 56-bit hash pairs from ONE md5 pass.
 
-    Each component is ``min over shingles of md5-hash(seed_i || shingle)``
-    — the standard permutation-free MinHash approximation with k
-    independent seeded hash functions.
+    The md5 hex (32 chars) is split into two 14-hex-char (56-bit)
+    halves.  All k MinHash components derive from these via the
+    Kirsch–Mitzenheimer two-hash scheme (``h_i = h1 + i*h2``) — one
+    cryptographic hash per shingle instead of k, the dominant cost of
+    every LSH pipeline at corpus scale.  DuckDB mirror:
+    ``CAST('0x' || substr(md5(s), 1|15, 14) AS BIGINT)``.
     """
-    sh = word_shingles(text_col, k=shingle_k)
+    m5 = F.transform(word_shingles(text_col, k=shingle_k), F.md5)
+    return F.transform(
+        m5,
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 14), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 15, 14), 16, 10).cast("long").alias("h2"),
+        ),
+    )
 
-    def seeded_hash(seed_idx: int):
-        # factory, not a default-arg lambda: pyspark HOF lambdas with two
-        # parameters receive (element, index) and would shadow the seed
-        return lambda s: portable_hash64(s, seed=f"{seed_idx}|")
 
-    return [
-        F.array_min(F.transform(sh, seeded_hash(i))).alias(f"s{i}") for i in range(k)
-    ]
+def minhash_signature_cols(hp_col: Column | str = "hp", k: int = MINHASH_K) -> list[Column]:
+    """k MinHash components s0..s{k-1} from a precomputed hash-pair array.
+
+    ``s_i = min over shingles of (h1 + i*h2)`` — max value 16*2^56 =
+    2^60, so the BIGINT arithmetic is overflow-free (hence ANSI-safe
+    and DuckDB-portable) for k <= 128.
+    """
+    hp = F.col(hp_col) if isinstance(hp_col, str) else hp_col
+
+    def comp(i: int) -> Column:
+        # factory closure, not a default-arg lambda: pyspark HOF lambdas
+        # with two parameters receive (element, index) and would shadow i
+        return F.array_min(
+            F.transform(hp, lambda p: p["h1"] + F.lit(i) * p["h2"])
+        ).alias(f"s{i}")
+
+    return [comp(i) for i in range(k)]
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K) -> DataFrame:
     """Per-doc MinHash signature table: (id, s0..s{k-1}).
 
-    ``spread``: k seeded min-hash passes over the shingle array are
-    the dominant per-row cost of every LSH pipeline (measured ~12 s on
-    ONE core for 5 000 docs x 16 hashes at sf0.1); a single-row-group
-    scan would serialize them all on one task.  Identity at production
-    scan widths (operators/skew.py).
+    Two narrow projections, no shuffle: (1) one md5 per shingle →
+    (h1, h2) pairs, (2) k cheap integer min-folds.  ``spread``: the
+    md5 pass is the dominant per-row cost; a single-row-group scan
+    would serialize it on one task.  Identity at production scan
+    widths (operators/skew.py).
     """
     from .skew import spread
 
-    return spread(df).select(F.col(id_col), *minhash_signature_cols(text_col, k))
+    return (
+        spread(df)
+        .select(F.col(id_col), minhash_hashpair_col(text_col).alias("hp"))
+        .select(F.col(id_col), *minhash_signature_cols("hp", k))
+    )
 
 
 def lsh_candidate_pairs(
