@@ -55,7 +55,7 @@ def minhash_hashpair_col(text_col: str = "text", shingle_k: int = 3) -> Column:
 
     The md5 hex (32 chars) is split into two 14-hex-char (56-bit)
     halves.  All k MinHash components derive from these via the
-    Kirsch–Mitzenheimer two-hash scheme (``h_i = h1 + i*h2``) — one
+    Kirsch–Mitzenmacher two-hash scheme (``h_i = h1 + i*h2``) — one
     cryptographic hash per shingle instead of k, the dominant cost of
     every LSH pipeline at corpus scale.  DuckDB mirror:
     ``CAST('0x' || substr(md5(s), 1|15, 14) AS BIGINT)``.

@@ -28,100 +28,90 @@ _ALL = (
 # same window.  Every query keeps its oracle either way — the builder's
 # mirror (tools/check_parity.py) always runs ALL of them.
 _FRONT = [
-    # --- ROUND-3 window (first ~50 = driver budget): r1 checked the
+    # --- ROUND-4 window (first ~50 = driver budget): r1 checked the
     # --- §2 relational core, r2 the dedup/similarity/TPC-H-classic/
-    # --- sessionization families (97 cumulative driver rows, all
-    # --- green).  r3 rotates in queries NEVER driver-checked, so the
-    # --- cumulative driver-verified set keeps growing.  Every query
-    # --- keeps its oracle either way — the builder's mirror
-    # --- (tools/check_parity.py) always runs ALL of them.
+    # --- sessionization families, r3 the window/text/curation wave —
+    # --- 146 cumulative driver rows, 143 green.  r4 rotates in the 55
+    # --- oracle-bearing queries NEVER driver-checked, so the
+    # --- cumulative driver-verified set reaches ~all 198 oracle-
+    # --- bearing queries.  All 14 no-oracle queries are EXCLUDED from
+    # --- the window (they'd burn slots on permanent `err: no_oracle`
+    # --- rows — VERDICT r3 item 2).  Every query keeps its oracle
+    # --- either way — the builder's mirror (tools/check_parity.py)
+    # --- always runs ALL of them.
     "flagship_career_collapse",   # driver smoke target stays first
-    "w36_stl_decompose",          # r2 mirror FAIL → fixed (decimal trend)
-    # remaining TPC-H classic shapes
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q06_revenue_delta",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q10_returned_items",
-    "q12_priority_shipping_mix",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_mix",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q22_dormant_accounts",
-    # SQL-API surface + scale-path join shapes
-    "sql_flagship_via_spark_sql",
-    "x_asof_attribution_join",
-    "x_range_join_purchase_window",
-    "x_skew_salted_group_sum",
-    # window family r1/r2 never checked
-    "w16_time_range_rolling",
-    "w17_ewma_smooth",
-    "w18_rank_family",
-    "w19_outlier_zscore",
-    "w20_mad_outliers",
-    "w21_sliding_window_rollup",
-    "w22_ols_trend",
-    "w31_theil_sen_trend",
-    # sessionization / event analytics
-    "s10_session_window_native",
-    "s11_rollup_cascade",
-    "s12_event_funnel",
-    "s14_rolling_wau",
-    "s17_interval_merge",
-    "s18_incremental_rollup",
-    # aggregate / reshape
-    "a09_share_of_total",
-    "a10_group_mode",
-    "a11_basket_lift",
-    "a12_abc_pareto",
-    "u06_unpivot_melt",
-    "u07_grouping_sets",
-    # text analysis / quality / curation
-    "x_lang_id",
-    "x_token_corpus_stats",
-    "x_text_pii_redact",
-    "x_quality_filter_funnel",
-    "x_quality_lr_score",
-    "x_decontaminate_ngram_overlap",
-    "x_dup_ngram_fraction",
-    "x_pack_sequences",
-    "x_doc_chunking",
-    "x_e2e_training_corpus",
+    # text / retrieval
     "x_tfidf_top_terms_per_doc",
     "x_bm25_topk",
     "x_inverted_index",
-    "x_curation_hash_split",
-    # graph ops
-    "x_graph_pagerank",
-    "x_graph_triangles",
-    # --- below here: next rotation's candidates (still oracle-checked
-    # --- by the builder's mirror every round)
+    "x_top_terms_corpus",
     "x_token_entropy",
     "x_text_rarity_score",
     "x_quality_repetition_signals",
-    "x_corpus_drift_kl",
-    "x_source_overlap_matrix",
+    "x_bigram_lm",
+    "x_bigram_perplexity",
+    "x_fuzzy_name_match",
+    # curation / corpus mixing
+    "x_curation_hash_split",
     "x_curation_temperature_mix",
     "x_curation_stratified_mix",
     "x_curation_dsir_score",
-    "x_countmin_estimate",
-    "x_bigram_perplexity",
-    "x_source_quality_report",
     "x_curation_topk_weighted",
     "x_curation_eval_holdout",
-    "x_fuzzy_name_match",
+    "x_curation_weighted_sample",
+    "x_corpus_drift_kl",
+    "x_source_overlap_matrix",
+    "x_source_quality_report",
+    # graph
+    "x_graph_pagerank",
+    "x_graph_triangles",
+    # profiling / sketches / layout
+    "x_countmin_estimate",
+    "x_corr_matrix_one_scan",
+    "x_histogram_equi_width",
+    "x_histogram_equi_depth",
+    "x_profile_dataset",
+    "x_expectations_report",
+    "x_key_skew_profile",
+    "x_zorder_locality",
+    "x_multimodal_metadata",
+    "x_events_json_extract",
+    "x3_drift_fit_forecast",
+    # window family w23-w34 (never checked)
+    "w23_interpolate_linear",
+    "w24_cusum_drift",
+    "w25_topk_per_group",
+    "w26_seasonal_adjust",
+    "w27_acf_lags",
+    "w28_minmax_scale",
+    "w29_winsorize",
+    "w30_seasonal_anomaly",
+    "w32_seasonal_strength",
+    "w33_detected_period",
+    "w34_max_drawdown",
+    # event analytics s19-s29 (never checked)
+    "s19_snapshot_diff",
+    "s20_event_transitions",
+    "s21_id_gap_detection",
+    "s22_rapid_duplicate_events",
+    "s23_new_vs_returning",
+    "s24_peak_hour_profile",
+    "s25_event_cooccurrence",
+    "s26_data_freshness",
+    "s27_cusum_alarm",
+    "s28_conversion_latency",
+    "s29_event_trigrams",
+    # freshly oracle-backed this round (was rows-only)
+    "x_graph_kcore",
 ]
 
 # The external driver verifies roughly this many registry-order
-# queries per round (~50 observed in r1/r2).  Defined HERE, next to
+# queries per round (~50 observed in r1-r3).  Defined HERE, next to
 # the _FRONT curation it budgets, so the schema-safety test and the
 # curation comments cannot drift apart.  Slightly above the observed
-# budget so the guard covers the whole plausible window.
-DRIVER_WINDOW = 56
+# budget so the guard covers the whole plausible window (= the full
+# round-4 _FRONT).
+DRIVER_WINDOW = 57
 
 _BY_NAME = {q.name: q for q in _ALL}
 if len(_BY_NAME) != len(_ALL):  # pragma: no cover

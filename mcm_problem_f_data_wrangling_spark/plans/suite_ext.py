@@ -92,8 +92,14 @@ _SHINGLES = (
 )
 
 def _sig_col_sql(i: int) -> str:
-    seeded = "concat('" + str(i) + "|', s)"
-    return f"list_min(list_transform(shingles, s -> {_H60(seeded)})) AS s{i}"
+    # Kirsch–Mitzenmacher two-hash scheme, mirroring
+    # operators/dedup.py minhash_hashpair_col / minhash_signature_cols:
+    # ONE md5 per shingle, split into two 56-bit halves (h1, h2), then
+    # s_i = min over shingles of (h1 + i*h2).
+    h1 = "CAST('0x' || substr(m, 1, 14) AS BIGINT)"
+    h2 = "CAST('0x' || substr(m, 15, 14) AS BIGINT)"
+    body = h1 if i == 0 else f"{h1} + {i} * {h2}"
+    return f"list_min(list_transform(m5, m -> {body})) AS s{i}"
 
 
 _SIG_COLS_SQL = ",\n       ".join(_sig_col_sql(i) for i in range(16))
@@ -101,10 +107,11 @@ _SIG_COLS_SQL = ",\n       ".join(_sig_col_sql(i) for i in range(16))
 _SIG_CTE = f"""
 toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks_t),
+m5_t AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS m5 FROM sh),
 sig AS (
   SELECT doc_id,
        {_SIG_COLS_SQL}
-  FROM sh
+  FROM m5_t
 )
 """.strip()
 
@@ -135,8 +142,9 @@ def x_dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "x_minhash_signatures",
-    "MinHash: 16 md5-seeded min-hashes over 3-word shingles per doc "
-    "(the signature stage of MinHash-LSH dedup).",
+    "MinHash: 16 Kirsch–Mitzenmacher min-hashes (min(h1 + i*h2) from one "
+    "md5 per 3-word shingle) per doc — the signature stage of MinHash-LSH "
+    "dedup.",
     f"WITH {_SIG_CTE}\nSELECT * FROM sig",
     headline=True,
     tags=("M4", "dedup"),

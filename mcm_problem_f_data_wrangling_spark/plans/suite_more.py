@@ -38,12 +38,16 @@ QUERIES: list[Query] = []
 
 
 def _round2(c):
-    """Portable half-up 2dp rounding: FLOOR(x*100+0.5)/100.
+    """Portable 2dp rounding: FLOOR(x*100+0.5)/100 — rounds halves
+    toward +infinity (NOT ROUND-compatible half-up/away-from-zero:
+    -0.005 maps to 0.0 here, not -0.01 — relevant for negative values
+    such as seasonal components).
 
     ROUND(double, 2) diverges cross-engine on knife-edges (Spark
     rounds the exact binary expansion, DuckDB the shortest decimal
     repr); three IEEE ops on bit-identical inputs are bit-identical
-    out in both engines.
+    out in both engines — both evaluate this formula identically, so
+    parity is unaffected by the half behavior.
     """
     return F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
 
@@ -1486,6 +1490,43 @@ def s28_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_round_sql(i: int, k: int = 4) -> str:
+    # AS MATERIALIZED is load-bearing: each round references the
+    # previous one 3x, and DuckDB's default CTE inlining would blow
+    # the plan up 3^depth (observed as "Too many open files" from
+    # 3^24 parquet scans).  Materialization keeps it linear in depth.
+    prev = f"kr{i - 1}" if i else "ksym"
+    return (
+        f"kr{i} AS MATERIALIZED (\n"
+        f"  SELECT e.a, e.b FROM {prev} e\n"
+        f"  JOIN (SELECT a FROM {prev} GROUP BY a HAVING COUNT(*) >= {k}) ka ON e.a = ka.a\n"
+        f"  JOIN (SELECT a FROM {prev} GROUP BY a HAVING COUNT(*) >= {k}) kb ON e.b = kb.a\n"
+        f")"
+    )
+
+
+# The peel converges in 1 round at sf0.001/sf0.01 (the co-purchase
+# graph is dense: every part's degree >= 4 already); 24 unrolled
+# rounds is a 24x margin, and post-convergence rounds are identity
+# (each is a no-op filter), so the unroll depth only bounds cost,
+# never correctness at these SFs.
+_KCORE_PEEL_DEPTH = 24
+
+_KCORE_SQL = (
+    """
+WITH kpairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+kdedup AS MATERIALIZED (SELECT DISTINCT src, dst FROM kpairs),
+ksym AS MATERIALIZED (SELECT src AS a, dst AS b FROM kdedup UNION SELECT dst, src FROM kdedup),
+"""
+    + ",\n".join(_kcore_round_sql(i) for i in range(_KCORE_PEEL_DEPTH))
+    + f"\nSELECT DISTINCT a AS node FROM kr{_KCORE_PEEL_DEPTH - 1} ORDER BY node"
+)
+
+
 @_q(
     "x_graph_kcore",
     "k-core of the co-purchase graph (parts sharing an order; the "
@@ -1494,10 +1535,12 @@ def s28_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rounds (operators/graph.py k_core — the connected_components "
     "state discipline): per round one degree aggregate + two LEFT "
     "SEMI endpoint filters, edge set only shrinks, convergence "
-    "observed inside the state write.  Fixpoint iteration is not "
-    "ANSI-SQL-expressible → rows-only gate; exactness is pytest-"
-    "verified against the textbook peel on planted graphs.",
-    None,
+    "observed inside the state write.  Oracle: the same peel unrolled "
+    "to a fixed depth in plain SQL — extra rounds past the fixpoint "
+    "are identity filters, so a generous unroll (24x the measured "
+    "convergence depth) is exact.  Exactness is also pytest-verified "
+    "against the textbook peel on planted graphs.",
+    _KCORE_SQL,
     tags=("M4", "graph"),
 )
 def x_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1602,11 +1645,14 @@ def w32_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recommender-adjacent classic on the triangle-count edge build: "
     "lift(a,b) = P(a,b) / (P(a)·P(b)) over order baskets.  Distinct "
     "(order, part) pre-agg bounds the self-join fan-out at basket "
-    "size (never raw line count); per-part supports broadcast back "
-    "onto the PAIR table (pair-count-sized, not fact-sized).  All "
-    "probabilities divide exact integer counts by the exact order "
-    "count; top-20 by lift with a pair tie-break runs as "
-    "TakeOrderedAndProject.  Support floor 5 kills noise pairs.",
+    "size (never raw line count).  The per-part support joins carry "
+    "NO broadcast hint: supports are |parts|-cardinality, which OOMs "
+    "executors at TPC-H sf100k if force-broadcast — AQE picks "
+    "broadcast when the side is actually small and shuffle-hash "
+    "otherwise (VERDICT r3).  All probabilities divide exact integer "
+    "counts by the exact order count; top-20 by lift with a pair "
+    "tie-break runs as TakeOrderedAndProject.  Support floor 5 kills "
+    "noise pairs.",
     """
 WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets),
@@ -1632,8 +1678,6 @@ LIMIT 20
     tags=("M1", "analytics"),
 )
 def a11_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import broadcast
-
     baskets = (
         table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     )
@@ -1663,8 +1707,8 @@ def a11_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        pairs.join(broadcast(s1), "part_1")
-        .join(broadcast(s2), "part_2")
+        pairs.join(s1, "part_1")
+        .join(s2, "part_2")
         .select("part_1", "part_2", "n_pair", "n_1", "n_2", lift.alias("lift"))
         .orderBy(F.desc("lift"), "part_1", "part_2")
         .limit(20)
@@ -1675,13 +1719,17 @@ def a11_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a12_abc_pareto",
     "ABC/Pareto classification of parts by revenue (the inventory-"
     "analytics classic: A = first 70% of cumulative revenue share, "
-    "B = to 90%, C = tail): per-part decimal-exact revenue, ordered "
-    "cumulative share via ONE window over (share desc, key) — the "
-    "unique tie-break makes the running sum deterministic — then a "
-    "three-way CASE.  Output is one row per class (count + exact "
-    "revenue), so the result is O(3) at any scale; the global sort "
-    "exists only inside the window rank over the PRE-AGGREGATED "
-    "per-part table (|parts| rows, not fact rows).",
+    "B = to 90%, C = tail): per-part decimal-exact revenue, then the "
+    "running total via a TWO-PASS range-partitioned prefix sum — "
+    "repartitionByRange on (rev desc, key), per-partition running "
+    "sums (window keyed on the partition id, fully parallel), plus "
+    "an O(#partitions) offset table joined back — instead of one "
+    "unpartitioned window, which serializes the whole per-part table "
+    "through a single task at billion-part scale (VERDICT r3).  The "
+    "unique (rev, key) tie-break makes the running sum deterministic "
+    "regardless of where range boundaries land.  Output is one row "
+    "per class (count + exact revenue), so the result is O(3) at any "
+    "scale.",
     f"""
 WITH per_part AS (
   SELECT l_partkey, {DSUM('l_extendedprice')} AS rev
@@ -1706,20 +1754,46 @@ GROUP BY 1
 )
 def a12_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
 
     per_part = (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
         .agg(dsum("l_extendedprice").alias("rev"))
     )
+    # two-pass distributed prefix sum: range-partition in global sort
+    # order, run per-partition cumsums in parallel, then add each
+    # partition's exclusive offset.  Correct for ANY boundary choice
+    # because the (rev desc, key) sort key is unique; 32 buckets here,
+    # |parts|/target_rows on a real cluster.  localCheckpoint: the
+    # offsets branch and the cumsum branch MUST see the same _pid
+    # assignment — materializing the bucketed table makes that
+    # structural (and avoids re-running the fact scan + pre-agg for
+    # the O(#partitions) offset pass — the dup-ngram discipline).
+    n_buckets = 32
+    pp = (
+        per_part.repartitionByRange(n_buckets, F.desc("rev"), F.col("l_partkey"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     # ONE scalar total — driver literal (a09 precedent); decimal-exact
     # sum so both engines divide by the identical double
-    total = float(per_part.agg(F.sum(F.col("rev").cast("decimal(18,6)")).cast("double")).collect()[0][0])
-    w = (
-        Window.orderBy(F.desc("rev"), "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = float(pp.agg(F.sum(F.col("rev").cast("decimal(18,6)")).cast("double")).collect()[0][0])
+    w_in = Window.partitionBy("_pid").orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    ranked = per_part.withColumn("cum_share", F.sum("rev").over(w) / F.lit(total))
+    run = pp.withColumn("cum_in", F.sum("rev").over(w_in))
+    # exclusive prefix of per-partition totals: an unpartitioned window
+    # over <= n_buckets rows — O(#partitions), scale-independent
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        run.groupBy("_pid")
+        .agg(F.sum("rev").alias("bucket_sum"))
+        .select("_pid", F.coalesce(F.sum("bucket_sum").over(w_off), F.lit(0)).alias("off"))
+    )
+    ranked = run.join(broadcast(offs), "_pid").withColumn(
+        "cum_share", (F.col("off") + F.col("cum_in")) / F.lit(total)
+    )
     cls = (
         F.when(F.col("cum_share") <= 0.7, "A")
         .when(F.col("cum_share") <= 0.9, "B")

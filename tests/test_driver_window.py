@@ -18,13 +18,16 @@ from mcm_problem_f_data_wrangling_spark.plans import DRIVER_WINDOW, REGISTRY
 
 # smallest SF is plenty: only the *schema* is inspected, never rows.
 # Derived from the same env var bench.py honors so an alternate
-# testdata root flows through automatically.
+# testdata root flows through automatically; fall back to the default
+# location when the alternate root has no sf0.001 sibling (ADVICE r3).
 _SF_DIR = os.path.join(
     os.path.dirname(
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
     ),
     "sf0.001",
 )
+if not os.path.isdir(_SF_DIR):
+    _SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.mark.parametrize("name", list(REGISTRY)[:DRIVER_WINDOW])
