@@ -436,6 +436,63 @@ def main() -> None:
                 fp.unionByName(flipped), "h", "doc_id", bits=64, max_hamming=3
             ).count()
 
+        def _pareto(two_pass: bool):
+            # a12 shape at 2.5M groups (l_orderkey as the "part" key —
+            # l_partkey is deliberately 90%-hot for the skew stages):
+            # cumulative-revenue ABC classification.  two_pass=False is
+            # the round-3 plan (ONE unpartitioned window = single-task
+            # sort over all groups); two_pass=True is the round-4
+            # range-partitioned prefix sum.
+            from pyspark.sql import Window
+
+            pp = li.groupBy("l_orderkey").agg(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("rev")
+            )
+            total = float(
+                pp.agg(F.sum("rev").cast("double")).collect()[0][0]
+            )
+            if two_pass:
+                pp = (
+                    pp.repartitionByRange(64, F.desc("rev"), F.col("l_orderkey"))
+                    .withColumn("_pid", F.spark_partition_id())
+                    .localCheckpoint(eager=True)
+                )
+                w_in = Window.partitionBy("_pid").orderBy(
+                    F.desc("rev"), "l_orderkey"
+                ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                w_off = Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+                offs = (
+                    pp.groupBy("_pid")
+                    .agg(F.sum("rev").alias("s"))
+                    .select(
+                        "_pid",
+                        F.coalesce(F.sum("s").over(w_off), F.lit(0)).alias("off"),
+                    )
+                )
+                ranked = (
+                    pp.withColumn("cum_in", F.sum("rev").over(w_in))
+                    .join(F.broadcast(offs), "_pid")
+                    .withColumn(
+                        "cum_share",
+                        (F.col("off") + F.col("cum_in")) / F.lit(total),
+                    )
+                )
+            else:
+                w = Window.orderBy(F.desc("rev"), "l_orderkey").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+                ranked = pp.withColumn("cum_share", F.sum("rev").over(w) / F.lit(total))
+            cls = (
+                F.when(F.col("cum_share") <= 0.7, "A")
+                .when(F.col("cum_share") <= 0.9, "B")
+                .otherwise("C")
+            )
+            return ranked.groupBy(cls.alias("c")).count().count()
+
+        timed("pareto_prefix_2m5_groups_single_window", lambda: _pareto(False))
+        timed("pareto_prefix_2m5_groups_two_pass", lambda: _pareto(True))
         timed("minhash_200k_docs", minhash)
         timed("boilerplate_removal_200k_docs", boilerplate_200k)
         timed("hamming_neardup_220k_docs_64bit", hamming_neardup_220k)
