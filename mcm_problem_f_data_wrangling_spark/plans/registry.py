@@ -34,7 +34,7 @@ _FRONT = [
     # --- 146 cumulative driver rows, 143 green.  r4 rotates in the 55
     # --- oracle-bearing queries NEVER driver-checked, so the
     # --- cumulative driver-verified set reaches ~all 198 oracle-
-    # --- bearing queries.  All 14 no-oracle queries are EXCLUDED from
+    # --- bearing queries.  All no-oracle queries are EXCLUDED from
     # --- the window (they'd burn slots on permanent `err: no_oracle`
     # --- rows — VERDICT r3 item 2).  Every query keeps its oracle
     # --- either way — the builder's mirror (tools/check_parity.py)

@@ -3253,6 +3253,78 @@ def x_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hw_sum_expr(lo: int, hi: int) -> str:
+    # explicit left-associated add chain — guarantees the same IEEE
+    # summation order as numpy's sequential mean over <128 elements
+    return "(" + " + ".join(f"ylist[{i}]" for i in range(lo, hi + 1)) + ")"
+
+
+# The Holt-Winters recursion IS SQL-expressible: a recursive CTE
+# advances all 27 (alpha,beta,gamma) candidates of every series one
+# time-step per iteration, carrying (level, trend, seasonal list, sse)
+# as row state.  Every float op mirrors operators/forecast.py
+# _hw_fit_sse in the exact order Python executes it (left-assoc adds,
+# (1 - alpha) computed, never a 0.8 literal), so the recursion is
+# bit-identical and the strict-< argmin (ORDER BY sse, grid order =
+# the engine's first-wins loop order) picks the same candidate.
+# Double literals use e-notation (0.2e0): plain 0.2 is DECIMAL in
+# DuckDB and would poison the arithmetic.  Assumes n_obs >= 24 (true
+# for all testdata SFs); the engine's short-series RW fallback is not
+# mirrored.
+_HW_SQL = f"""
+WITH RECURSIVE {MONTHLY_CTE},
+series AS (
+  SELECT flag, list(revenue ORDER BY month) AS ylist, COUNT(*) AS n
+  FROM monthly GROUP BY 1
+),
+grid AS (SELECT * FROM (VALUES (0.2e0),(0.5e0),(0.8e0)) ga(al)
+         CROSS JOIN (VALUES (0.2e0),(0.5e0),(0.8e0)) gb(be)
+         CROSS JOIN (VALUES (0.2e0),(0.5e0),(0.8e0)) gg(gm)),
+init AS (
+  SELECT flag, al, be, gm, ylist, n,
+         12 AS t,
+         m1 + tr0 * 5.5e0 AS level,
+         tr0 AS trend,
+         list_transform(generate_series(0, 11),
+                        i -> ylist[i+1] - (m1 + (i - 5.5e0) * tr0)) AS seas,
+         0e0 AS sse
+  FROM (
+    SELECT *, (({_hw_sum_expr(13, 24)} / 12) - m1) / 12 AS tr0
+    FROM (SELECT s.*, g.*, {_hw_sum_expr(1, 12)} / 12 AS m1
+          FROM series s CROSS JOIN grid g) q1
+  ) q2
+),
+hw AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT flag, al, be, gm, ylist, n, t + 1,
+         new_level,
+         be * (new_level - level) + (1 - be) * trend,
+         seas[1:idx-1] || [gm * (yt - new_level) + (1 - gm) * seas[idx]] || seas[idx+1:],
+         sse + err * err
+  FROM (
+    SELECT *, al * (yt - seas[idx]) + (1 - al) * (level + trend) AS new_level,
+           yt - (level + trend + seas[idx]) AS err
+    FROM (
+      SELECT *, (t % 12) + 1 AS idx, ylist[t + 1] AS yt
+      FROM hw WHERE t < n
+    ) i1
+  ) i2
+),
+fin AS (SELECT * FROM hw WHERE t = n),
+best AS (
+  SELECT * FROM fin
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY flag ORDER BY sse, al, be, gm) = 1
+)
+SELECT flag AS career, al AS alpha, be AS beta, gm AS gamma,
+       (sse * 100 + 0.5e0 - ((sse * 100 + 0.5e0) % 1e0)) / 100 AS sse,
+       CAST(n AS BIGINT) AS n_obs,
+       CAST(h AS BIGINT) AS step,
+       ROUND(level + h * trend + seas[((n + h - 1) % 12) + 1], 4) AS forecast
+FROM best CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS h) steps
+""".strip()
+
+
 @_q(
     "x3_holt_winters",
     "Per-series additive Holt-Winters (triple exponential smoothing) "
@@ -3261,11 +3333,13 @@ def x_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "27-point (alpha,beta,gamma) grid by one-step in-sample SSE "
     "inside the same applyInPandas boundary (one Python crossing; "
     "O(n·27) local work per series, scales with series count).  "
-    "Rows-only: the smoothing recursion is iterative, not "
-    "SQL-expressible; exact-model recovery, SSE-optimality, and the "
-    "short-series RW fallback are property-tested in "
-    "tests/test_forecast.py.",
-    None,
+    "Oracle: the recursion unrolls as a recursive CTE carrying "
+    "(level, trend, seasonal-list, sse) row state, every IEEE op in "
+    "the engine's execution order — bit-identical, so even the "
+    "argmin grid selection matches.  Exact-model recovery, "
+    "SSE-optimality, and the short-series RW fallback are also "
+    "property-tested in tests/test_forecast.py.",
+    _HW_SQL,
     tags=("M3", "model"),
 )
 def x3_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3273,12 +3347,19 @@ def x3_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = monthly_lineitem(spark, sf_dir)
     out = holt_winters_forecast(m, "flag", "month", "revenue", season=12, steps=6)
+    # sse is ~1e13-1e16: 2dp sits at the 16th significant digit, where
+    # Spark ROUND (binary-expansion) and DuckDB ROUND (shortest-repr)
+    # disagree by 1 ulp.  The fmod-floor formula is three IEEE ops,
+    # bit-identical cross-engine at ANY magnitude (and, unlike
+    # FLOOR(x*100)/100, never overflows Spark's long FLOOR).
+    v = F.col("sse") * F.lit(100.0) + F.lit(0.5)
+    sse2 = (v - v % F.lit(1.0)) / F.lit(100.0)
     return out.select(
         F.col("group").alias("career"),
         "alpha",
         "beta",
         "gamma",
-        F.round("sse", 2).alias("sse"),
+        sse2.alias("sse"),
         "n_obs",
         "step",
         F.round("forecast", 4).alias("forecast"),
