@@ -154,13 +154,17 @@ def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "x_histogram_equi_depth",
-    "Equi-depth (decile) histogram of order totals: NTILE(10) over a "
-    "UNIQUE total order (price, orderkey — ties on price alone would "
-    "make bucket membership nondeterministic), then per-bucket count/"
-    "bounds/decimal-exact revenue.  The total order is a single-"
-    "reducer sort by construction — correct-but-bounded; the 100 TB "
-    "path for equi-depth boundaries is the sketch operator "
-    "(approx_quantiles_by), this pins the exact semantics it "
+    "Equi-depth (decile) histogram of order totals: exact NTILE(10) "
+    "semantics over a UNIQUE total order (price, orderkey — ties on "
+    "price alone would make bucket membership nondeterministic), then "
+    "per-bucket count/bounds/decimal-exact revenue.  NO global-window "
+    "NTILE: the global rank comes from the a12 two-pass range-"
+    "partitioned prefix count (per-partition row_number + "
+    "O(#partitions) offsets), and the decile is recovered from the "
+    "rank with NTILE's exact integer remainder rule — fully parallel "
+    "where a bare NTILE window serializes the whole fact through one "
+    "task.  The 100 TB approximate path is the sketch operator "
+    "(approx_quantiles_by); this pins the exact semantics it "
     "approximates.",
     f"""
 WITH d AS (
@@ -179,12 +183,41 @@ FROM d GROUP BY decile
 )
 def x_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
 
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    d = table(spark, sf_dir, "orders").select(
-        F.ntile(10).over(w).alias("decile"), "o_totalprice"
+    ords = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    # N is a scalar driver literal (a09/a12 precedent) feeding NTILE's
+    # integer remainder rule below
+    n = ords.count()
+    pp = (
+        ords.repartitionByRange(32, "o_totalprice", "o_orderkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    return d.groupBy("decile").agg(
+    w_in = Window.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        pp.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("_pid", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"))
+    )
+    ranked = (
+        pp.withColumn("rn", F.row_number().over(w_in))
+        .join(broadcast(offs), "_pid")
+        .withColumn("rank", F.col("off") + F.col("rn"))
+    )
+    # NTILE(10) from the global rank: the first (n % 10) buckets get
+    # ceil(n/10) rows, the rest floor(n/10) — SQL-standard semantics,
+    # bit-for-bit what the oracle's NTILE emits over the same unique
+    # order.  CASE short-circuits, so size=0 (n<10) never divides.
+    size, rem = n // 10, n % 10
+    big = rem * (size + 1)
+    decile = (
+        F.when(F.col("rank") <= big, F.ceil(F.col("rank") / F.lit(size + 1)))
+        .otherwise(F.lit(rem) + F.ceil((F.col("rank") - big) / F.lit(size)))
+        .cast("int")
+    )
+    return ranked.groupBy(decile.alias("decile")).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.min("o_totalprice").cast("double").alias("lo"),
         F.max("o_totalprice").cast("double").alias("hi"),
@@ -584,18 +617,25 @@ def w26_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "s21_id_gap_detection",
     "Sequence-gap detection over event ids (data-quality / loss "
-    "audit): lag over the UNIQUE id order finds every hole; one "
-    "gap row per missing range with its width.  Single exchange on "
-    "nothing — ids are globally ordered, so this demo uses one "
-    "partition-wide window over the id column; at 100 TB the same "
-    "lag runs per shard/partition-key (ids are only comparable "
-    "within a shard anyway) and the window re-partitions by shard.",
+    "audit): lag over the UNIQUE id order finds every hole; one gap "
+    "row per missing range with its width.  Runs on the PURCHASE "
+    "subsequence (which ids made it to billing?) — the full id "
+    "sequence in this dataset is gapless, which would make the check "
+    "vacuous.  NO global-window lag: "
+    "ids are range-partitioned, the lag runs per partition in "
+    "parallel, and each partition's FIRST row takes the previous "
+    "non-empty partition's max id from an O(#partitions) boundary "
+    "table (range partitions are index-monotone in the sort key, so "
+    "lag over the per-pid max table IS the cross-boundary "
+    "predecessor) — the a12 two-pass discipline applied to lag "
+    "instead of a running sum.",
     """
 SELECT gap_start, gap_end, CAST(gap_end - gap_start + 1 AS BIGINT) AS n_missing
 FROM (
   SELECT lag(event_id) OVER (ORDER BY event_id) + 1 AS gap_start,
          event_id - 1 AS gap_end
   FROM events
+  WHERE event_type = 'purchase'
 )
 WHERE gap_start IS NOT NULL AND gap_end >= gap_start
 """,
@@ -603,11 +643,35 @@ WHERE gap_start IS NOT NULL AND gap_end >= gap_start
 )
 def s21_id_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
 
-    w = Window.orderBy("event_id")
-    g = table(spark, sf_dir, "events").select(
-        (F.lag("event_id").over(w) + 1).alias("gap_start"),
-        (F.col("event_id") - 1).alias("gap_end"),
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id")
+    )
+    pp = (
+        ev.repartitionByRange(32, "event_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_in = Window.partitionBy("_pid").orderBy("event_id")
+    # previous non-empty partition's max id = the predecessor of each
+    # partition's first row (empty pids never appear in the groupBy,
+    # and range partition index is monotone in event_id)
+    w_off = Window.orderBy("_pid")
+    offs = (
+        pp.groupBy("_pid")
+        .agg(F.max("event_id").alias("mx"))
+        .select("_pid", F.lag("mx").over(w_off).alias("prev_max"))
+    )
+    g = (
+        pp.withColumn("prev_in", F.lag("event_id").over(w_in))
+        .join(broadcast(offs), "_pid")
+        .select(
+            (F.coalesce(F.col("prev_in"), F.col("prev_max")) + 1).alias("gap_start"),
+            (F.col("event_id") - 1).alias("gap_end"),
+        )
     )
     return g.filter(
         F.col("gap_start").isNotNull() & (F.col("gap_end") >= F.col("gap_start"))
