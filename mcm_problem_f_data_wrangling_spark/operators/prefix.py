@@ -1,0 +1,131 @@
+"""Distributed order statistics: global rank / running sum / lag
+WITHOUT a global single-task window.
+
+An unpartitioned ``Window.orderBy(...)`` serializes its whole input
+through ONE task — invisible at sf0.01, fatal at fact scale (VERDICT
+r3 on a12; same shape found in the equi-depth histogram and id-gap
+queries).  Every helper here uses the same two-pass discipline
+instead:
+
+1. ``repartitionByRange`` on the (UNIQUE) order key — any boundary
+   choice is correct because the key is total;
+2. the per-row statistic runs per partition in parallel;
+3. an O(#partitions) boundary table (per-partition counts / sums /
+   last values, combined by a window over <= n_buckets rows — bounded
+   by the partition COUNT, never by data size) stitches partitions
+   together.
+
+The bucketed frame is ``localCheckpoint(eager=True)``-materialized so
+both passes structurally share ONE partition-id assignment (range
+sampling is seeded-deterministic, but two lineage copies agreeing is
+an accident, not a contract) and the second pass doesn't recompute
+the input.
+
+Callers pass order columns that form a TOTAL order (add a unique
+tie-break key); with ties the assignment of equal rows to ranks is
+partition-dependent.  ``n_buckets`` is 32 for the local[32] test rig;
+size it ~|rows|/target_partition_rows on a cluster.
+
+Decimal running sums stay exact as long as the input leaves precision
+headroom: SUM widens precision by 10 and the offset stitch adds 1
+more, so a decimal(18,6) input (the a12 revenue shape) is exact,
+while an input already at scale/precision extremes (e.g. the
+scale-20 result of a decimal division) would hit Spark's 38-digit
+clamp one widening EARLIER than the single-window plan and can differ
+in its last digit.  ``global_lag``'s order columns must be plain
+ascending columns (its boundary ``max_by`` keys on them directly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__prefix_pid"
+
+
+def _bucketize(df: DataFrame, order_by: list[Column], n_buckets: int) -> DataFrame:
+    return (
+        df.repartitionByRange(n_buckets, *order_by)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    out: str = "rank",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """1-based global row number over a total order, fully parallel."""
+    pp = _bucketize(df, order_by, n_buckets)
+    w_in = Window.partitionBy(_PID).orderBy(*order_by)
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        pp.groupBy(_PID)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(_PID, F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"))
+    )
+    return (
+        pp.withColumn("__rn", F.row_number().over(w_in))
+        .join(F.broadcast(offs), _PID)
+        .withColumn(out, F.col("__off") + F.col("__rn"))
+        .drop(_PID, "__rn", "__off")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    out: str = "running",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` over a total order."""
+    pp = _bucketize(df, order_by, n_buckets)
+    w_in = Window.partitionBy(_PID).orderBy(*order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        pp.groupBy(_PID)
+        .agg(F.sum(value_col).alias("__s"))
+        .select(_PID, F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__off"))
+    )
+    return (
+        pp.withColumn("__cum", F.sum(value_col).over(w_in))
+        .join(F.broadcast(offs), _PID)
+        .withColumn(out, F.col("__off") + F.col("__cum"))
+        .drop(_PID, "__cum", "__off")
+    )
+
+
+def global_lag(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    out: str = "prev",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """``lag(value_col, 1)`` over a total order; NULL on the first row.
+
+    Each partition's first row takes the previous NON-EMPTY
+    partition's last value (``max_by`` over the order key — empty
+    partitions never appear in the boundary aggregate, and range
+    partition index is monotone in the order key).
+    """
+    pp = _bucketize(df, order_by, n_buckets)
+    w_in = Window.partitionBy(_PID).orderBy(*order_by)
+    w_off = Window.orderBy(_PID)
+    offs = (
+        pp.groupBy(_PID)
+        .agg(F.max_by(value_col, F.struct(*order_by)).alias("__last"))
+        .select(_PID, F.lag("__last").over(w_off).alias("__prev_last"))
+    )
+    return (
+        pp.withColumn("__lag", F.lag(value_col).over(w_in))
+        .join(F.broadcast(offs), _PID)
+        .withColumn(out, F.coalesce(F.col("__lag"), F.col("__prev_last")))
+        .drop(_PID, "__lag", "__prev_last")
+    )

@@ -182,30 +182,15 @@ FROM d GROUP BY decile
     tags=("M1", "agg"),
 )
 def x_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-    from pyspark.sql.functions import broadcast
+    from ..operators.prefix import global_row_number
 
     ords = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = global_row_number(
+        ords, [F.col("o_totalprice"), F.col("o_orderkey")], out="rank"
+    )
     # N is a scalar driver literal (a09/a12 precedent) feeding NTILE's
-    # integer remainder rule below
-    n = ords.count()
-    pp = (
-        ords.repartitionByRange(32, "o_totalprice", "o_orderkey")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    w_in = Window.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (
-        pp.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select("_pid", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"))
-    )
-    ranked = (
-        pp.withColumn("rn", F.row_number().over(w_in))
-        .join(broadcast(offs), "_pid")
-        .withColumn("rank", F.col("off") + F.col("rn"))
-    )
+    # integer remainder rule below; reads the helper's checkpoint
+    n = ranked.count()
     # NTILE(10) from the global rank: the first (n % 10) buckets get
     # ceil(n/10) rows, the rest floor(n/10) — SQL-standard semantics,
     # bit-for-bit what the oracle's NTILE emits over the same unique
@@ -642,36 +627,16 @@ WHERE gap_start IS NOT NULL AND gap_end >= gap_start
     tags=("M1", "quality"),
 )
 def s21_id_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-    from pyspark.sql.functions import broadcast
+    from ..operators.prefix import global_lag
 
     ev = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .select("event_id")
     )
-    pp = (
-        ev.repartitionByRange(32, "event_id")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    w_in = Window.partitionBy("_pid").orderBy("event_id")
-    # previous non-empty partition's max id = the predecessor of each
-    # partition's first row (empty pids never appear in the groupBy,
-    # and range partition index is monotone in event_id)
-    w_off = Window.orderBy("_pid")
-    offs = (
-        pp.groupBy("_pid")
-        .agg(F.max("event_id").alias("mx"))
-        .select("_pid", F.lag("mx").over(w_off).alias("prev_max"))
-    )
-    g = (
-        pp.withColumn("prev_in", F.lag("event_id").over(w_in))
-        .join(broadcast(offs), "_pid")
-        .select(
-            (F.coalesce(F.col("prev_in"), F.col("prev_max")) + 1).alias("gap_start"),
-            (F.col("event_id") - 1).alias("gap_end"),
-        )
+    g = global_lag(ev, [F.col("event_id")], "event_id", out="prev").select(
+        (F.col("prev") + 1).alias("gap_start"),
+        (F.col("event_id") - 1).alias("gap_end"),
     )
     return g.filter(
         F.col("gap_start").isNotNull() & (F.col("gap_end") >= F.col("gap_start"))
@@ -1817,47 +1782,26 @@ GROUP BY 1
     tags=("M1", "analytics"),
 )
 def a12_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-    from pyspark.sql.functions import broadcast
+    from ..operators.prefix import global_running_sum
 
     per_part = (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
         .agg(dsum("l_extendedprice").alias("rev"))
     )
-    # two-pass distributed prefix sum: range-partition in global sort
-    # order, run per-partition cumsums in parallel, then add each
-    # partition's exclusive offset.  Correct for ANY boundary choice
-    # because the (rev desc, key) sort key is unique; 32 buckets here,
-    # |parts|/target_rows on a real cluster.  localCheckpoint: the
-    # offsets branch and the cumsum branch MUST see the same _pid
-    # assignment — materializing the bucketed table makes that
-    # structural (and avoids re-running the fact scan + pre-agg for
-    # the O(#partitions) offset pass — the dup-ngram discipline).
-    n_buckets = 32
-    pp = (
-        per_part.repartitionByRange(n_buckets, F.desc("rev"), F.col("l_partkey"))
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # two-pass distributed prefix sum (operators/prefix.py): correct
+    # for ANY range-boundary choice because the (rev desc, key) sort
+    # key is unique
+    run = global_running_sum(
+        per_part, [F.desc("rev"), F.col("l_partkey")], "rev", out="cum"
     )
     # ONE scalar total — driver literal (a09 precedent); decimal-exact
-    # sum so both engines divide by the identical double
-    total = float(pp.agg(F.sum(F.col("rev").cast("decimal(18,6)")).cast("double")).collect()[0][0])
-    w_in = Window.partitionBy("_pid").orderBy(F.desc("rev"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # sum so both engines divide by the identical double.  Reads the
+    # helper's already-materialized checkpoint, not the fact scan.
+    total = float(
+        run.agg(F.sum(F.col("rev").cast("decimal(18,6)")).cast("double")).collect()[0][0]
     )
-    run = pp.withColumn("cum_in", F.sum("rev").over(w_in))
-    # exclusive prefix of per-partition totals: an unpartitioned window
-    # over <= n_buckets rows — O(#partitions), scale-independent
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (
-        run.groupBy("_pid")
-        .agg(F.sum("rev").alias("bucket_sum"))
-        .select("_pid", F.coalesce(F.sum("bucket_sum").over(w_off), F.lit(0)).alias("off"))
-    )
-    ranked = run.join(broadcast(offs), "_pid").withColumn(
-        "cum_share", (F.col("off") + F.col("cum_in")) / F.lit(total)
-    )
+    ranked = run.withColumn("cum_share", F.col("cum") / F.lit(total))
     cls = (
         F.when(F.col("cum_share") <= 0.7, "A")
         .when(F.col("cum_share") <= 0.9, "B")
