@@ -181,6 +181,13 @@ def boilerplate_removal(
     membership scan make the anti-join formulation the right tool —
     raising loudly beats silently building a megabyte Catalyst tree.
     """
+    from .skew import spread
+
+    # spread: tokenization + segmentation is the dominant per-row cost
+    # and runs at scan width — a single-row-group testdata scan
+    # serializes it on one task (measured 8.6 s -> 1.0 s at sf0.1;
+    # identity at production scan widths)
+    df = spread(df)
     toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     segged = toks.select(id_col, doc_segments(F.col("__toks"), seg_tokens).alias("__segs"))
     seg_df = (

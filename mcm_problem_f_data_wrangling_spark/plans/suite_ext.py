@@ -1381,7 +1381,12 @@ FROM lineitem GROUP BY 1
     tags=("scale", "sketch"),
 )
 def x_sketch_accuracy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # spread: five heavy agg buffers (exact percentile buffers every
+    # value; two HLLs; GK) build in the partial-agg stage, which runs
+    # at the SCAN's width — few tasks on this single-row-group
+    # testdata.  Round-robin first: 57 s -> 16 s at sf0.1 (identity at
+    # production scan widths).
+    li = spread(table(spark, sf_dir, "lineitem"))
     agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_distinct"),
         F.percentile("l_extendedprice", F.lit(0.5)).alias("_exact_p50"),
