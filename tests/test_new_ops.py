@@ -236,24 +236,28 @@ def test_star_join_plan_broadcasts_dimension_chain(spark):
 
 
 def test_id_gap_detection_on_gapped_ids(spark, tmp_path):
-    """s21_id_gap_detection never fires on the driver testdata (event_id
-    is a dense sequence at every sf), so the gap arithmetic — one row
-    per missing range [lag+1, id-1] with its width — is exercised here
-    on a synthetic gapped events table (ADVICE r1)."""
+    """The gap arithmetic — one row per missing range [lag+1, id-1]
+    with its width — pinned on a synthetic gapped events table
+    (ADVICE r1).  Since round 4 the query audits the PURCHASE
+    subsequence (the full driver id sequence is gapless), so the
+    planted rows are purchases plus a click decoy that must be
+    ignored by the filter, not counted as a gap."""
     import datetime
 
     from mcm_problem_f_data_wrangling_spark.plans import REGISTRY
 
     ids = [1, 2, 5, 6, 10, 11, 12, 40]  # holes: 3-4, 7-9, 13-39
     ts0 = datetime.datetime(2024, 1, 1)
+    # a non-purchase event INSIDE a hole (id 8) must not close it
+    all_ids = ids + [8]
     pdf = pd.DataFrame(
         {
-            "event_id": ids,
-            "ts": [ts0 + datetime.timedelta(minutes=i) for i in range(len(ids))],
-            "user_id": [1] * len(ids),
-            "event_type": ["click"] * len(ids),
-            "value": [1.0] * len(ids),
-            "props": ["{}"] * len(ids),
+            "event_id": all_ids,
+            "ts": [ts0 + datetime.timedelta(minutes=i) for i in range(len(all_ids))],
+            "user_id": [1] * len(all_ids),
+            "event_type": ["purchase"] * len(ids) + ["click"],
+            "value": [1.0] * len(all_ids),
+            "props": ["{}"] * len(all_ids),
         }
     )
     sf_dir = str(tmp_path)

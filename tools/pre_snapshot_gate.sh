@@ -11,10 +11,27 @@
 set -e
 cd "$(dirname "$0")/.."
 
-echo "== gate 1/2: physical-plan audit (red flags + shuffle snapshot) =="
+echo "== gate 1/3: driver-contract smoke (vanilla session, like the driver) =="
+python - <<'EOF'
+import sys
+sys.path.insert(0, ".")
+from pyspark.sql import SparkSession
+
+spark = SparkSession.builder.master("local[4]").appName("gate-smoke").getOrCreate()
+import __spark_entry__ as e
+
+rows = e.entry(spark).collect()
+assert rows, "entry() returned no rows"
+qs, osql = e.queries(), e.oracle_sql()
+assert set(osql) <= set(qs), "oracle_sql keys not a subset of queries"
+print(f"entry rows={len(rows)} queries={len(qs)} oracles={len(osql)}")
+spark.stop()
+EOF
+
+echo "== gate 2/3: physical-plan audit (red flags + shuffle snapshot) =="
 python tools/audit_plans.py
 
-echo "== gate 2/2: full oracle-parity mirror (sf0.001) =="
+echo "== gate 3/3: full oracle-parity mirror (sf0.001) =="
 python -m pytest tests/test_oracle_parity.py -q
 
 echo "GATE GREEN — safe to commit"
