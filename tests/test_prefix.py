@@ -96,3 +96,26 @@ def test_decimal_running_sum_exact(spark):
     w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     want = df.withColumn("run", F.sum("d").over(w)).orderBy("id").collect()
     assert [(r["id"], r["run"]) for r in got] == [(r["id"], r["run"]) for r in want]
+
+
+@pytest.mark.parametrize("n", [1, 3, 9, 10, 11, 19, 20, 21, 37, 100])
+def test_ntile_remainder_rule_matches_native(spark, n):
+    # the x_histogram_equi_depth decile formula: NTILE(10) recovered
+    # from the global rank via the SQL-standard remainder rule must
+    # agree with Spark's native NTILE for every n (first n%10 buckets
+    # get ceil(n/10) rows)
+    df = spark.range(n).select((F.col("id") + 1).alias("rank"))
+    size, rem = n // 10, n % 10
+    big = rem * (size + 1)
+    formula = (
+        F.when(F.col("rank") <= big, F.ceil(F.col("rank") / F.lit(size + 1)))
+        .otherwise(F.lit(rem) + F.ceil((F.col("rank") - big) / F.lit(size)))
+        .cast("int")
+    )
+    got = {r["rank"]: r["d"] for r in df.select("rank", formula.alias("d")).collect()}
+    w = Window.orderBy("rank")
+    want = {
+        r["rank"]: r["d"]
+        for r in df.select("rank", F.ntile(10).over(w).alias("d")).collect()
+    }
+    assert got == want
