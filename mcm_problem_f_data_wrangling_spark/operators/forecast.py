@@ -763,12 +763,25 @@ def _hw_fit_sse(y, season: int, alpha: float, beta: float, gamma: float):
     un-learning it.  The recursion starts at t = season.  Pure-python
     loop over an O(100)-point series inside the per-group Pandas
     boundary (X3 precedent).
+
+    The init means are EXPLICIT left-associated sums (not np.mean):
+    numpy's pairwise 8-way-unrolled summation differs from sequential
+    addition at ulp level for n >= 8, and the DuckDB oracle
+    (suite_ext._HW_SQL) mirrors this recursion bit-for-bit with a
+    left-associated add chain — np.mean here would make oracle parity
+    depend on rounding luck (caught by round-4 review on the sf0.001
+    series: the best-candidate SSE sat exactly on the 2dp knife edge).
     """
-    import numpy as np
+
+    def _seqmean(xs) -> float:
+        acc = 0.0
+        for v in xs:
+            acc = acc + float(v)
+        return acc / len(xs)
 
     s = season
-    m1 = float(np.mean(y[:s]))
-    trend = float((np.mean(y[s : 2 * s]) - m1) / s)
+    m1 = _seqmean(y[:s])
+    trend = (_seqmean(y[s : 2 * s]) - m1) / s
     mid = (s - 1) / 2.0
     level = m1 + trend * mid  # level at t = s-1
     seas = [float(y[i] - (m1 + (i - mid) * trend)) for i in range(s)]

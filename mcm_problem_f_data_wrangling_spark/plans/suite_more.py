@@ -185,12 +185,14 @@ def x_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_row_number
 
     ords = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    # N is a scalar driver literal (a09/a12 precedent) feeding NTILE's
+    # integer remainder rule below; counted on the bare scan (parquet
+    # metadata fast path) — counting the ranked frame would execute
+    # the whole window + broadcast join just for the scalar
+    n = ords.count()
     ranked = global_row_number(
         ords, [F.col("o_totalprice"), F.col("o_orderkey")], out="rank"
     )
-    # N is a scalar driver literal (a09/a12 precedent) feeding NTILE's
-    # integer remainder rule below; reads the helper's checkpoint
-    n = ranked.count()
     # NTILE(10) from the global rank: the first (n % 10) buckets get
     # ceil(n/10) rows, the rest floor(n/10) — SQL-standard semantics,
     # bit-for-bit what the oracle's NTILE emits over the same unique

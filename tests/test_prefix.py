@@ -80,6 +80,54 @@ def test_global_lag_matches_window(spark, n, buckets):
     assert sum(1 for _, p in got if p is None) == (1 if n else 0)
 
 
+def _null_df(spark, n=300):
+    # every 3rd value NULL, including long NULL runs at the head so
+    # some range partitions start with (or consist entirely of) NULLs
+    return spark.range(n).select(
+        "id",
+        F.when(
+            (F.col("id") < 40) | (F.col("id") % 3 == 0), F.lit(None)
+        ).otherwise(F.xxhash64("id") % 13).alias("v"),
+    )
+
+
+@pytest.mark.parametrize("buckets", [32, 1])
+def test_global_lag_preserves_mid_sequence_nulls(spark, buckets):
+    # a NULL predecessor VALUE must stay NULL — only a partition's
+    # FIRST row takes the boundary backfill (round-4 review finding)
+    df = _null_df(spark)
+    order = [F.col("id")]
+    got = {
+        (r["id"], r["prev"])
+        for r in global_lag(df, order, "v", out="prev", n_buckets=buckets).collect()
+    }
+    w = Window.orderBy("id")
+    want = {
+        (r["id"], r["prev"])
+        for r in df.withColumn("prev", F.lag("v").over(w)).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("buckets", [32, 1])
+def test_global_running_sum_null_prefix(spark, buckets):
+    # native running sum is NULL until the first non-null value and
+    # skips NULLs afterwards; the stitch must not turn leading NULLs
+    # into zeros (round-4 review finding)
+    df = _null_df(spark)
+    order = [F.col("id")]
+    got = {
+        (r["id"], r["run"])
+        for r in global_running_sum(df, order, "v", out="run", n_buckets=buckets).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        (r["id"], r["run"])
+        for r in df.withColumn("run", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
 def test_decimal_running_sum_exact(spark):
     # the a12 shape: decimal(18,6) values stay exact through the
     # partial sums and the offset stitch (sum widens precision by 10

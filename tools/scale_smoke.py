@@ -452,33 +452,15 @@ def main() -> None:
                 pp.agg(F.sum("rev").cast("double")).collect()[0][0]
             )
             if two_pass:
-                pp = (
-                    pp.repartitionByRange(64, F.desc("rev"), F.col("l_orderkey"))
-                    .withColumn("_pid", F.spark_partition_id())
-                    .localCheckpoint(eager=True)
+                # the PRODUCTION operator, not an inline re-derivation —
+                # so this A/B stays pinned to what a12 actually ships
+                from mcm_problem_f_data_wrangling_spark.operators.prefix import (
+                    global_running_sum,
                 )
-                w_in = Window.partitionBy("_pid").orderBy(
-                    F.desc("rev"), "l_orderkey"
-                ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                w_off = Window.orderBy("_pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-                offs = (
-                    pp.groupBy("_pid")
-                    .agg(F.sum("rev").alias("s"))
-                    .select(
-                        "_pid",
-                        F.coalesce(F.sum("s").over(w_off), F.lit(0)).alias("off"),
-                    )
-                )
-                ranked = (
-                    pp.withColumn("cum_in", F.sum("rev").over(w_in))
-                    .join(F.broadcast(offs), "_pid")
-                    .withColumn(
-                        "cum_share",
-                        (F.col("off") + F.col("cum_in")) / F.lit(total),
-                    )
-                )
+
+                ranked = global_running_sum(
+                    pp, [F.desc("rev"), F.col("l_orderkey")], "rev", out="cum"
+                ).withColumn("cum_share", F.col("cum") / F.lit(total))
             else:
                 w = Window.orderBy(F.desc("rev"), "l_orderkey").rowsBetween(
                     Window.unboundedPreceding, Window.currentRow
