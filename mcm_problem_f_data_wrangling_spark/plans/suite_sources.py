@@ -184,3 +184,103 @@ def src03_whitespace_tsv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("k").try_cast("long")).alias("key_sum"),
         F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("names"),
     )
+
+
+@_q(
+    "src04_orc_roundtrip",
+    "S-ext ORC interchange roundtrip: the nation dim is written "
+    "through the engine's ORC sink PARTITIONED by n_regionkey "
+    "(Hive-style partition directories — the layout lever the sink "
+    "exists for), re-read via read_orc (partition-column recovery "
+    "included), and aggregated.  The oracle computes the identical "
+    "aggregate straight from the parquet, so a row lost to a stripe "
+    "bug, a mis-recovered partition value, or a type drift in the "
+    "ORC writer->reader path breaks the hash.  Pushdown through ORC "
+    "partitions is separately asserted in tests/test_plan_pushdown.",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       CAST(SUM(n_nationkey * (1 + n_regionkey)) AS BIGINT) AS keyed_sum,
+       array_to_string(list_sort(list(n_name)), '|') AS names
+FROM nation
+""",
+    tags=("M0", "sources"),
+)
+def src04_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_orc
+    from ..sources.writers import write_orc
+
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    d = _tmpdir("orc", sf_dir)
+    path = os.path.join(d, "nation_orc")
+    write_orc(nation, path, partition_by=["n_regionkey"])
+    back = read_orc(spark, path)
+    # keyed_sum mixes the partition column back into the hash so a
+    # partition-directory value mangled on recovery cannot cancel out
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+        F.sum(
+            F.col("n_nationkey") * (F.lit(1) + F.col("n_regionkey").cast("long"))
+        ).cast("long").alias("keyed_sum"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("names"),
+    )
+
+
+@_q(
+    "src05_jsonl_quarantine",
+    "S-ext JSONL ingest with corrupt-record quarantine (the "
+    "crawl-corpus ingest path: LLM training data arrives as JSONL "
+    "and always contains malformed lines): the region dim is written "
+    "line-delimited, three deliberately broken lines (truncated "
+    "JSON, bare text, unclosed string) are appended, and the "
+    "permissive reader must land EXACTLY the planted garbage in the "
+    "quarantine column while every good row survives to the "
+    "aggregate.  Oracle: the same aggregate from parquet plus the "
+    "planted quarantine count as literals — a reader that drops a "
+    "good line, swallows a bad one silently, or mis-parses a field "
+    "breaks the hash.",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+       CAST(3 AS BIGINT) AS n_quarantined,
+       CAST(MIN(r_regionkey) AS BIGINT) AS min_key,
+       CAST(MAX(r_regionkey) AS BIGINT) AS max_key,
+       array_to_string(list_sort(list(r_name)), '|') AS names
+FROM region
+""",
+    tags=("M0", "sources"),
+)
+def src05_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from ..sources.readers import read_jsonl_permissive
+
+    region = table(spark, sf_dir, "region")
+    d = _tmpdir("jsonl", sf_dir)
+    path = os.path.join(d, "region.jsonl")
+    rows = region.select("r_regionkey", "r_name").collect()
+    lines = [
+        _json.dumps({"r_regionkey": r["r_regionkey"], "r_name": r["r_name"]})
+        for r in rows
+    ] + [
+        '{"r_regionkey": 99, "r_name":',  # truncated JSON
+        "not json at all",                # bare text
+        '{"r_regionkey": 98, "r_name": "BROKEN',  # unclosed string
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    back = read_jsonl_permissive(spark, path, "r_regionkey long, r_name string")
+    good = back.filter(F.col("_corrupt_record").isNull())
+    # Spark refuses plans that reference ONLY the corrupt column
+    # (SQLSTATE 0A000), so the quarantine count is total physical
+    # lines minus surviving rows — same invariant, no restricted plan
+    n_lines = spark.read.text(path).count()
+    return good.agg(
+        F.count(F.lit(1)).cast("long").alias("n_good"),
+        (F.lit(n_lines) - F.count(F.lit(1))).cast("long").alias("n_quarantined"),
+        F.min("r_regionkey").cast("long").alias("min_key"),
+        F.max("r_regionkey").cast("long").alias("max_key"),
+        F.array_join(F.array_sort(F.collect_list("r_name")), "|").alias("names"),
+    )
