@@ -284,3 +284,44 @@ def src05_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("r_regionkey").cast("long").alias("max_key"),
         F.array_join(F.array_sort(F.collect_list("r_name")), "|").alias("names"),
     )
+
+
+@_q(
+    "src06_schema_evolution",
+    "S-ext evolving-parquet scan (a long-lived corpus accretes "
+    "columns; per-file footers disagree): generation 1 of the nation "
+    "dim is written WITHOUT the name-length column, generation 2 "
+    "WITH it; the mergeSchema read must union the footers, surface "
+    "gen-1 rows with NULL in the new column, and lose nothing.  The "
+    "split is deterministic (even/odd nationkey), so the oracle "
+    "reproduces the whole merged view — including the NULL-vs-filled "
+    "accounting — straight from parquet.",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       CAST(COUNT(CASE WHEN n_nationkey % 2 = 1 THEN 1 END) AS BIGINT) AS n_with_len,
+       CAST(SUM(CASE WHEN n_nationkey % 2 = 1 THEN len(n_name) END) AS BIGINT) AS name_len_sum
+FROM nation
+""",
+    tags=("M0", "sources"),
+)
+def src06_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_parquet_evolving
+    from ..sources.writers import write_parquet
+
+    nation = table(spark, sf_dir, "nation")
+    d = _tmpdir("evolve", sf_dir)
+    path = os.path.join(d, "nation_evolving")
+    gen1 = nation.filter(F.col("n_nationkey") % 2 == 0).select("n_nationkey")
+    gen2 = nation.filter(F.col("n_nationkey") % 2 == 1).select(
+        "n_nationkey", F.length("n_name").cast("long").alias("name_len")
+    )
+    write_parquet(gen1, path, mode="overwrite")
+    write_parquet(gen2, path, mode="append")
+    back = read_parquet_evolving(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+        F.count("name_len").cast("long").alias("n_with_len"),
+        F.sum("name_len").cast("long").alias("name_len_sum"),
+    )
