@@ -73,8 +73,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                # guard the divisor: a sub-millisecond median rounds to
+                # 0.000 and would abort the whole JSON emission (ADVICE r4)
                 "max_rel_spread": round(
-                    max(spread[n] / timings[n] for n in timings), 3
+                    max(spread[n] / max(timings[n], 1e-3) for n in timings), 3
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries_total": len(REGISTRY),

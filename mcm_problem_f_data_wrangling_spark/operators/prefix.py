@@ -21,6 +21,20 @@ sampling is seeded-deterministic, but two lineage copies agreeing is
 an accident, not a contract) and the second pass doesn't recompute
 the input.
 
+.. warning:: two operational caveats of that checkpoint (ADVICE r4;
+   mirrors the note in ``dedup.py``):
+
+   - **eager = plan-BUILD-time execution.**  Merely *constructing* a
+     query through these helpers runs a Spark job to materialize the
+     bucketed input — callers composing plans lazily (e.g. registry
+     imports, ``.explain()`` tooling) pay that job before any action.
+   - **executor-local blocks are unrecoverable.**  ``localCheckpoint``
+     stores blocks on executors; on a real cluster an executor loss
+     makes downstream stages unrecomputable.  For production cluster
+     runs, swap in a reliable checkpoint (``sc.setCheckpointDir`` on
+     DFS + ``.checkpoint()``) or persist to ``DISK_ONLY`` with
+     replication — the stitch logic is storage-agnostic.
+
 Callers pass order columns that form a TOTAL order (add a unique
 tie-break key); with ties the assignment of equal rows to ranks is
 partition-dependent.  ``n_buckets`` defaults to 2x the cluster's

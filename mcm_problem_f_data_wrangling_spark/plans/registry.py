@@ -28,81 +28,84 @@ _ALL = (
 # same window.  Every query keeps its oracle either way — the builder's
 # mirror (tools/check_parity.py) always runs ALL of them.
 _FRONT = [
-    # --- ROUND-4 window (first ~50 = driver budget): r1 checked the
-    # --- §2 relational core, r2 the dedup/similarity/TPC-H-classic/
-    # --- sessionization families, r3 the window/text/curation wave —
-    # --- 146 cumulative driver rows, 143 green.  r4 rotates in the 55
-    # --- oracle-bearing queries NEVER driver-checked, so the
-    # --- cumulative driver-verified set reaches ~all 198 oracle-
-    # --- bearing queries.  All no-oracle queries are EXCLUDED from
+    # --- ROUND-5 window (first ~50 = driver budget): after r4 the
+    # --- cumulative driver-verified set is 192/203 oracle-bearing
+    # --- queries.  r5 front-loads the LAST 11 never-driver-gated
+    # --- oracle-bearing queries (VERDICT r4 task 1) so every oracle-
+    # --- bearing query carries the hard driver signal at least once,
+    # --- then fills the remaining slots with a regression-canary
+    # --- sample of older greens — the MinHash family first (it broke
+    # --- once, in r3), then the bench headliners, then one query per
+    # --- remaining family.  All no-oracle queries are EXCLUDED from
     # --- the window (they'd burn slots on permanent `err: no_oracle`
-    # --- rows — VERDICT r3 item 2).  Every query keeps its oracle
-    # --- either way — the builder's mirror (tools/check_parity.py)
-    # --- always runs ALL of them.
+    # --- rows).  Every query keeps its oracle either way — the
+    # --- builder's mirror (tools/check_parity.py) always runs ALL.
     "flagship_career_collapse",   # driver smoke target stays first
-    # text / retrieval
-    "x_tfidf_top_terms_per_doc",
-    "x_bm25_topk",
-    "x_inverted_index",
-    "x_top_terms_corpus",
-    "x_token_entropy",
-    "x_text_rarity_score",
-    "x_quality_repetition_signals",
-    "x_bigram_lm",
-    "x_bigram_perplexity",
-    "x_fuzzy_name_match",
-    # curation / corpus mixing
-    "x_curation_hash_split",
-    "x_curation_temperature_mix",
-    "x_curation_stratified_mix",
-    "x_curation_dsir_score",
-    "x_curation_topk_weighted",
-    "x_curation_eval_holdout",
-    "x_curation_weighted_sample",
-    "x_corpus_drift_kl",
-    "x_source_overlap_matrix",
-    "x_source_quality_report",
-    # graph
-    "x_graph_pagerank",
-    "x_graph_triangles",
-    # profiling / sketches / layout
-    "x_countmin_estimate",
-    "x_corr_matrix_one_scan",
-    "x_histogram_equi_width",
-    "x_histogram_equi_depth",
-    "x_profile_dataset",
-    "x_expectations_report",
-    "x_key_skew_profile",
-    "x_zorder_locality",
-    "x_multimodal_metadata",
-    "x_events_json_extract",
-    "x3_drift_fit_forecast",
-    # window family w23-w34 (never checked)
-    "w23_interpolate_linear",
-    "w24_cusum_drift",
-    "w25_topk_per_group",
-    "w26_seasonal_adjust",
-    "w27_acf_lags",
-    "w28_minmax_scale",
-    "w29_winsorize",
-    "w30_seasonal_anomaly",
-    "w32_seasonal_strength",
-    "w33_detected_period",
-    "w34_max_drawdown",
-    # event analytics s19-s29 (never checked)
-    "s19_snapshot_diff",
-    "s20_event_transitions",
-    "s21_id_gap_detection",
-    "s22_rapid_duplicate_events",
-    "s23_new_vs_returning",
+    # --- the 11 never-driver-gated oracle-bearing queries ---
     "s24_peak_hour_profile",
     "s25_event_cooccurrence",
     "s26_data_freshness",
     "s27_cusum_alarm",
     "s28_conversion_latency",
     "s29_event_trigrams",
-    # freshly oracle-backed this round (was rows-only)
     "x_graph_kcore",
+    "x3_holt_winters",
+    "src04_orc_roundtrip",
+    "src05_jsonl_quarantine",
+    "src06_schema_evolution",
+    # --- freshly oracle-backed this round (was rows-only in r1-r4;
+    # --- converted to hash-checked gate queries per VERDICT r4 task 4)
+    "x_sim_search_pq",
+    "x_embed_pca_project",
+    "x_embed_semdedup",
+    "x_bpe_token_stats",
+    "x5_monte_carlo_fan",
+    "x5_sarimax_exog_fan",
+    "x_sketch_approx_stats",
+    # --- regression canaries: MinHash/dedup family first (r3's only
+    # --- break was here — x_dedup_minhash_* oracle drift)
+    "x_minhash_signatures",
+    "x_dedup_minhash_lsh_pairs",
+    "x_dedup_minhash_estimate",
+    "x_dedup_incremental",
+    "x_lsh_recall_gate",
+    "x_dedup_jaccard_prefix",
+    "x_dedup_simhash",
+    "x_dedup_simhash_hamming",
+    "x_dedup_containment",
+    "x_dedup_canonical_pick",
+    "x_dedup_clusters_cc",
+    "x_dedup_exact_fingerprint",
+    "x_dedup_rate_by_source",
+    "x_dedup_chunks",
+    "x_dedup_ngram_jaccard",
+    # --- bench headliners (perf-sensitive plans double as canaries)
+    "j03_fact_dict_broadcast",
+    "a06_quantile_summary",
+    "w02_rolling_mean",
+    "x_sim_search_bruteforce",
+    "x_sim_search_ivf",
+    "x_text_quality",
+    "x_doc_chunking",
+    "q05_star_join_revenue",
+    "q01_pricing_summary",
+    "q06_revenue_delta",
+    "x_dup_ngram_fraction",
+    # --- one canary per remaining family ---
+    "a01_group_sum",              # aggregates
+    "a02_weighted_mean",          # ratio-of-sums
+    "w04_rolling_corr",           # window frames (r1 ANSI regression site)
+    "j01_dictionary_bridge_join", # dimension bridge
+    "u01_union_long_format",      # union
+    "x_graph_pagerank",           # iterative graph
+    "x_graph_triangles",
+    "x_decontaminate_ngram_overlap",
+    "x_pack_sequences",           # packing
+    "x_e2e_training_corpus",      # end-to-end pipeline
+    "x_boilerplate_lines",        # chunk dedup
+    "x_dup_span_detection",
+    "x_ann_recall_gate",          # accuracy gates
+    "x_sketch_accuracy_gate",
 ]
 
 # The external driver verifies roughly this many registry-order
@@ -111,7 +114,7 @@ _FRONT = [
 # curation comments cannot drift apart.  Slightly above the observed
 # budget so the guard covers the whole plausible window (= the full
 # round-4 _FRONT).
-DRIVER_WINDOW = 57
+DRIVER_WINDOW = 60
 
 _BY_NAME = {q.name: q for q in _ALL}
 if len(_BY_NAME) != len(_ALL):  # pragma: no cover

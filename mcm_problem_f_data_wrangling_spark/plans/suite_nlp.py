@@ -1568,10 +1568,35 @@ def x_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bm = REGISTRY["x_bm25_topk"].spark(spark, sf_dir)
     cos = REGISTRY["x_sim_search_bruteforce"].spark(spark, sf_dir)
-    wb = Window.orderBy(F.desc("bm25"), "doc_id")
-    wc = Window.orderBy(F.desc("cos_sim"), "vec_id")
-    bmr = bm.select("doc_id", F.row_number().over(wb).alias("bm25_rank"))
-    cosr = cos.select("vec_id", F.row_number().over(wc).alias("cos_rank"))
+
+    def _ranked(leg: DataFrame, id_col: str, score_col: str, rank_name: str):
+        # TakeOrdered-style rank WITHOUT a WindowExec (VERDICT r4
+        # item 7): both legs are LIMIT-k by construction (<= 20 rows),
+        # so rank = position in one single-group sorted struct list.
+        # An unpartitioned row_number() window here would run fine
+        # today but silently serialize the whole input through one
+        # task if a future edit widened the leg; collect_list over an
+        # unbounded leg instead fails loudly (driver OOM / obvious
+        # single-row agg), and the plan audit stays WindowExec-clean.
+        # Struct sorts ascending per field, so the score is negated to
+        # get (score DESC, id ASC) — identical to the oracle's
+        # ROW_NUMBER() OVER (ORDER BY score DESC, id).
+        arr = F.sort_array(
+            F.collect_list(
+                F.struct((-F.col(score_col)).alias("s"), F.col(id_col).alias("i"))
+            )
+        )
+        return (
+            leg.agg(arr.alias("a"))
+            .select(F.posexplode("a").alias("pos", "x"))
+            .select(
+                F.col("x.i").alias(id_col),
+                (F.col("pos") + 1).cast("int").alias(rank_name),
+            )
+        )
+
+    bmr = _ranked(bm, "doc_id", "bm25", "bm25_rank")
+    cosr = _ranked(cos, "vec_id", "cos_sim", "cos_rank")
     fused = bmr.join(cosr, bmr["doc_id"] == cosr["vec_id"], "full_outer").select(
         F.coalesce(bmr["doc_id"], cosr["vec_id"]).alias("doc_id"),
         "bm25_rank",

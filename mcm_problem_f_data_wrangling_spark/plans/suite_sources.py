@@ -239,15 +239,20 @@ def src04_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "permissive reader must land EXACTLY the planted garbage in the "
     "quarantine column while every good row survives to the "
     "aggregate.  Oracle: the same aggregate from parquet plus the "
-    "planted quarantine count as literals — a reader that drops a "
-    "good line, swallows a bad one silently, or mis-parses a field "
-    "breaks the hash.",
+    "planted quarantine count AND the sorted quarantined payloads as "
+    "literals — a reader that drops a good line, mis-parses a field, "
+    "or silently DROPS a bad line (instead of quarantining it) breaks "
+    "the hash: the three planted lines must physically appear in the "
+    "quarantine column, not merely be absent from the good side "
+    "(ADVICE r4 — the old lines-minus-good count couldn't tell "
+    "\"quarantined\" from \"swallowed\").",
     """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
        CAST(3 AS BIGINT) AS n_quarantined,
        CAST(MIN(r_regionkey) AS BIGINT) AS min_key,
        CAST(MAX(r_regionkey) AS BIGINT) AS max_key,
-       array_to_string(list_sort(list(r_name)), '|') AS names
+       array_to_string(list_sort(list(r_name)), '|') AS names,
+       'not json at all|{"r_regionkey": 98, "r_name": "BROKEN|{"r_regionkey": 99, "r_name":' AS quarantined
 FROM region
 """,
     tags=("M0", "sources"),
@@ -272,17 +277,29 @@ def src05_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     back = read_jsonl_permissive(spark, path, "r_regionkey long, r_name string")
-    good = back.filter(F.col("_corrupt_record").isNull())
-    # Spark refuses plans that reference ONLY the corrupt column
-    # (SQLSTATE 0A000), so the quarantine count is total physical
-    # lines minus surviving rows — same invariant, no restricted plan
-    n_lines = spark.read.text(path).count()
-    return good.agg(
-        F.count(F.lit(1)).cast("long").alias("n_good"),
-        (F.lit(n_lines) - F.count(F.lit(1))).cast("long").alias("n_quarantined"),
-        F.min("r_regionkey").cast("long").alias("min_key"),
-        F.max("r_regionkey").cast("long").alias("max_key"),
-        F.array_join(F.array_sort(F.collect_list("r_name")), "|").alias("names"),
+    # ONE conditional aggregation over good + corrupt rows together.
+    # Spark refuses plans whose referenced columns are ONLY the
+    # internal corrupt column (SQLSTATE 0A000); mixing the data
+    # columns into the same aggregate satisfies the restriction while
+    # letting the quarantine side be counted and HASHED directly —
+    # the three planted bad lines must appear verbatim in the
+    # quarantine column (ADVICE r4: the old physical-lines-minus-good
+    # count was blind to a reader that silently dropped corrupt
+    # lines instead of quarantining them).
+    bad = F.col("_corrupt_record")
+    return back.agg(
+        F.count(F.when(bad.isNull(), F.lit(1))).cast("long").alias("n_good"),
+        F.count(bad).cast("long").alias("n_quarantined"),
+        F.min(F.when(bad.isNull(), F.col("r_regionkey")))
+        .cast("long")
+        .alias("min_key"),
+        F.max(F.when(bad.isNull(), F.col("r_regionkey")))
+        .cast("long")
+        .alias("max_key"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.when(bad.isNull(), F.col("r_name")))), "|"
+        ).alias("names"),
+        F.array_join(F.array_sort(F.collect_list(bad)), "|").alias("quarantined"),
     )
 
 
