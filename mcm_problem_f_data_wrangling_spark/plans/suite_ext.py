@@ -650,16 +650,74 @@ def x4_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "x5_monte_carlo_fan",
     "X5: Monte-Carlo fan forecast — native seeded path simulation "
-    "(F14+W8+F10) + exact quantile fan (A6). No SQL oracle: seeded "
-    "randn is engine-specific (SURVEY.md §4 item 3); correctness is "
-    "asserted by distributional property tests in tests/.",
-    None,  # rows-only check by design
+    "(F14+W8+F10) + exact quantile fan (A6) — hash-gated on the "
+    "x_ann_recall_gate pattern (raw quantiles are seeded-randn / "
+    "partitioning-dependent, SURVEY.md §4 item 3, so they stay OUT "
+    "of the hashed output; the LAWS of a correct fan go in): per "
+    "(group, step) the oracle pins (a) quantile-level monotonicity "
+    "min<=p05<=p10<=p50<=p90<=p95<=max, (b) mean within [min, max], "
+    "and (c) the fan center |p50 - (last + h*mu)| <= 2*sigma*sqrt(h) "
+    "— a ~16-estimator-std envelope around the SAME drift/vol params "
+    "the hash-green x3_drift_fit_forecast verifies exactly (observed "
+    "|z| max 0.41 across sf0.01/sf0.1).  The oracle's cross join also "
+    "pins the exact (group x step) row structure.  Raw-fan "
+    "distributional properties remain in tests/test_forecast.py.",
+    """
+SELECT flag AS career, CAST(s AS INT) AS step,
+       TRUE AS fan_monotone_ok, TRUE AS mean_in_range_ok, TRUE AS center_ok
+FROM (SELECT DISTINCT l_returnflag AS flag FROM lineitem),
+     (SELECT unnest(generate_series(1, 6)) AS s)
+""",
     tags=("M3", "model"),
 )
 def x5_monte_carlo_fan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = monthly_lineitem(spark, sf_dir)
-    return monte_carlo_forecast(
+    from ..operators.forecast import fit_rw_drift_forecast
+
+    # the fan, the drift refit, and the last-value lookup are four
+    # subtrees over the SAME tiny monthly aggregate — checkpoint it so
+    # the 100 TB lineitem scan happens once, not four times (same
+    # pattern as x_dup_ngram_fraction's shared token table)
+    m = monthly_lineitem(spark, sf_dir).localCheckpoint()
+    fan = monte_carlo_forecast(
         m, "flag", "month", "revenue", sims=100, steps=6, seed=7, tail_window=24
+    )
+    # the same (mu, sigma, last) the simulation itself was seeded from
+    # (monte_carlo_forecast recomputes these internally; both sides are
+    # deterministic natives, so re-deriving them here adds no Python)
+    params = (
+        fit_rw_drift_forecast(m, "flag", "month", "revenue", steps=1, tail_window=24)
+        .select("group", "mu", "sigma")
+        .dropDuplicates(["group"])
+    )
+    last = (
+        m.groupBy("flag")
+        .agg(F.max_by("revenue", F.col("month")).alias("last_value"))
+        .withColumnRenamed("flag", "group")
+    )
+    h = F.col("step").cast("double")
+    center = F.col("last_value") + h * F.col("mu")
+    return (
+        fan.join(params, "group")
+        .join(last, "group")
+        .select(
+            F.col("group").alias("career"),
+            F.col("step").cast("int").alias("step"),
+            (
+                (F.col("min_y") <= F.col("p05"))
+                & (F.col("p05") <= F.col("p10"))
+                & (F.col("p10") <= F.col("p50"))
+                & (F.col("p50") <= F.col("p90"))
+                & (F.col("p90") <= F.col("p95"))
+                & (F.col("p95") <= F.col("max_y"))
+            ).alias("fan_monotone_ok"),
+            (
+                (F.col("min_y") <= F.col("mean_y"))
+                & (F.col("mean_y") <= F.col("max_y"))
+            ).alias("mean_in_range_ok"),
+            (
+                F.abs(F.col("p50") - center) <= 2.0 * F.col("sigma") * F.sqrt(h)
+            ).alias("center_ok"),
+        )
     )
 
 
@@ -671,18 +729,44 @@ def x5_monte_carlo_fan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fully native fan: because the model is linear in the exog, each "
     "path is det_h + beta*x_path, so the seeded exog path grid, clip, "
     "join and exact percentile fan all stay JVM-side.  monthly qty "
-    "plays the exog (the reference's gdelt_ai_share analogue).  No SQL "
-    "oracle: seeded randn + iterative CSS fit (SURVEY.md §4 item 3); "
-    "distributional + fan-shape properties in tests/test_forecast.py.",
-    None,  # rows-only check by design
+    "plays the exog (the reference's gdelt_ai_share analogue).  "
+    "Hash-gated on the x_ann_recall_gate pattern (raw quantiles are "
+    "seeded-randn / partitioning-dependent and the CSS fit is "
+    "iterative, SURVEY.md §4 item 3, so values stay OUT of the hash; "
+    "the fan LAWS go in): per (group, step) the oracle pins quantile-"
+    "level monotonicity min<=p05<=p10<=p50<=p90<=p95<=max and mean in "
+    "[min, max], and its cross join pins the exact (group x step) row "
+    "structure.  Raw-fan distributional + fan-shape properties remain "
+    "in tests/test_forecast.py.",
+    """
+SELECT flag AS career, CAST(s AS INT) AS step,
+       TRUE AS fan_monotone_ok, TRUE AS mean_in_range_ok
+FROM (SELECT DISTINCT l_returnflag AS flag FROM lineitem),
+     (SELECT unnest(generate_series(1, 6)) AS s)
+""",
     tags=("M3", "model"),
 )
 def x5_sarimax_exog_fan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.forecast import sarimax_exog_fan
 
     m = monthly_lineitem(spark, sf_dir)
-    return sarimax_exog_fan(
+    fan = sarimax_exog_fan(
         m, "flag", "month", "revenue", "qty", sims=100, steps=6, seed=7
+    )
+    return fan.select(
+        F.col("group").alias("career"),
+        F.col("step").cast("int").alias("step"),
+        (
+            (F.col("min_y") <= F.col("p05"))
+            & (F.col("p05") <= F.col("p10"))
+            & (F.col("p10") <= F.col("p50"))
+            & (F.col("p50") <= F.col("p90"))
+            & (F.col("p90") <= F.col("p95"))
+            & (F.col("p95") <= F.col("max_y"))
+        ).alias("fan_monotone_ok"),
+        (
+            (F.col("min_y") <= F.col("mean_y")) & (F.col("mean_y") <= F.col("max_y"))
+        ).alias("mean_in_range_ok"),
     )
 
 
@@ -1343,36 +1427,110 @@ def x_range_join_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Trained BPE tokenizer (functions/bpe.py): distributed word-count "
     "pass → driver-side merge learning on the O(vocab) frequency table "
     "(Sennrich et al. 2016) → distributed Arrow-batched encode with "
-    "per-batch word memoization.  Deterministic merges (count desc, "
-    "pair lexicographic tie-break).  Python encode stage by design → "
-    "rows-only check; algorithmic checks in tests/test_bpe.py.",
-    None,
+    "per-batch word memoization.  Merges are fully deterministic "
+    "(count desc, pair lexicographic tie-break) but the encode is a "
+    "Python stage no SQL oracle can replay, so the query is hash-gated "
+    "on the x_ann_recall_gate pattern: per doc the oracle recomputes "
+    "the whitespace word count exactly and pins (a) roundtrip_ok — "
+    "the sample word's BPE tokens concatenate back to word+'</w>' "
+    "(lossless segmentation), (b) bounds_ok — words <= bpe_tokens <= "
+    "non-ws chars + words (merges only ever shrink the char+sentinel "
+    "segmentation, never below one token per word), (c) n_merges_ok — "
+    "the learner produced the full requested 100 merges.  Raw "
+    "per-doc BPE counts stay out of the hash; algorithmic checks "
+    "(merge order, encode against hand-worked examples) remain in "
+    "tests/test_bpe.py.",
+    r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens_ws,
+       TRUE AS roundtrip_ok, TRUE AS bounds_ok, TRUE AS n_merges_ok
+FROM documents
+""",
     tags=("M4", "text", "tokenizer"),
 )
 def x_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.bpe import bpe_token_stats, corpus_word_counts, learn_bpe_merges
+    from ..functions.bpe import END, bpe_token_stats, corpus_word_counts, learn_bpe_merges
 
     docs = table(spark, sf_dir, "documents")
     merges = learn_bpe_merges(corpus_word_counts(docs), num_merges=100)
-    return bpe_token_stats(docs, merges).drop("sample_tokens")
+    stats = bpe_token_stats(docs, merges)
+    joined = stats.join(docs.select("doc_id", "text"), "doc_id")
+    first_word = F.element_at(F.split(F.trim("text"), r"\s+"), 1)
+    return joined.select(
+        "doc_id",
+        F.col("n_tokens_ws").cast("int").alias("n_tokens_ws"),
+        F.when(
+            F.col("n_tokens_ws") > 0,
+            F.concat_ws("", "sample_tokens") == F.concat(first_word, F.lit(END)),
+        )
+        .otherwise(F.size("sample_tokens") == 0)
+        .alias("roundtrip_ok"),
+        (
+            (F.col("n_tokens_bpe") >= F.col("n_tokens_ws"))
+            & (
+                F.col("n_tokens_bpe")
+                <= F.length(F.regexp_replace("text", r"\s", "")) + F.col("n_tokens_ws")
+            )
+        ).alias("bounds_ok"),
+        F.lit(len(merges) == 100).alias("n_merges_ok"),
+    )
 
 
 @_q(
     "x_sketch_approx_stats",
     "Sketch aggregates (operators/sketch.py): per-group HyperLogLog++ "
-    "distinct counts + Greenwald-Khanna approximate percentiles — the "
-    "100 TB substitutes for exact COUNT(DISTINCT) / percentile, O(groups) "
-    "state through an ordinary partial/final agg.  Sketch accuracy is "
-    "implementation-defined → no cross-engine oracle; bounded-error-vs-"
-    "exact is asserted in tests/test_sketch.py.  Rows-only check.",
-    None,
+    "distinct counts + Greenwald-Khanna approximate percentiles "
+    "(p50/p90/p99) — the 100 TB substitutes for exact COUNT(DISTINCT) "
+    "/ percentile, O(groups) state through an ordinary partial/final "
+    "agg.  Sketch estimates are implementation-defined (no DuckDB "
+    "twin), so the query is hash-gated on the x_sketch_accuracy_gate "
+    "pattern but through the operators/sketch.py API and across the "
+    "full quantile triple: the oracle mirrors the exact distinct "
+    "count and row count and pins booleans asserting HLL within 2% "
+    "of exact and each GK quantile within 1% of the exact percentile "
+    "(observed: HLL <= 0.86%, GK <= 0.026% at sf0.01/sf0.1 — every "
+    "envelope has >= 2x margin).  Raw estimates stay out of the "
+    "hash; bounded-error sweeps remain in tests/test_sketch.py.",
+    """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+       CAST(COUNT(l_orderkey) AS BIGINT) AS n_rows,
+       TRUE AS hll_ok, TRUE AS gk50_ok, TRUE AS gk90_ok, TRUE AS gk99_ok
+FROM lineitem GROUP BY 1
+""",
     tags=("scale", "sketch"),
 )
 def x_sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # spread: exact-percentile + HLL agg buffers build in the
+    # partial-agg stage, which runs at the SCAN's width — few tasks on
+    # this single-row-group testdata (identity at production widths)
+    li = spread(table(spark, sf_dir, "lineitem"))
     d = approx_distinct_by(li, ["l_returnflag"], "l_orderkey")
     q = approx_quantiles_by(li, ["l_returnflag"], "l_extendedprice", (0.5, 0.9, 0.99))
-    return d.join(q, "l_returnflag")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+        ).alias("_ex"),
+    )
+    out = d.join(q, "l_returnflag").join(exact, "l_returnflag")
+    gk_oks = [
+        (
+            F.abs(F.col(f"p{p:02d}") - F.col("_ex")[i])
+            <= 0.01 * F.abs(F.col("_ex")[i])
+        ).alias(f"gk{p:02d}_ok")
+        for i, p in enumerate((50, 90, 99))
+    ]
+    return out.select(
+        "l_returnflag",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (
+            F.abs(F.col("approx_distinct").cast("double") - F.col("exact_distinct"))
+            <= 0.02 * F.col("exact_distinct")
+        ).alias("hll_ok"),
+        *gk_oks,
+    )
 
 
 @_q(
@@ -2257,16 +2415,32 @@ def x_curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to m code ids (16-32x smaller); corpus-wide search reads ONLY "
     "codes via an asymmetric-distance lookup (pure map + TakeOrdered, "
     "no shuffle/join/UDF), then a 50-deep exact rerank through a "
-    "broadcast semi-join recovers recall@10 0.94 (measured; ADC-only "
-    "0.52).  The 100 TB memory-bound tier: codes fit where raw "
-    "vectors cannot.  Training means are FP-order-dependent → "
-    "rows-only check; recall asserted in tests/test_pq.py.",
-    None,
+    "broadcast semi-join lifts recall@10 (measured 0.5-0.8 rerank vs "
+    "0.1-0.6 ADC-only with these small m=8/k=16 codebooks).  The "
+    "100 TB memory-bound tier: codes fit where raw vectors cannot.  "
+    "Training means are FP-order-dependent, so raw neighbor lists "
+    "stay OUT of the hash; the query is gated on the "
+    "x_ann_recall_gate pattern: for 3 fixed probe vectors it emits "
+    "recall@10 >= 0.2 vs the exact brute-force baseline (generous vs "
+    "the 0.5 observed floor; chance is k/n < 0.02) plus the "
+    "STRUCTURAL law rerank_recall >= adc_recall — guaranteed because "
+    "the ADC top-10 is a subset of the 50-deep shortlist and the "
+    "rerank scores candidates with exact cosine, so every true "
+    "neighbor the ADC pass finds survives the rerank.  Raw recall "
+    "sweeps remain in tests/test_pq.py.",
+    """
+SELECT CAST(qid AS BIGINT) AS qid, CAST(k AS INT) AS k,
+       rerank_recall_ok, rerank_ge_adc_ok
+FROM (VALUES (0, 10, TRUE, TRUE), (1, 10, TRUE, TRUE),
+             (2, 10, TRUE, TRUE)) v(qid, k, rerank_recall_ok, rerank_ge_adc_ok)
+""",
     tags=("M4", "similarity"),
 )
 def x_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
+        brute_force_topk,
         encode_pq,
+        pq_adc_topk,
         pq_search_rerank,
         query_vector_of,
         train_pq,
@@ -2275,11 +2449,32 @@ def x_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     emb.cache().count()
     cb = train_pq(emb, m=8, k=16, iters=2)
-    codes = encode_pq(emb, cb).select("vec_id", "pq_code")
-    q = query_vector_of(emb, 0)
-    out = pq_search_rerank(emb, codes, cb, q, k=10, shortlist=50)
-    emb.unpersist()
-    return out
+    codes = encode_pq(emb, cb).select("vec_id", "pq_code").persist()
+    out = []
+    try:
+        for qid in (0, 1, 2):
+            q = query_vector_of(emb, qid)
+            # top-k collects are O(k) rows each (documented driver-side
+            # scalars, same as x_ann_recall_gate)
+            exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+            adc = {
+                r["vec_id"] for r in pq_adc_topk(codes, cb, q, k=10).collect()
+            }
+            rerank = {
+                r["vec_id"]
+                for r in pq_search_rerank(
+                    emb, codes, cb, q, k=10, shortlist=50
+                ).collect()
+            }
+            r_adc = len(exact & adc) / 10.0
+            r_rr = len(exact & rerank) / 10.0
+            out.append((qid, 10, r_rr >= 0.2, r_rr >= r_adc))
+    finally:
+        codes.unpersist()
+        emb.unpersist()
+    return spark.createDataFrame(
+        out, "qid bigint, k int, rerank_recall_ok boolean, rerank_ge_adc_ok boolean"
+    )
 
 
 _PR_ITER = """

@@ -290,24 +290,71 @@ def x_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "x_embed_semdedup",
-    "SemDeDup semantic deduplication (rows-only: the k-means codebook "
-    "is FP-order-dependent, SURVEY.md §4 item 3): coarse cells bound "
-    "the pair space, a vector is dropped when an earlier cell-mate "
-    "exceeds the cosine threshold.  Survivor rule is order-free "
-    "(exists-lower-id semantics), so the kept set is deterministic "
-    "GIVEN the assignment; correctness is property-tested against a "
-    "brute-force reference with PLANTED near-duplicates in tests/"
-    "test_new_ops.py (the driver's synthetic embeddings are near-"
-    "uniform — max pairwise cosine ≈0.51 — so the threshold here sits "
-    "at 0.5 to exercise the drop path at all).",
-    None,
+    "SemDeDup semantic deduplication: coarse k-means cells bound the "
+    "pair space, a vector is dropped when an earlier (lower-id) "
+    "cell-mate exceeds the cosine threshold.  The codebook is "
+    "FP-order-dependent (SURVEY.md §4 item 3), so kept IDs stay OUT "
+    "of the hash; the query is gated on the x_ann_recall_gate "
+    "pattern with survivor-rule LAWS that hold for ANY assignment: "
+    "(a) threshold_monotone_ok — the kept set at threshold 0.5 is a "
+    "subset of the kept set at 0.6 under the SAME centroids (raising "
+    "the bar can only keep more), (b) min_ids_kept_ok — the lowest "
+    "vec_id in every cell survives (it has no earlier cell-mate), "
+    "(c) counts_ok — kept counts are sandwiched 1 <= n(0.5) <= "
+    "n(0.6) <= n_total, with the exact corpus count mirrored by the "
+    "oracle.  The driver's synthetic embeddings are near-uniform "
+    "(max pairwise cosine ~0.51), so threshold 0.5 exercises the "
+    "drop path (observed: 1 drop at sf0.01, 6 at sf0.1).  Planted-"
+    "near-duplicate brute-force parity stays in tests/test_new_ops.py.",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       TRUE AS threshold_monotone_ok, TRUE AS min_ids_kept_ok, TRUE AS counts_ok
+FROM embeddings
+""",
     tags=("llm", "similarity"),
 )
 def x_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import assign_cells
+
     emb = table(spark, sf_dir, "embeddings")
     _, cents = train_ivf_cells(emb, k=8, iters=2)
-    kept = semantic_dedup(emb, cents, threshold=0.5)
-    return kept.select("vec_id", "cell").orderBy("vec_id")
+    # scalar counts are O(1) driver pulls (x_ann_recall_gate pattern);
+    # the kept sets are recomputed per count — semantic_dedup caches
+    # its own assignment internally, so each pass is one cell join
+    n_total = emb.count()
+    kept_lo = semantic_dedup(emb, cents, threshold=0.5).select("vec_id")
+    n_lo = kept_lo.count()
+    subset_viol = (
+        kept_lo.join(
+            semantic_dedup(emb, cents, threshold=0.6).select("vec_id"),
+            "vec_id",
+            "left_anti",
+        ).count()
+    )
+    n_hi = semantic_dedup(emb, cents, threshold=0.6).count()
+    min_viol = (
+        assign_cells(emb, cents)
+        .groupBy("cell")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id")
+        .join(
+            semantic_dedup(emb, cents, threshold=0.5).select("vec_id"),
+            "vec_id",
+            "left_anti",
+        )
+        .count()
+    )
+    row = (
+        n_total,
+        subset_viol == 0,
+        min_viol == 0,
+        1 <= n_lo <= n_hi <= n_total,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_vectors bigint, threshold_monotone_ok boolean, "
+        "min_ids_kept_ok boolean, counts_ok boolean",
+    )
 
 
 @_q(

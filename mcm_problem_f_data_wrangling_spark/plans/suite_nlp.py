@@ -325,25 +325,63 @@ def x_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Phase 2 eigensolves the d×d covariance driver-side (power "
     "iteration + deflation, numpy-only).  Phase 3 projects natively "
     "(zip_with/aggregate dot products — one JVM map, no Python).  "
-    "Eigensolve output is FP-order-dependent across partitionings → "
-    "rows-only gate (X3/X5 precedent); orthonormality, variance "
-    "ordering, and full-numpy-eigh parity are pytest properties.",
-    None,
+    "Eigensolve output is FP-order-dependent across partitionings, so "
+    "raw components/projections stay OUT of the hash; the query is "
+    "gated on the x_ann_recall_gate pattern with the PCA LAWS: "
+    "orthonormal_ok (|v·v - 1|, |v1·v2| <= 1e-8; observed ~1e-15), "
+    "ordering_ok (λ1 >= λ2 > 0), share_ok (0 < λ2/tr <= λ1/tr, sum "
+    "<= 1), centered_ok (projected means within 1e-6·sqrt(λ1) of 0 — "
+    "the projection subtracts μ, so this ties the DISTRIBUTED "
+    "projection to the fitted mean; observed ~1e-17), and "
+    "var_link_ok (var_pop of each projected column within 1e-6 "
+    "relative of its eigenvalue — ties the distributed projection to "
+    "the eigensolve; observed ~1e-15 relative).  Full-numpy-eigh "
+    "parity sweeps remain in tests/test_embedpca.py.",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       TRUE AS orthonormal_ok, TRUE AS ordering_ok, TRUE AS share_ok,
+       TRUE AS centered_ok, TRUE AS var_link_ok
+FROM embeddings
+""",
     tags=("M4", "similarity"),
 )
 def x_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     from ..operators.embedpca import fit_pca, project_pca
 
     emb = table(spark, sf_dir, "embeddings")
     vals, vecs, mu, total_var = fit_pca(emb, k=2)
-    out = project_pca(emb, vecs, mu)
-    return out.select(
-        "vec_id",
-        "label",
-        F.round("pc1", 6).alias("pc1"),
-        F.round("pc2", 6).alias("pc2"),
-        F.lit(round(float(vals[0] / total_var), 6)).alias("var_share_pc1"),
-        F.lit(round(float(vals[1] / total_var), 6)).alias("var_share_pc2"),
+    v1 = np.asarray(vecs[0], dtype=float)
+    v2 = np.asarray(vecs[1], dtype=float)
+    orthonormal_ok = bool(
+        abs(v1 @ v1 - 1.0) <= 1e-8
+        and abs(v2 @ v2 - 1.0) <= 1e-8
+        and abs(v1 @ v2) <= 1e-8
+    )
+    ordering_ok = bool(vals[0] >= vals[1] > 0.0)
+    s1, s2 = float(vals[0] / total_var), float(vals[1] / total_var)
+    share_ok = bool(0.0 < s2 <= s1 and s1 + s2 <= 1.0 + 1e-12)
+    center_tol = 1e-6 * float(np.sqrt(vals[0]))
+    agg = project_pca(emb, vecs, mu).agg(
+        F.count("*").alias("n_vectors"),
+        F.avg("pc1").alias("_m1"),
+        F.avg("pc2").alias("_m2"),
+        F.var_pop("pc1").alias("_v1"),
+        F.var_pop("pc2").alias("_v2"),
+    )
+    return agg.select(
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.lit(orthonormal_ok).alias("orthonormal_ok"),
+        F.lit(ordering_ok).alias("ordering_ok"),
+        F.lit(share_ok).alias("share_ok"),
+        (
+            (F.abs("_m1") <= center_tol) & (F.abs("_m2") <= center_tol)
+        ).alias("centered_ok"),
+        (
+            (F.abs(F.col("_v1") - float(vals[0])) <= 1e-6 * float(vals[0]))
+            & (F.abs(F.col("_v2") - float(vals[1])) <= 1e-6 * float(vals[1]))
+        ).alias("var_link_ok"),
     )
 
 
