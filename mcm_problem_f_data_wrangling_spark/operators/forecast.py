@@ -192,18 +192,24 @@ def drift_equation_block(fit_df: DataFrame) -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
-# X3 (full parity path): SARIMAX-lite AIC grid — CSS-estimated seasonal
-# ARMA over the reference's five candidate orders.
+# X3 (full parity path): SARIMAX AIC grid over the reference's five
+# candidate orders.
 #
 # Parity target: ``fit_best_sarimax`` (``EDA.ipynb cell 27``) — the
 # reference tries CANDIDATE_ORDERS = five (p,1,q)×(P,1,Q,12) models with
-# p,q,P,Q ≤ 1 and keeps the lowest AIC.  statsmodels is absent from this
-# environment, so the estimator here is conditional-sum-of-squares
-# (Box-Jenkins CSS: difference away d/D, then minimize the one-step
-# residual SSE of the multiplicative ARMA recursion) with a pure-numpy
-# Nelder-Mead — the same model family and selection rule, minus the
-# state-space likelihood refinements.  AIC = n·ln(SSE/n) + 2k (the
-# Gaussian-CSS form), monotone-equivalent for ranking candidates.
+# p,q,P,Q ≤ 1 and keeps the lowest AIC, fitting by statsmodels'
+# state-space maximum likelihood.  statsmodels is absent from this
+# environment, so BOTH estimators are pure numpy:
+#
+# - ``fit_arma_ml`` (the default) — EXACT Gaussian ML via the Kalman
+#   filter below (Harvey form, stationary init, concentrated σ²),
+#   AIC = -2·loglik + 2k: the same estimator statsmodels runs, modulo
+#   the documented simple-differencing convention (see the Kalman
+#   section note).
+# - ``fit_arma_css`` — conditional-sum-of-squares (Box-Jenkins CSS:
+#   minimize one-step residual SSE of the multiplicative recursion),
+#   AIC = n·ln(SSE/n) + 2k; retained as the ML fit's starting point
+#   and as the cheap estimator for the exog fan's per-group fit.
 # ---------------------------------------------------------------------------
 
 # mirrors EDA.ipynb cell 27 CANDIDATE_ORDERS with d=D=1, s=12
@@ -342,6 +348,194 @@ def fit_arma_css(z, p, q, P, Q, s=12):
     return aic, unpack(xbest)
 
 
+# ---------------------------------------------------------------------------
+# Exact Gaussian maximum likelihood via a pure-numpy Kalman filter —
+# the state-space refinement CSS lacks (r4 verdict task 2).
+#
+# Parity target: ``fit_best_sarimax`` (``EDA.ipynb cells 27/30/32``)
+# fits by statsmodels' state-space ML.  The filter below computes the
+# EXACT Gaussian log-likelihood of the seasonally+regularly differenced
+# series under the multiplicative SARMA candidate — Harvey companion
+# form, stationary initialization (discrete-Lyapunov solve), innovation
+# variance concentrated out — and the grid optimizes it with the same
+# Nelder-Mead, started from the CSS solution (the classic two-stage
+# start, as statsmodels starts from Hannan-Rissanen).  Convention
+# delta vs the reference (documented, not hidden): statsmodels keeps
+# d/D inside the state vector under a diffuse prior; here the
+# differencing is applied to the data and the SARMA likelihood is
+# exact-stationary — the textbook ``simple_differencing=True`` form of
+# the same estimator.  Exactness of the likelihood itself is pinned in
+# tests/test_forecast_ml.py against a brute-force MVN evaluation from
+# truncated psi-weight autocovariances.
+# ---------------------------------------------------------------------------
+
+
+def _sarma_state_space(phi, Phi, theta, Theta, s=12):
+    """Harvey companion form of (1-φB)(1-ΦB^s) z̃ = (1+θB)(1+ΘB^s) ε.
+
+    Returns (T, RR, r): transition matrix, R·Rᵀ for σ²=1, state dim
+    r = s+2 (max AR lag s+1, max MA lag s+1 → r = q̄+1)."""
+    import numpy as np
+
+    r = s + 2
+    a = np.zeros(r + 1)
+    a[1], a[s], a[s + 1] = phi, Phi, -phi * Phi
+    m = np.zeros(r)
+    m[0] = 1.0
+    m[1], m[s], m[s + 1] = theta, Theta, theta * Theta
+    T = np.zeros((r, r))
+    T[:, 0] = a[1 : r + 1]
+    for i in range(r - 1):
+        T[i, i + 1] = 1.0
+    return T, np.outer(m, m), r
+
+
+def _sarma_kalman_pieces(z, c, phi, Phi, theta, Theta, s=12):
+    """Kalman filter pass at σ²=1: returns (sum_logF, ssq, n, T, a_pred)
+    where ``a_pred`` is the one-step-ahead state after the last
+    observation (the forecast seed), or None on a degenerate surface
+    (non-stationary AR, singular initialization, non-positive F)."""
+    import numpy as np
+
+    T, RR, r = _sarma_state_space(phi, Phi, theta, Theta, s=s)
+    # stationary initialization: P0 solves P = T P Tᵀ + RR
+    eye = np.eye(r * r)
+    try:
+        vecP = np.linalg.solve(eye - np.kron(T, T), RR.reshape(-1))
+    except np.linalg.LinAlgError:
+        return None
+    P = vecP.reshape(r, r)
+    P = (P + P.T) / 2.0
+    if not np.isfinite(P).all() or P[0, 0] <= 0.0:
+        return None
+    x = np.asarray(z, dtype=float) - c
+    a = np.zeros(r)
+    sum_logF = 0.0
+    ssq = 0.0
+    for t in range(len(x)):
+        Fm = P[0, 0]
+        if not np.isfinite(Fm) or Fm <= 1e-12:
+            return None
+        v = x[t] - a[0]
+        sum_logF += np.log(Fm)
+        ssq += v * v / Fm
+        TP0 = T @ P[:, 0]
+        K = TP0 / Fm
+        a = T @ a + K * v
+        P = T @ P @ T.T + RR - np.outer(K, K) * Fm
+        P = (P + P.T) / 2.0
+    return float(sum_logF), float(ssq), len(x), T, a
+
+
+def sarma_loglik_at_unit_scale(z, c, phi, Phi, theta, Theta, s=12):
+    """Exact Gaussian log-likelihood with σ² fixed at 1 (the form the
+    MVN golden test cross-checks against psi-weight autocovariances)."""
+    import numpy as np
+
+    pieces = _sarma_kalman_pieces(z, c, phi, Phi, theta, Theta, s=s)
+    if pieces is None:
+        return float("-inf")
+    sum_logF, ssq, n, _, _ = pieces
+    return -0.5 * (n * np.log(2.0 * np.pi) + sum_logF + ssq)
+
+
+def sarma_loglik_concentrated(z, c, phi, Phi, theta, Theta, s=12):
+    """Exact Gaussian log-likelihood profiled over σ²
+    (σ̂² = (1/n)Σ v²/F plugged back in)."""
+    import numpy as np
+
+    pieces = _sarma_kalman_pieces(z, c, phi, Phi, theta, Theta, s=s)
+    if pieces is None:
+        return float("-inf")
+    sum_logF, ssq, n, _, _ = pieces
+    if ssq <= 0.0:
+        return float("-inf")
+    return -0.5 * (
+        n * np.log(2.0 * np.pi) + n + n * np.log(ssq / n) + sum_logF
+    )
+
+
+def fit_arma_ml(z, p, q, P, Q, s=12):
+    """Exact-ML fit of one candidate: CSS start → Nelder-Mead on the
+    concentrated Kalman likelihood.  Returns (aic, params dict) with
+    AIC = -2·loglik + 2k, k = n_coefficients + 1 (σ²) — statsmodels'
+    bookkeeping for the same model."""
+    import numpy as np
+
+    z = np.asarray(z, dtype=float)
+    names = ["c"] + ["phi"] * p + ["theta"] * q + ["Phi"] * P + ["Theta"] * Q
+    _, start = fit_arma_css(z, p, q, P, Q, s=s)
+
+    def unpack(x):
+        d = {"c": 0.0, "phi": 0.0, "theta": 0.0, "Phi": 0.0, "Theta": 0.0}
+        for name, v in zip(names, x):
+            d[name] = float(v)
+        return d
+
+    def objective(x):
+        d = unpack(x)
+        # same soft box as CSS: stationary AR keeps the Lyapunov
+        # initialization valid; bounded MA keeps the surface smooth
+        pen = sum(
+            max(0.0, abs(d[nm]) - 0.99) * 1e6
+            for nm in ("phi", "theta", "Phi", "Theta")
+        )
+        ll = sarma_loglik_concentrated(
+            z, d["c"], d["phi"], d["Phi"], d["theta"], d["Theta"], s=s
+        )
+        if not np.isfinite(ll):
+            return 1e12
+        return -ll + pen
+
+    x0 = np.array([start[nm] for nm in names], dtype=float)
+    # clamp the CSS start inside the box so the initial simplex is
+    # entirely on the finite-likelihood region
+    x0[1:] = np.clip(x0[1:], -0.98, 0.98)
+    nll, xbest = _nelder_mead(objective, x0, steps=200)
+    best = unpack(xbest)
+    ll = sarma_loglik_concentrated(
+        z, best["c"], best["phi"], best["Phi"], best["theta"], best["Theta"], s=s
+    )
+    if not np.isfinite(ll):
+        return float("inf"), best
+    k = len(names) + 1
+    return -2.0 * ll + 2.0 * k, best
+
+
+def _sarma_kalman_forecast(y, params, steps, s=12):
+    """Exact conditional-mean forecast: filter the differenced series,
+    propagate the predicted state h steps, re-add the intercept, then
+    invert the d=1, D=1 differencing."""
+    import numpy as np
+
+    y = np.asarray(y, dtype=float)
+    dy = np.diff(y)
+    z = dy[s:] - dy[:-s]
+    pieces = _sarma_kalman_pieces(
+        z, params["c"], params["phi"], params["Phi"], params["theta"], params["Theta"], s=s
+    )
+    if pieces is None:  # pragma: no cover — callers fit first, so the
+        return None  # surface was finite at these exact params
+    _, _, _, T, a = pieces
+    z_fut = []
+    st = a.copy()
+    for _ in range(steps):
+        z_fut.append(float(st[0]) + params["c"])
+        st = T @ st
+    dy_hist = list(dy)
+    y_hist = list(y)
+    out = []
+    for h in range(steps):
+        dy_next = z_fut[h] + (
+            dy_hist[-s] if len(dy_hist) >= s else (dy_hist[0] if dy_hist else 0.0)
+        )
+        y_next = y_hist[-1] + dy_next
+        dy_hist.append(dy_next)
+        y_hist.append(y_next)
+        out.append(y_next)
+    return out
+
+
 def _arma_forecast(y, params, p, q, P, Q, steps, s=12):
     """h-step point forecast: run the CSS recursion forward with zero
     future innovations on the d=1,D=1 differenced series, then invert
@@ -396,10 +590,13 @@ def fit_best_arma_forecast(
     steps: int = 6,
     season: int = 12,
     candidates=ARMA_CANDIDATES,
+    method: str = "ml",
 ) -> DataFrame:
     """X3 parity path: per-group AIC grid over the reference's five
     candidate orders (``fit_best_sarimax``, ``EDA.ipynb cell 27``),
-    CSS-estimated (module note above), one ``applyInPandas`` crossing.
+    exact-ML-estimated via the pure-numpy Kalman filter (default;
+    ``method='css'`` keeps the conditional-sum-of-squares estimator),
+    one ``applyInPandas`` crossing.
 
     Output: one row per (group, step) carrying the WINNING candidate's
     order string and AIC.  Groups shorter than 2·season+2 observations
@@ -408,6 +605,8 @@ def fit_best_arma_forecast(
     ``order='rw_drift'`` — the same degradation the reference hits
     when SARIMAX fails to converge on a short series.
     """
+    if method not in ("ml", "css"):
+        raise ValueError(f"method must be 'ml' or 'css', got {method!r}")
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -440,9 +639,10 @@ def fit_best_arma_forecast(
             return rw_fallback()
         dy = np.diff(y)
         z = dy[season:] - dy[:-season]
+        estimator = fit_arma_ml if method == "ml" else fit_arma_css
         best = None
         for (p, d_, q), (P, D_, Q, s) in candidates:
-            aic, params = fit_arma_css(z, p, q, P, Q, s=s)
+            aic, params = estimator(z, p, q, P, Q, s=s)
             if np.isfinite(aic) and (best is None or aic < best[0]):
                 best = (aic, (p, d_, q), (P, D_, Q, s), params)
         if best is None:
@@ -450,9 +650,14 @@ def fit_best_arma_forecast(
             # failure) — degrade, don't crash the whole stage
             return rw_fallback()
         aic, order, seas, params = best
-        fc = _arma_forecast(
-            y, params, order[0], order[2], seas[0], seas[2], steps, s=seas[3]
-        )
+        if method == "ml":
+            fc = _sarma_kalman_forecast(y, params, steps, s=seas[3])
+            if fc is None:  # degenerate surface at the winner — degrade
+                return rw_fallback()
+        else:
+            fc = _arma_forecast(
+                y, params, order[0], order[2], seas[0], seas[2], steps, s=seas[3]
+            )
         label = f"({order[0]},{order[1]},{order[2]})x({seas[0]},{seas[1]},{seas[2]},{seas[3]})"
         return pd.DataFrame(
             {

@@ -606,13 +606,16 @@ def x3_drift_fit_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "x3_aic_grid_fit",
-    "X3 (full parity path): per-group SARIMAX-lite AIC grid — the "
+    "X3 (full parity path): per-group SARIMAX AIC grid — the "
     "reference's five candidate (p,1,q)x(P,1,Q,12) orders "
-    "(fit_best_sarimax, EDA.ipynb cell 27) CSS-estimated in pure numpy "
-    "with Nelder-Mead inside ONE applyInPandas crossing; lowest AIC "
-    "wins and its 6-step forecast is emitted.  Rows-only: iterative "
-    "optimization is not SQL-expressible; AIC-monotonicity and "
-    "model-recovery are property-tested in tests/test_forecast.py.",
+    "(fit_best_sarimax, EDA.ipynb cell 27) fit by EXACT Gaussian "
+    "maximum likelihood: pure-numpy Kalman filter (Harvey form, "
+    "stationary init, concentrated sigma^2), Nelder-Mead from the CSS "
+    "start, inside ONE applyInPandas crossing; lowest AIC wins and "
+    "its 6-step state-space forecast is emitted.  Rows-only: "
+    "iterative optimization is not SQL-expressible; the likelihood "
+    "itself is pinned exact against a brute-force MVN evaluation in "
+    "tests/test_forecast_ml.py, with golden AIC/param anchors.",
     None,
     tags=("M3", "model"),
 )
