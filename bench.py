@@ -47,18 +47,21 @@ def main() -> None:
         for q in bench_set:
             run(q)
 
-    # median of 3 timed runs per query: single-run wall at this scale
-    # (0.3-2 s/query) carries ±20% scheduler/GC noise; the median is
-    # robust to one bad run without hiding real regressions.
+    # median of 3 timed runs per query (override with
+    # $SPARK_GRAFT_BENCH_RUNS, e.g. 5 for the sf1 tier): single-run
+    # wall at this scale (0.3-2 s/query) carries ±20% scheduler/GC
+    # noise; the median is robust to one bad run without hiding real
+    # regressions.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     for q in bench_set:
         runs = []
-        for _ in range(3):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             run(q)
             runs.append(time.perf_counter() - t0)
-        timings[q.name] = round(sorted(runs)[1], 3)
+        timings[q.name] = round(sorted(runs)[len(runs) // 2], 3)
         # max-min across the 3 runs: a box-noise self-diagnostic.  A
         # wall-clock move WITHOUT a plan diff and WITH large spreads is
         # a loaded box, not a regression (round-3 lesson: the committed

@@ -59,6 +59,7 @@ def connected_components(
     node_col: str = "node",
     max_iter: int = 60,
     work_dir: str | None = None,
+    on_round=None,
 ) -> DataFrame:
     """Connected components of an undirected graph → (node, component).
 
@@ -71,6 +72,9 @@ def connected_components(
     default is a local temp dir, removed afterwards — on a cluster
     pass a distributed-FS path.  ``max_iter`` is a safety rail;
     hitting it raises rather than returning a half-merged labeling.
+    ``on_round`` (optional ``Callable[[int], None]``) fires after each
+    round's state write — the observability seam the scale smoke uses
+    to sample per-iteration shuffle volume from the UI REST API.
     """
     spark = edges.sparkSession
     sym = symmetrize_edges(edges, src, dst)
@@ -141,6 +145,8 @@ def connected_components(
                 obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("t")
             ).write.mode("overwrite").parquet(f"{base}/labels_{i + 1}")
             labels = spark.read.parquet(f"{base}/labels_{i + 1}")
+            if on_round is not None:
+                on_round(i)
             cur = obs.get["t"]
             if cur == prev:
                 # fixpoint; materialize the result off the state dir
@@ -361,6 +367,7 @@ def k_core(
     node_col: str = "node",
     max_iter: int = 1000,
     work_dir: str | None = None,
+    on_round=None,
 ) -> DataFrame:
     """Nodes of the k-core (maximal subgraph with min degree >= k) —
     the graph-curation prune (low-connectivity spam/bot tails drop out
@@ -400,6 +407,8 @@ def k_core(
                 "overwrite"
             ).parquet(f"{base}/edges_{i + 1}")
             cur = spark.read.parquet(f"{base}/edges_{i + 1}")
+            if on_round is not None:
+                on_round(i)
             n_edges = obs.get["n"]
             if n_edges == prev_edges:
                 break

@@ -4,14 +4,16 @@
 # Round 3 shipped a MinHash engine rewrite in the final snapshot commit
 # without re-running the mirror; six driver-green queries went red for a
 # whole round (VERDICT r3 item 1).  This gate makes that impossible to
-# repeat: it refuses (exit 1) unless BOTH the physical-plan audit and
-# the full 212-query oracle-parity mirror are green.
+# repeat: it refuses (exit 1) unless the driver contract, the
+# physical-plan audit, the full oracle-parity mirror, AND a bench smoke
+# (r4 verdict task 8: a perf cliff must not ship blind either) are all
+# green.
 #
 # Usage:  sh tools/pre_snapshot_gate.sh   (from the repo root)
 set -e
 cd "$(dirname "$0")/.."
 
-echo "== gate 1/3: driver-contract smoke (vanilla session, like the driver) =="
+echo "== gate 1/4: driver-contract smoke (vanilla session, like the driver) =="
 python - <<'EOF'
 import sys
 sys.path.insert(0, ".")
@@ -28,10 +30,41 @@ print(f"entry rows={len(rows)} queries={len(qs)} oracles={len(osql)}")
 spark.stop()
 EOF
 
-echo "== gate 2/3: physical-plan audit (red flags + shuffle snapshot) =="
+echo "== gate 2/4: physical-plan audit (red flags + shuffle snapshot) =="
 python tools/audit_plans.py
 
-echo "== gate 3/3: full oracle-parity mirror (sf0.001) =="
+echo "== gate 3/4: full oracle-parity mirror (sf0.001) =="
 python -m pytest tests/test_oracle_parity.py -q
+
+echo "== gate 4/4: bench smoke (one JSON line, no query > 3x its committed median) =="
+python - <<'EOF'
+import json, os, subprocess, sys
+
+env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
+out = subprocess.run(
+    [sys.executable, "bench.py"], env=env, capture_output=True, text=True, check=True
+).stdout.strip().splitlines()
+assert len(out) == 1, f"bench printed {len(out)} lines, want exactly 1"
+got = json.loads(out[0])
+for key in ("metric", "value", "unit", "queries", "sf"):
+    assert key in got, f"bench JSON missing {key!r}"
+# compare against the last committed round's bench: a query that got
+# >3x slower is a cliff (far outside the measured sf0.1 spread), and
+# it must be explained BEFORE the snapshot, not discovered by the judge
+import glob
+
+prior = sorted(glob.glob("BENCH_r*.json"))
+if prior:
+    base = json.load(open(prior[-1])).get("queries", {})
+    cliffs = {
+        n: (base[n], t)
+        for n, t in got["queries"].items()
+        if n in base and base[n] > 0 and t > 3.0 * base[n]
+    }
+    assert not cliffs, f"bench cliff vs {prior[-1]}: {cliffs}"
+    print(f"bench ok: wall={got['value']}s, {len(got['queries'])} queries, no cliff vs {prior[-1]}")
+else:
+    print(f"bench ok: wall={got['value']}s (no prior BENCH_r*.json to compare)")
+EOF
 
 echo "GATE GREEN — safe to commit"
