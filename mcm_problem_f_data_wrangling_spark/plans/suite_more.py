@@ -319,29 +319,24 @@ def x_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     _, cents = train_ivf_cells(emb, k=8, iters=2)
     # scalar counts are O(1) driver pulls (x_ann_recall_gate pattern);
-    # the kept sets are recomputed per count — semantic_dedup caches
-    # its own assignment internally, so each pass is one cell join
+    # each kept set is computed ONCE and checkpointed — the cell pair
+    # join is the expensive part and three invariants consume each set
     n_total = emb.count()
-    kept_lo = semantic_dedup(emb, cents, threshold=0.5).select("vec_id")
-    n_lo = kept_lo.count()
-    subset_viol = (
-        kept_lo.join(
-            semantic_dedup(emb, cents, threshold=0.6).select("vec_id"),
-            "vec_id",
-            "left_anti",
-        ).count()
+    kept_lo = (
+        semantic_dedup(emb, cents, threshold=0.5).select("vec_id").localCheckpoint()
     )
-    n_hi = semantic_dedup(emb, cents, threshold=0.6).count()
+    kept_hi = (
+        semantic_dedup(emb, cents, threshold=0.6).select("vec_id").localCheckpoint()
+    )
+    n_lo = kept_lo.count()
+    n_hi = kept_hi.count()
+    subset_viol = kept_lo.join(kept_hi, "vec_id", "left_anti").count()
     min_viol = (
         assign_cells(emb, cents)
         .groupBy("cell")
         .agg(F.min("vec_id").alias("vec_id"))
         .select("vec_id")
-        .join(
-            semantic_dedup(emb, cents, threshold=0.5).select("vec_id"),
-            "vec_id",
-            "left_anti",
-        )
+        .join(kept_lo, "vec_id", "left_anti")
         .count()
     )
     row = (

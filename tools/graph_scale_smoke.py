@@ -63,7 +63,12 @@ def shuffle_totals(spark) -> tuple[int, int]:
 def main() -> None:
     n_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     fanout = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    spark = get_spark("graph_scale_smoke")
+    # the engine session disables the UI; this tool NEEDS the REST API
+    spark = get_spark("graph_scale_smoke", extra_conf={"spark.ui.enabled": "true"})
+    assert spark.sparkContext.uiWebUrl, (
+        "UI REST API unavailable — a uiless session from another tool is "
+        "being reused; run this smoke in a fresh interpreter"
+    )
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix="graph_smoke_")
     try:
@@ -131,17 +136,26 @@ def main() -> None:
             f"connected_components_{n_nodes // 10**6}m_nodes",
             lambda cb: connected_components(edges, on_round=cb).count(),
         )
+        # k=8 sits just under the ~9.5 average symmetrized degree of the
+        # chain+random graph, so the peel genuinely removes tails and
+        # cascades for several rounds (k=3 keeps everything — no peel)
         run_with_rounds(
-            f"k_core_k3_{n_nodes // 10**6}m_nodes",
-            lambda cb: k_core(edges, k=3, on_round=cb).count(),
+            f"k_core_k8_{n_nodes // 10**6}m_nodes",
+            lambda cb: k_core(edges, k=8, on_round=cb).count(),
         )
 
-        # PageRank: one lazy plan per iteration count; deltas between
-        # consecutive counts are the per-iteration shuffle cost
+        # PageRank: one lazy plan per iteration count; per-run totals at
+        # iters=1/2/3, whose deltas are the per-iteration shuffle cost.
+        # The action MUST consume rank values — .count() lets Catalyst
+        # ELIMINATE the final left join (unique right keys, no right
+        # column referenced) and with it every iteration's compute, so
+        # a count-based "bench" times an empty plan.  SUM(rank_fp)
+        # (also the convergence scalar a production run would pull)
+        # keeps the whole iteration chain live.
         prev = shuffle_totals(spark)
         prev_t = time.time()
         for iters in (1, 2, 3):
-            n = pagerank(edges, iters=iters).count()
+            chk = pagerank(edges, iters=iters).agg(F.sum("rank_fp")).collect()[0][0]
             cur = shuffle_totals(spark)
             now = time.time()
             print(
@@ -149,7 +163,7 @@ def main() -> None:
                     {
                         "stage": f"pagerank_iters_{iters}",
                         "seconds": round(now - prev_t, 1),
-                        "rows_out": n,
+                        "rank_fp_sum": int(chk),
                         "shuffle_read_gb": round((cur[0] - prev[0]) / 2**30, 2),
                         "shuffle_write_gb": round((cur[1] - prev[1]) / 2**30, 2),
                     }
