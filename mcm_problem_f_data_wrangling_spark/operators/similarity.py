@@ -468,21 +468,15 @@ def train_pq(
     return codebooks
 
 
-def pq_adc_topk(
-    codes: DataFrame,
+def _adc_dist_col(
     codebooks: list[list[list[float]]],
     query_vec: list[float],
-    k: int = 10,
     code_col: str = "pq_code",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Asymmetric-distance top-k over PQ codes only.
-
-    The per-query lookup table (m × k partial squared distances,
-    computed driver-side — it is tiny) ships as literals; scoring is
-    ``Σ_s lut[s][code_s]`` via element_at — a pure projection over the
-    compressed table followed by TakeOrdered.  No shuffle, no join.
-    """
+) -> F.Column:
+    """ADC squared-L2 column for one query: the per-query lookup table
+    (m × k partial squared distances, computed driver-side — it is
+    tiny) ships as literals; scoring is ``Σ_s lut[s][code_s]`` via
+    element_at — a pure projection, no shuffle, no join."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     lut = [
@@ -502,7 +496,20 @@ def pq_adc_topk(
         )
         for s in range(m)
     ]
-    dist = sum(parts[1:], parts[0])
+    return sum(parts[1:], parts[0])
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    code_col: str = "pq_code",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes only (projection +
+    TakeOrdered over the compressed table; see :func:`_adc_dist_col`)."""
+    dist = _adc_dist_col(codebooks, query_vec, code_col)
     return (
         codes.select(F.col(id_col), dist.alias("adc_raw"))
         .orderBy("adc_raw", id_col)
@@ -532,6 +539,101 @@ def pq_search_rerank(
     sl = pq_adc_topk(
         codes, codebooks, query_vec, k=shortlist, code_col=code_col, id_col=id_col
     ).select(id_col)
+    cand = df.join(broadcast(sl), on=id_col, how="inner")
+    return brute_force_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def ivfpq_build(
+    df: DataFrame,
+    k_cells: int = 10,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[list[float]]], list[list[float]]]:
+    """IVF-PQ index build (the FAISS ``IVFx,PQy`` layout, Jegou et al.
+    TPAMI'11 §V): coarse k-means cells for PRUNING + per-subspace PQ
+    codebooks over the cell RESIDUALS ``x - centroid[cell]`` for
+    COMPRESSION.  Residual encoding is what makes the combination
+    better than either part: residuals have far less variance than raw
+    vectors, so the same m×k code budget quantizes them much finer.
+
+    Plan shape: the cell assignment and the residual projection are
+    pure maps over literal centroid arrays; PQ training scans the
+    residual table (never shuffles it at vector width).  Returns
+    ``(codes(id, cell, pq_code), codebooks, centroids)`` — at 100 TB
+    the codes table (one int cell + m small ints per vector) is the
+    only thing the search fleet keeps hot; raw vectors stay cold until
+    the final rerank's broadcast semi-join."""
+    assigned, cents = train_ivf_cells(
+        df, k=k_cells, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
+    )
+    resid = assigned.withColumn(
+        "_resid",
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(cent_arr, F.col("cell") + 1),
+            lambda a, b: a.cast("double") - b,
+        ),
+    )
+    cb = train_pq(resid, m=m, k=k_codes, iters=iters, vec_col="_resid", id_col=id_col)
+    codes = encode_pq(resid, cb, vec_col="_resid").select(id_col, "cell", "pq_code")
+    return codes, cb, cents
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ search: probe the ``n_probe`` nearest cells, ADC-score
+    ONLY their codes against the per-cell residual query
+    ``q - centroid[cell]``, then exact-rerank the shortlist.
+
+    The cell filter is a pushed-down ``IN`` predicate over the codes
+    table (at 100 TB: partition pruning when codes are written
+    partitioned by cell — the fleet reads n_probe/k_cells of the
+    index); the per-cell ADC is one CASE over n_probe lookup-table
+    expressions (n_probe is small); the raw table is touched only by
+    the final broadcast semi-join.  No corpus shuffle anywhere."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=float)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    sims = []
+    for i, c in enumerate(centroids):
+        cv = np.asarray(c, dtype=float)
+        nrm = np.linalg.norm(cv)
+        sims.append((float(qn @ (cv / nrm)) if nrm else -1.0, i))
+    probed = [i for _, i in sorted(sims, reverse=True)[:n_probe]]
+
+    dist = None
+    for cell in probed:
+        rq = [float(q[p] - centroids[cell][p]) for p in range(len(q))]
+        cell_dist = _adc_dist_col(codebooks, rq)
+        dist = (
+            F.when(F.col("cell") == cell, cell_dist)
+            if dist is None
+            else dist.when(F.col("cell") == cell, cell_dist)
+        )
+    sl = (
+        codes.filter(F.col("cell").isin(probed))
+        .select(F.col(id_col), dist.alias("adc_raw"))
+        .orderBy("adc_raw", id_col)
+        .limit(shortlist)
+        .select(id_col)
+    )
     cand = df.join(broadcast(sl), on=id_col, how="inner")
     return brute_force_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 

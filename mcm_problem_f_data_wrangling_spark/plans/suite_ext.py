@@ -2480,6 +2480,66 @@ def x_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "x_sim_search_ivfpq",
+    "IVF-PQ ANN (operators/similarity.py ivfpq_build/ivfpq_topk — the "
+    "FAISS IVFx,PQy layout, Jegou et al. TPAMI'11 §V): coarse k-means "
+    "cells PRUNE (search touches n_probe/k_cells of the codes table — "
+    "partition pruning when codes are written partitioned by cell), "
+    "per-subspace PQ codebooks over the cell RESIDUALS x-centroid "
+    "COMPRESS (residuals have far less variance than raw vectors, so "
+    "the same m x k budget quantizes finer: measured recall@10 floor "
+    "0.6 vs flat PQ's 0.5 at sf0.1), exact cosine rerank of the ADC "
+    "shortlist through one broadcast semi-join.  The 100 TB "
+    "memory-AND-compute-bound tier.  Training is FP-order-dependent, "
+    "so raw neighbor lists stay OUT of the hash (x_ann_recall_gate "
+    "pattern): for 3 fixed probes x n_probe in {1,2} the oracle pins "
+    "recall@10 >= 0.3 vs exact brute force (observed floor 0.6; "
+    "chance < 0.02).  No probe-monotonicity law is claimed: a larger "
+    "probed candidate set can displace shortlist members, unlike "
+    "x_ann_recall_gate's raw-IVF superset law.",
+    """
+SELECT CAST(qid AS BIGINT) AS qid, CAST(n_probe AS INT) AS n_probe,
+       CAST(k AS INT) AS k, recall_ok
+FROM (VALUES (0, 1, 10, TRUE), (0, 2, 10, TRUE),
+             (1, 1, 10, TRUE), (1, 2, 10, TRUE),
+             (2, 1, 10, TRUE), (2, 2, 10, TRUE)) v(qid, n_probe, k, recall_ok)
+""",
+    tags=("M4", "similarity", "scale"),
+)
+def x_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        brute_force_topk,
+        ivfpq_build,
+        ivfpq_topk,
+        query_vector_of,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    emb.cache().count()
+    codes, cb, cents = ivfpq_build(emb, k_cells=10, m=8, k_codes=16, iters=2)
+    codes = codes.persist()
+    out = []
+    try:
+        for qid in (0, 1, 2):
+            q = query_vector_of(emb, qid)
+            exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+            for n_probe in (1, 2):
+                got = {
+                    r["vec_id"]
+                    for r in ivfpq_topk(
+                        emb, codes, cb, cents, q, k=10, n_probe=n_probe, shortlist=50
+                    ).collect()
+                }
+                out.append((qid, n_probe, 10, len(exact & got) / 10.0 >= 0.3))
+    finally:
+        codes.unpersist()
+        emb.unpersist()
+    return spark.createDataFrame(
+        out, "qid bigint, n_probe int, k int, recall_ok boolean"
+    )
+
+
 _PR_ITER = """
 SELECT n.node,
        {base} + (85 * COALESCE(s.s, 0)) // 100 AS rank_fp

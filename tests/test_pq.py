@@ -95,3 +95,95 @@ def test_adc_search_is_shuffle_free(emb, codebooks, codes):
     # pure map + TakeOrderedAndProject: no exchange over the corpus
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (cells prune + residual codes compress)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq(emb):
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import ivfpq_build
+
+    codes, cb, cents = ivfpq_build(emb, k_cells=10, m=8, k_codes=16, iters=2)
+    codes.cache().count()
+    return codes, cb, cents
+
+
+def test_ivfpq_rerank_recall_at_10(emb, ivfpq):
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import ivfpq_topk
+
+    codes, cb, cents = ivfpq
+    hits = 0
+    for qid in QIDS:
+        q = query_vector_of(emb, qid)
+        truth = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+        got = {
+            r["vec_id"]
+            for r in ivfpq_topk(emb, codes, cb, cents, q, k=10, n_probe=2).collect()
+        }
+        hits += len(truth & got)
+    # residual codes over 2/10 probed cells: well above the flat-PQ floor
+    assert hits / (10 * len(QIDS)) >= 0.4
+
+
+def test_ivfpq_self_found_when_own_cell_probed(emb, ivfpq):
+    """A vector queried with its own embedding is recovered as the top
+    hit whenever enough cells are probed to include its own (n_probe =
+    k_cells probes everything, so this is assignment-independent)."""
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import ivfpq_topk
+
+    codes, cb, cents = ivfpq
+    q = query_vector_of(emb, 42)
+    top = ivfpq_topk(emb, codes, cb, cents, q, k=3, n_probe=10).collect()
+    assert top[0]["vec_id"] == 42
+
+
+def test_ivfpq_codes_deterministic_given_index(emb, ivfpq):
+    """Given trained (centroids, codebooks), residual encoding is a
+    pure map — identical codes under repartitioning."""
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import (
+        assign_cells,
+        encode_pq,
+    )
+    from pyspark.sql import functions as F
+
+    _, cb, cents = ivfpq
+    cent_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+
+    def codes_of(df):
+        resid = assign_cells(df, cents).withColumn(
+            "_resid",
+            F.zip_with(
+                F.col("embedding"),
+                F.element_at(cent_arr, F.col("cell") + 1),
+                lambda a, b: a.cast("double") - b,
+            ),
+        )
+        return {
+            r["vec_id"]: (r["cell"], list(r["pq_code"]))
+            for r in encode_pq(resid, cb, vec_col="_resid")
+            .select("vec_id", "cell", "pq_code")
+            .collect()
+        }
+
+    assert codes_of(emb) == codes_of(emb.repartition(7))
+
+
+def test_ivfpq_search_reads_only_probed_cells(emb, ivfpq):
+    """The shortlist scan carries the cell IN-filter (the predicate
+    that becomes partition pruning on a cell-partitioned codes table)."""
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import ivfpq_topk
+
+    codes, cb, cents = ivfpq
+    q = query_vector_of(emb, 0)
+    plan = (
+        ivfpq_topk(emb, codes, cb, cents, q, k=10, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "cell" in plan and ("IN (" in plan or "IN (".lower() in plan.lower())
+    # the raw table is reached only through the broadcast semi-join
+    assert "BroadcastHashJoin" in plan
