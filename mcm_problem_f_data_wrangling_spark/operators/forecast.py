@@ -502,6 +502,56 @@ def fit_arma_ml(z, p, q, P, Q, s=12):
     return -2.0 * ll + 2.0 * k, best
 
 
+def fit_arma_exog_ml(zy, zx, p, q, P, Q, s=12, beta0=0.0, start=None):
+    """Exact-ML fit of regression-with-ARMA-errors on the differenced
+    scale: jointly maximize the Kalman likelihood of ``zy - β·zx``
+    over (β, c, ARMA coefficients) — differencing is linear, so the
+    doubly-differenced residual of ``y - β·x`` is exactly
+    ``zy - β·zx``.  This is the estimator statsmodels runs for
+    ``SARIMAX(y, exog=x, ...)`` (joint, not two-step), modulo the
+    documented simple-differencing convention.  Starts from the
+    two-step solution (OLS β + CSS ARMA).  Returns
+    (aic, beta, params); AIC's k counts β and σ²."""
+    import numpy as np
+
+    zy = np.asarray(zy, dtype=float)
+    zx = np.asarray(zx, dtype=float)
+    names = ["beta", "c"] + ["phi"] * p + ["theta"] * q + ["Phi"] * P + ["Theta"] * Q
+    if start is None:
+        _, start = fit_arma_css(zy - beta0 * zx, p, q, P, Q, s=s)
+
+    def unpack(x):
+        d = {"c": 0.0, "phi": 0.0, "theta": 0.0, "Phi": 0.0, "Theta": 0.0}
+        for name, v in zip(names[1:], x[1:]):
+            d[name] = float(v)
+        return float(x[0]), d
+
+    def objective(x):
+        beta, d = unpack(x)
+        pen = sum(
+            max(0.0, abs(d[nm]) - 0.99) * 1e6
+            for nm in ("phi", "theta", "Phi", "Theta")
+        )
+        ll = sarma_loglik_concentrated(
+            zy - beta * zx, d["c"], d["phi"], d["Phi"], d["theta"], d["Theta"], s=s
+        )
+        if not np.isfinite(ll):
+            return 1e12
+        return -ll + pen
+
+    x0 = np.array([beta0] + [start[nm] for nm in names[1:]], dtype=float)
+    x0[2:] = np.clip(x0[2:], -0.98, 0.98)
+    _, xbest = _nelder_mead(objective, x0, steps=200)
+    beta, best = unpack(xbest)
+    ll = sarma_loglik_concentrated(
+        zy - beta * zx, best["c"], best["phi"], best["Phi"], best["theta"], best["Theta"], s=s
+    )
+    if not np.isfinite(ll):
+        return float("inf"), beta, best
+    k = len(names) + 1
+    return -2.0 * ll + 2.0 * k, beta, best
+
+
 def _sarma_kalman_forecast(y, params, steps, s=12):
     """Exact conditional-mean forecast: filter the differenced series,
     propagate the predicted state h steps, re-add the intercept, then
@@ -723,18 +773,23 @@ def fit_arma_exog_params(
     season: int = 12,
     exog_fit_window: int = 60,
     candidates=ARMA_CANDIDATES,
+    method: str = "ml",
 ) -> DataFrame:
     """X3+exog: per-group regression-with-ARMA-errors fit (one
     ``applyInPandas`` crossing).
 
-    Estimation is the classic two-step (Cochrane-Orcutt family, public
-    method): β by OLS on the doubly-differenced scale — differencing
-    kills the intercept and any unit roots, so plain OLS is consistent
-    — then the reference's five-candidate CSS-AIC grid
-    (:func:`fit_arma_css`) on the residual series u = y − β·x.  The
-    exog's own future law is RW+drift over its last
-    ``exog_fit_window`` first differences (``fit_rw_drift_params``,
-    ``EDA.ipynb cell 32``).
+    Default estimation (``method='ml'``) is the JOINT exact-ML fit
+    statsmodels runs for ``SARIMAX(y, exog=x, ...)``: β and the ARMA
+    coefficients maximize the Kalman likelihood together
+    (:func:`fit_arma_exog_ml`), warm-started from the two-step
+    solution.  ``method='css'`` keeps the classic two-step
+    (Cochrane-Orcutt family, public method): β by OLS on the
+    doubly-differenced scale — differencing kills the intercept and
+    any unit roots, so plain OLS is consistent — then the reference's
+    five-candidate CSS-AIC grid (:func:`fit_arma_css`) on the residual
+    series u = y − β·x.  The exog's own future law is RW+drift over
+    its last ``exog_fit_window`` first differences
+    (``fit_rw_drift_params``, ``EDA.ipynb cell 32``).
 
     Output: one row per (group, step) carrying the deterministic
     forecast part ``det`` = û_{T+h} (zero future innovations) plus the
@@ -744,6 +799,8 @@ def fit_arma_exog_params(
     and the exog law re-pointed at y's own diffs so the downstream fan
     reproduces the plain RW-drift fan.
     """
+    if method not in ("ml", "css"):
+        raise ValueError(f"method must be 'ml' or 'css', got {method!r}")
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -786,21 +843,34 @@ def fit_arma_exog_params(
 
         zy, zx = ddiff(y), ddiff(x)
         sxx = float(np.dot(zx, zx))
-        beta = float(np.dot(zx, zy) / sxx) if sxx > 1e-12 else 0.0
+        beta_ols = float(np.dot(zx, zy) / sxx) if sxx > 1e-12 else 0.0
 
-        u = y - beta * x
-        zu = ddiff(u)
         best = None
-        for (p, d_, q), (P, D_, Q, s) in candidates:
-            aic, params = fit_arma_css(zu, p, q, P, Q, s=s)
-            if np.isfinite(aic) and (best is None or aic < best[0]):
-                best = (aic, (p, d_, q), (P, D_, Q, s), params)
+        if method == "ml":
+            for (p, d_, q), (P, D_, Q, s) in candidates:
+                aic, b, params = fit_arma_exog_ml(
+                    zy, zx, p, q, P, Q, s=s, beta0=beta_ols
+                )
+                if np.isfinite(aic) and (best is None or aic < best[0]):
+                    best = (aic, (p, d_, q), (P, D_, Q, s), params, b)
+        else:
+            zu = ddiff(y - beta_ols * x)
+            for (p, d_, q), (P, D_, Q, s) in candidates:
+                aic, params = fit_arma_css(zu, p, q, P, Q, s=s)
+                if np.isfinite(aic) and (best is None or aic < best[0]):
+                    best = (aic, (p, d_, q), (P, D_, Q, s), params, beta_ols)
         if best is None:
             return rw_fallback()
-        aic, order, seas, params = best
-        det = _arma_forecast(
-            u, params, order[0], order[2], seas[0], seas[2], steps, s=seas[3]
-        )
+        aic, order, seas, params, beta = best
+        u = y - beta * x
+        if method == "ml":
+            det = _sarma_kalman_forecast(u, params, steps, s=seas[3])
+            if det is None:
+                return rw_fallback()
+        else:
+            det = _arma_forecast(
+                u, params, order[0], order[2], seas[0], seas[2], steps, s=seas[3]
+            )
 
         # exog RW+drift law (fit_rw_drift_params, cell 32: last-window diffs)
         dx = pd.Series(x).diff().dropna().tail(exog_fit_window)

@@ -728,13 +728,15 @@ def x5_monte_carlo_fan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x5_sarimax_exog_fan",
     "X5 (full parity path): SARIMAX-with-exogenous-regressor Monte-Carlo "
     "fan (EDA.ipynb cell 32 end-to-end) — per-group regression-with-"
-    "ARMA-errors AIC-grid fit in ONE applyInPandas crossing, then a "
+    "ARMA-errors AIC-grid fit (JOINT exact-ML over beta + ARMA coefs "
+    "via the pure-numpy Kalman likelihood, the statsmodels estimator; "
+    "fit_arma_exog_ml) in ONE applyInPandas crossing, then a "
     "fully native fan: because the model is linear in the exog, each "
     "path is det_h + beta*x_path, so the seeded exog path grid, clip, "
     "join and exact percentile fan all stay JVM-side.  monthly qty "
     "plays the exog (the reference's gdelt_ai_share analogue).  "
     "Hash-gated on the x_ann_recall_gate pattern (raw quantiles are "
-    "seeded-randn / partitioning-dependent and the CSS fit is "
+    "seeded-randn / partitioning-dependent and the ML fit is "
     "iterative, SURVEY.md §4 item 3, so values stay OUT of the hash; "
     "the fan LAWS go in): per (group, step) the oracle pins quantile-"
     "level monotonicity min<=p05<=p10<=p50<=p90<=p95<=max and mean in "

@@ -211,3 +211,76 @@ def test_method_validation():
 
     with pytest.raises(ValueError, match="method"):
         fit_best_arma_forecast(None, "g", "t", "v", method="exact")
+
+
+# ---------------------------------------------------------------------------
+# joint exog ML (regression with ARMA errors)
+# ---------------------------------------------------------------------------
+
+
+def test_exog_ml_recovers_beta_jointly():
+    """y = beta*x + u with seasonal-AR(1) integrated u: the joint ML
+    fit recovers beta and improves the likelihood over the two-step
+    start (it optimizes the same objective from that start)."""
+    from mcm_problem_f_data_wrangling_spark.operators.forecast import (
+        fit_arma_exog_ml,
+        sarma_loglik_concentrated,
+    )
+
+    rng = np.random.RandomState(11)
+    n, beta, phi = 150, 3.0, 0.5
+    x = 50.0 + np.cumsum(rng.normal(0.5, 1.0, n))
+    z = np.zeros(n)
+    e = rng.normal(0, 1.0, n)
+    for t in range(1, n):
+        z[t] = phi * z[t - 1] + e[t]
+    du = np.zeros(n)
+    for t in range(n):
+        du[t] = z[t] + (du[t - 12] if t >= 12 else 0.0)
+    y = beta * x + 1000.0 + np.cumsum(du)
+
+    def ddiff(v):
+        dv = np.diff(v)
+        return dv[12:] - dv[:-12]
+
+    zy, zx = ddiff(y), ddiff(x)
+    beta_ols = float(zx @ zy / (zx @ zx))
+    aic, b_ml, p_ml = fit_arma_exog_ml(zy, zx, 1, 0, 0, 0, beta0=beta_ols)
+    assert np.isfinite(aic)
+    assert abs(b_ml - beta) < 0.2
+    assert abs(p_ml["phi"] - phi) < 0.2
+    # joint ML cannot be worse than the two-step start on its own objective
+    from mcm_problem_f_data_wrangling_spark.operators.forecast import fit_arma_css
+
+    _, p2 = fit_arma_css(zy - beta_ols * zx, 1, 0, 0, 0)
+
+    def ll(beta_, p_):
+        return sarma_loglik_concentrated(
+            zy - beta_ * zx, p_["c"], p_["phi"], p_["Phi"], p_["theta"], p_["Theta"]
+        )
+
+    assert ll(b_ml, p_ml) >= ll(beta_ols, p2) - 1e-9
+
+
+def test_exog_fit_spark_ml_default(spark):
+    """fit_arma_exog_params defaults to the joint ML estimator and
+    keeps the rw_drift degradation for short series."""
+    from mcm_problem_f_data_wrangling_spark.operators.forecast import (
+        fit_arma_exog_params,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    x = 50.0 + np.cumsum(rng.normal(0.5, 1.0, 120))
+    u = np.cumsum(np.cumsum(rng.normal(0, 1.0, 120)) / 10.0)
+    for t in range(120):
+        rows.append(("g", t, float(2.0 * x[t] + u[t]), float(x[t])))
+    rows += [("short", t, 100.0 + t, 1.0) for t in range(8)]
+    df = spark.createDataFrame(rows, ["career", "t", "v", "xc"])
+    out = fit_arma_exog_params(df, "career", "t", "v", "xc", steps=3).toPandas()
+    lng = out[out["group"] == "g"]
+    assert lng["order"].iloc[0] != "rw_drift"
+    assert abs(lng["beta"].iloc[0] - 2.0) < 0.5
+    assert np.isfinite(lng["det"]).all()
+    sht = out[out["group"] == "short"]
+    assert (sht["order"] == "rw_drift").all() and (sht["beta"] == 0.0).all()
