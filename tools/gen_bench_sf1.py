@@ -8,10 +8,23 @@ builds a 10x tier at ``benchdata/sf1/`` (gitignored, ~1 GB) by
 key-shifted replication of sf0.1: each replica offsets every join key
 by ``rep * (max_key + 1)`` so referential integrity, key cardinality
 ratios, and join selectivities are preserved while fact rows grow 10x.
-Replica document texts get a ' r<rep>' suffix so the corpus is
-near-duplicate-shaped rather than 10x identical (bench queries are
-row-local or count-shaped over text, so the cost profile is unchanged
-either way).  Fixed dims (region, nation) copy as-is, like TPC-H.
+Replica document texts get a per-replica VOCABULARY RENAMING (every
+word w becomes w_r<rep>): each replica is the base corpus under a
+bijective token map, so within-replica text statistics — word/bigram
+document frequencies, lengths, the base's own planted near-dup
+structure — are preserved EXACTLY and scale linearly, while
+cross-replica shingle overlap is zero.  Three earlier cuts failed
+instructively: a ' r<rep>' suffix made every replica a J~0.97
+near-duplicate of its base (groups of 10 near-identical docs saturate
+the exact-Jaccard audit operators quadratically — x_lsh_recall_gate
+288 s, x_dedup_clusters_cc hung); a cyclic word ROTATION only breaks
+the ~3 shingles at the cut (J~0.90, same saturation); a hash-keyed
+word PERMUTATION broke near-dups but flattened the BIGRAM frequency
+distribution (uniform pairs over the ~30-word vocabulary → every
+shingle common → prefix filtering pruned nothing and the same ops
+degenerated to all-pairs).  Renaming is the only transform here that
+preserves the shape dedup cost actually depends on.
+Fixed dims (region, nation) copy as-is, like TPC-H.
 
 Everything is derived from the driver's own sf0.1 parquet — no new
 synthesis — and the output is written in 32 files per table so scans
@@ -79,7 +92,11 @@ def main() -> None:
             for col, grp in cols.items():
                 d = d.withColumn(col, (F.col(col) + F.lit(rep * offsets[grp])).cast("long"))
             if tbl == "documents" and rep > 0:
-                d = d.withColumn("text", F.concat(F.col("text"), F.lit(f" r{rep}")))
+                words = F.split(F.trim("text"), r"\s+")
+                renamed = F.transform(
+                    words, lambda w: F.concat(w, F.lit(f"_r{rep}"))
+                )
+                d = d.withColumn("text", F.array_join(renamed, " "))
                 d = d.withColumn("n_chars", F.length("text").cast("long"))
             parts.append(d)
         out = parts[0]

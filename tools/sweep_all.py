@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Full-suite execution sweep: run EVERY registry query end-to-end at a
+given sf dir through the noop sink (all columns computed, rows
+discarded executor-side — no count()-shaped plan pruning), print one
+JSON line per query and a slowest-N summary.
+
+This is the scale-cliff detector the r4 round used at sf0.1 (found the
+single-task sketch gate / boilerplate / ngram-jaccard replays); run it
+at benchdata/sf1 for the 10x tier.
+
+Usage: python tools/sweep_all.py [sf_dir] [top_n]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import traceback
+
+sys.path.insert(0, ".")
+
+from mcm_problem_f_data_wrangling_spark.plans import REGISTRY  # noqa: E402
+from mcm_problem_f_data_wrangling_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 15
+    spark = get_spark("sweep_all")
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+    failures: list[str] = []
+    t_all = time.time()
+    for name, q in REGISTRY.items():
+        t0 = time.time()
+        try:
+            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 2)
+            print(json.dumps({"query": name, "seconds": times[name]}), flush=True)
+        except Exception as ex:  # keep sweeping; report at the end
+            failures.append(name)
+            print(
+                json.dumps(
+                    {"query": name, "error": f"{type(ex).__name__}: {ex}"[:300]}
+                ),
+                flush=True,
+            )
+            traceback.print_exc(file=sys.stderr)
+    wall = round(time.time() - t_all, 1)
+    slowest = sorted(times.items(), key=lambda kv: -kv[1])[:top_n]
+    print(
+        json.dumps(
+            {
+                "summary": "sweep",
+                "sf_dir": sf_dir,
+                "n_queries": len(REGISTRY),
+                "n_failures": len(failures),
+                "failures": failures,
+                "wall_seconds": wall,
+                "slowest": dict(slowest),
+            }
+        ),
+        flush=True,
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
