@@ -440,6 +440,62 @@ def edit_distance_pairs(
     )
 
 
+def edit_distance_pair_counts(
+    df: DataFrame,
+    name_col: str,
+    band_cols: list[str],
+    id_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Per-(band, distance) fuzzy-pair COUNTS without materializing id
+    pairs — the scale form of :func:`edit_distance_pairs` when the
+    consumer wants aggregates.
+
+    Duplicate-heavy entity columns make the id-level band join
+    quadratic in the duplicate factor: with ``c`` rows per distinct
+    name, every name pair costs ``c²`` joined rows and the same-name
+    group alone is ``C(c,2)`` (the r5 sf1 sweep measured 87 s on a
+    corpus with 520 rows per distinct name — 3.3e9 joined rows for
+    384 distinct names).  Collapsing to (band, name, count) first
+    makes the verify join O(distinct²) and recovers the exact pair
+    counts arithmetically: cross-name pairs contribute ``c₁·c₂``,
+    same-name groups contribute ``C(c,2)`` at distance 0.  Identical
+    counts to aggregating :func:`edit_distance_pairs`; measured
+    87 s → ~1 s on that sweep corpus.  Output: (*band_cols, dist,
+    n_pairs)."""
+    from .skew import spread
+
+    g = (
+        spread(df)
+        .groupBy(*band_cols, name_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    a = g.select(
+        *band_cols, F.col(name_col).alias("name_1"), F.col("__c").alias("c_1")
+    )
+    b = g.select(
+        *band_cols, F.col(name_col).alias("name_2"), F.col("__c").alias("c_2")
+    )
+    cross = (
+        a.join(b, band_cols)
+        .filter(F.col("name_1") < F.col("name_2"))
+        .filter(F.abs(F.length("name_1") - F.length("name_2")) <= max_dist)
+        .withColumn("dist", F.levenshtein("name_1", "name_2", max_dist))
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
+        .select(*band_cols, "dist", (F.col("c_1") * F.col("c_2")).alias("__n"))
+    )
+    same = g.filter(F.col("__c") >= 2).select(
+        *band_cols,
+        F.lit(0).alias("dist"),
+        (F.col("__c") * (F.col("__c") - 1) / 2).cast("long").alias("__n"),
+    )
+    return (
+        cross.unionByName(same)
+        .groupBy(*band_cols, "dist")
+        .agg(F.sum("__n").cast("long").alias("n_pairs"))
+    )
+
+
 def chunk_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

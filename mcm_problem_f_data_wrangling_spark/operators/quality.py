@@ -149,6 +149,7 @@ def boilerplate_removal(
     seg_tokens: int = 3,
     max_df: int = 4,
     max_boiler_set: int = 10_000,
+    strategy: str = "auto",
 ) -> DataFrame:
     """CCNet-style corpus-level boilerplate ("line") removal.
 
@@ -171,18 +172,30 @@ def boilerplate_removal(
     the driver and the removal pass is a row-local array filter on a
     broadcast literal — no fact-to-fact join, no re-grouping shuffle
     to reassemble documents.  ``max_boiler_set`` guards the collect:
-    exceeding it raises rather than silently shipping an unbounded
-    set.  (The alternative — left_anti join on the exploded segments
-    plus a doc_id re-aggregation — costs two more full-corpus
-    shuffles and is only preferable when the boilerplate set itself
-    is too large to broadcast.)
-    ``max_boiler_set`` defaults near the literal-array break-even
-    (~10k): past that, plan size and the per-segment O(|boiler|)
-    membership scan make the anti-join formulation the right tool —
-    raising loudly beats silently building a megabyte Catalyst tree.
+    past the literal-array break-even (~10k), plan size and the
+    per-segment O(|boiler|) membership scan make broadcasting the
+    wrong tool.
+
+    ``strategy`` picks the removal engine:
+
+    - ``'broadcast'`` — the heavy-tail fast path above; raises when
+      the set exceeds ``max_boiler_set``.
+    - ``'anti_join'`` — the unbounded-set path: posexplode segments,
+      LEFT ANTI join against the boilerplate table (one shuffle keyed
+      on the segment), re-aggregate per doc in position order (one
+      doc-keyed shuffle).  Two more full-corpus shuffles than
+      broadcast, but no driver collect and no set-size ceiling.
+    - ``'auto'`` (default) — one O(1) count of the boilerplate table
+      decides: broadcast when it fits ``max_boiler_set``, anti-join
+      when it does not.  Both paths produce IDENTICAL rows (the r5
+      sf1 sweep found the renamed-vocabulary tier pushing the set to
+      10x the cap — the guard raised exactly as documented, and this
+      formulation is the documented answer).
     """
     from .skew import spread
 
+    if strategy not in ("auto", "broadcast", "anti_join"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     # spread: tokenization + segmentation is the dominant per-row cost
     # and runs at scan width — a single-row-group testdata scan
     # serializes it on one task (measured 8.6 s -> 1.0 s at sf0.1;
@@ -196,11 +209,49 @@ def boilerplate_removal(
         .agg(F.count_distinct(F.col(id_col)).alias("df"))
         .filter(F.col("df") > max_df)
     )
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if seg_df.count() <= max_boiler_set else "anti_join"
+        )
+
+    if strategy == "anti_join":
+        pos = segged.select(
+            F.col(id_col), F.posexplode("__segs").alias("__pos", "seg")
+        )
+        kept_rows = pos.join(seg_df.select("seg"), "seg", "left_anti")
+        rebuilt = kept_rows.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("__cleaned"),
+            F.count(F.lit(1)).alias("__n_kept"),
+        )
+        n_seg = F.size("__segs").cast("bigint")
+        n_kept = F.coalesce(F.col("__n_kept"), F.lit(0)).cast("bigint")
+        return (
+            segged.join(rebuilt, id_col, "left")
+            .select(
+                F.col(id_col),
+                n_seg.alias("n_segments"),
+                (n_seg - n_kept).alias("n_boiler"),
+                # a fully-boilerplate doc has no kept rows → empty text,
+                # matching the broadcast path's array_join([]) == ''
+                F.coalesce(F.col("__cleaned"), F.lit("")).alias("cleaned_text"),
+                F.round(
+                    F.try_divide((n_seg - n_kept).cast("double"), n_seg.cast("double")),
+                    9,
+                ).alias("removed_frac"),
+            )
+        )
+
     boiler = [r["seg"] for r in seg_df.select("seg").limit(max_boiler_set + 1).collect()]
     if len(boiler) > max_boiler_set:
         raise ValueError(
             f"boilerplate set exceeds max_boiler_set={max_boiler_set}; "
-            "raise the cap or switch to the anti-join formulation"
+            "raise the cap or use strategy='anti_join'"
         )
     # ONE array literal (a single py4j object), not F.array of |boiler|
     # F.lit columns — the latter builds a Catalyst node per element

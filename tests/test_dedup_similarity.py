@@ -215,6 +215,50 @@ def test_edit_distance_pairs_banded(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_edit_distance_pair_counts_matches_id_level(spark):
+    """The distinct-collapsed count form equals aggregating the
+    id-level pairs — including duplicate-name groups (C(c,2) at
+    dist 0) and cross-name multiplicities (c1*c2)."""
+    from pyspark.sql import functions as F
+
+    from mcm_problem_f_data_wrangling_spark.operators.dedup import (
+        edit_distance_pair_counts,
+        edit_distance_pairs,
+    )
+
+    rows = []
+    pid = 0
+    # 4 copies of "red widget", 3 of "red widgets", 2 of "blue bolt",
+    # 1 "red midget" in band A; copies of the same strings in band B
+    for band in ("A", "B"):
+        for name, c in (
+            ("red widget", 4),
+            ("red widgets", 3),
+            ("blue bolt", 2),
+            ("red midget", 1),
+        ):
+            for _ in range(c):
+                rows.append((pid, name, band))
+                pid += 1
+    df = spark.createDataFrame(rows, "pid long, name string, band string")
+    via_ids = {
+        (r["band"], r["dist"]): r["n"]
+        for r in edit_distance_pairs(df, "name", ["band"], "pid", max_dist=2)
+        .groupBy("band", "dist")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    via_counts = {
+        (r["band"], r["dist"]): r["n_pairs"]
+        for r in edit_distance_pair_counts(
+            df, "name", ["band"], "pid", max_dist=2
+        ).collect()
+    }
+    assert via_counts == via_ids
+    # sanity on the arithmetic: per band, dist 0 = C(4,2)+C(3,2)+C(2,2)
+    assert via_counts[("A", 0)] == 6 + 3 + 1
+
+
 def test_ivf_knn_join_recall_on_clustered_vectors(spark):
     import math
     import random

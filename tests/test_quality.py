@@ -170,7 +170,7 @@ class TestBoilerplateRemoval:
         assert all(r["n_boiler"] == 0 for r in out)
         assert {r["cleaned_text"] for r in out} == {"a b c d", "e f g h"}
 
-    def test_boiler_cap_raises(self, spark):
+    def test_boiler_cap_raises_on_explicit_broadcast(self, spark):
         from mcm_problem_f_data_wrangling_spark.operators.quality import (
             boilerplate_removal,
         )
@@ -179,7 +179,59 @@ class TestBoilerplateRemoval:
             [(i, "same text here") for i in range(6)], ["doc_id", "text"]
         )
         with pytest.raises(ValueError, match="max_boiler_set"):
-            boilerplate_removal(df, seg_tokens=3, max_df=1, max_boiler_set=0)
+            boilerplate_removal(
+                df, seg_tokens=3, max_df=1, max_boiler_set=0, strategy="broadcast"
+            )
+
+    def test_auto_falls_back_to_anti_join_past_cap(self, spark):
+        """auto with a 0 cap must route to the anti-join path and still
+        produce the broadcast path's exact rows."""
+        from mcm_problem_f_data_wrangling_spark.operators.quality import (
+            boilerplate_removal,
+        )
+
+        docs = self._docs(spark)
+        via_bcast = {
+            tuple(r)
+            for r in boilerplate_removal(
+                docs, seg_tokens=2, max_df=4, strategy="broadcast"
+            ).collect()
+        }
+        via_anti = {
+            tuple(r)
+            for r in boilerplate_removal(
+                docs, seg_tokens=2, max_df=4, max_boiler_set=0, strategy="auto"
+            ).collect()
+        }
+        assert via_anti == via_bcast
+
+    def test_anti_join_equivalence_with_pure_boiler_doc(self, spark):
+        from mcm_problem_f_data_wrangling_spark.operators.quality import (
+            boilerplate_removal,
+        )
+
+        docs = self._docs(spark)
+        a = sorted(
+            map(tuple, boilerplate_removal(docs, seg_tokens=2, max_df=4).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                boilerplate_removal(
+                    docs, seg_tokens=2, max_df=4, strategy="anti_join"
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_unknown_strategy_rejected(self, spark):
+        from mcm_problem_f_data_wrangling_spark.operators.quality import (
+            boilerplate_removal,
+        )
+
+        df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="strategy"):
+            boilerplate_removal(df, strategy="bogus")
 
 
 def test_observed_filter_funnel_counts_without_second_scan(spark, tmp_path):
