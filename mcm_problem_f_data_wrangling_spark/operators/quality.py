@@ -210,6 +210,15 @@ def boilerplate_removal(
         .filter(F.col("df") > max_df)
     )
     if strategy == "auto":
+        # Materialize the boilerplate table ONCE before the decision
+        # count — without this the count() action re-runs the full
+        # explode+groupBy that the chosen removal path then recomputes,
+        # doubling the dominant shuffle at 100 TB.  The table is small
+        # by construction (df > max_df survivors only), so the
+        # executor-local blocks are cheap; both paths below read the
+        # checkpointed result, so exactly one segment aggregation runs
+        # per call (asserted in tests/test_quality.py).
+        seg_df = seg_df.localCheckpoint(eager=True)
         strategy = (
             "broadcast" if seg_df.count() <= max_boiler_set else "anti_join"
         )

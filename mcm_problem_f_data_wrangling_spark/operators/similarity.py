@@ -35,7 +35,8 @@ def brute_force_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    # ONE array literal (single py4j/Catalyst node), not len(q) F.lit nodes
+    q = F.lit([float(v) for v in query_vec])
     return (
         df.select(
             F.col(id_col),
@@ -77,7 +78,8 @@ def ivf_topk(
     prunes to the probed partitions (with the table partitioned by
     cell on disk, this is partition pruning, not a filter).
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    # ONE array literal (single py4j/Catalyst node), not len(q) F.lit nodes
+    q = F.lit([float(v) for v in query_vec])
     cents = centroids_by_cell(df, vec_col, cell_col)
     probed = (
         cents.select("cell", cosine_similarity(F.col("centroid"), q).alias("qcos"))
@@ -122,9 +124,9 @@ def _centroid_choices(vec_col: str, centroids: list[list[float]]) -> F.Column:
     """``array<struct<c: cosine, cell: int>>`` against every centroid —
     one ``transform`` over an array-of-arrays literal (single code
     path; see :func:`assign_cells` scale note)."""
-    cents = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
-    )
+    # ONE nested array literal — k x dim F.lit nodes cost O(k*dim) py4j
+    # calls and bloat the Catalyst tree; a single literal is one node
+    cents = F.lit([[float(v) for v in c] for c in centroids])
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
     return F.transform(
         idx,
@@ -135,12 +137,26 @@ def _centroid_choices(vec_col: str, centroids: list[list[float]]) -> F.Column:
     )
 
 
+def _collect_train_sample(
+    df: DataFrame, vec_col: str, id_col: str, sample_n: int
+) -> "list[list[float]]":
+    """Deterministic bounded training sample: the ``sample_n``
+    lowest-id vectors, fetched with ONE TakeOrdered job (map-side
+    partial top-N per partition + driver merge — never a full sort;
+    at 100 TB this reads two columns and ships ≤ sample_n rows)."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    if not rows:
+        raise ValueError("empty input — nothing to train on")
+    return [[float(v) for v in r[1]] for r in rows]
+
+
 def train_ivf_cells(
     df: DataFrame,
     k: int = 10,
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample_n: int = 65536,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Spherical k-means coarse quantizer (Lloyd iterations on cosine).
 
@@ -148,26 +164,44 @@ def train_ivf_cells(
     random w.r.t. cosine direction (IVF recall over it ≈ the scanned
     fraction), so a real deployment trains the codebook: init from the
     first k vectors by id (deterministic), then assign → mean →
-    re-assign.  Per iteration: one broadcast-literal map for
-    assignment, one (cell, pos) shuffle for the means.  Returns the
-    assigned DataFrame and the final centroids.
+    re-assign.
+
+    Training runs DRIVER-SIDE over a deterministic bounded sample
+    (``sample_n`` lowest-id vectors, one TakeOrdered job) — the FAISS
+    production layout: the coarse codebook is O(k·d) and k-means
+    converges on a bounded sample, so the cluster never pays ``iters``
+    full-corpus shuffles for it (the previous formulation's per-
+    iteration (cell, pos) aggregate is exactly the shuffle a 100 TB
+    corpus cannot afford, and at gate scale its per-iteration job
+    overhead dominated the ANN gate queries).  The full corpus is only
+    ever touched by the returned lazy ``assign_cells`` map.
 
     Training is FP-order-dependent (mean of doubles), so trained-cell
     search quality is asserted by recall properties in tests, not by a
     cross-engine hash oracle (the oracle checks the provided-label
     mechanism instead).
     """
-    init = (
-        df.orderBy(id_col).limit(k).select(vec_col).collect()
+    import numpy as np
+
+    X = np.asarray(
+        _collect_train_sample(df, vec_col, id_col, sample_n), dtype=np.float64
     )
-    centroids = [[float(v) for v in r[0]] for r in init]
-    assigned = None
+    cent = X[:k].copy()
     for _ in range(iters):
-        assigned = assign_cells(df, centroids, vec_col)
-        cents = centroids_by_cell(assigned, vec_col, "cell").orderBy("cell").collect()
-        by_cell = {r["cell"]: [float(v) for v in r["centroid"]] for r in cents}
-        centroids = [by_cell.get(i, centroids[i]) for i in range(len(centroids))]
-    return assigned, centroids
+        xn = np.linalg.norm(X, axis=1, keepdims=True)
+        cn = np.linalg.norm(cent, axis=1, keepdims=True)
+        sims = np.divide(X, np.where(xn == 0, 1.0, xn)) @ np.divide(
+            cent, np.where(cn == 0, 1.0, cn)
+        ).T
+        # ties: pick the HIGHEST cell, matching assign_cells' struct
+        # array_max (equal cosine → larger cell index wins)
+        lab = (sims.shape[1] - 1) - np.argmax(sims[:, ::-1], axis=1)
+        for j in range(len(cent)):
+            m = lab == j
+            if m.any():
+                cent[j] = X[m].mean(axis=0)
+    centroids = [[float(v) for v in c] for c in cent]
+    return assign_cells(df, centroids, vec_col), centroids
 
 
 def semantic_dedup(
@@ -340,6 +374,26 @@ def query_vector_of(df: DataFrame, vec_id: int, vec_col: str = "embedding", id_c
     return [float(v) for v in row[0]]
 
 
+def query_vectors_of(
+    df: DataFrame,
+    vec_ids: "list[int] | tuple[int, ...]",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict[int, list[float]]:
+    """Driver-side fetch of SEVERAL query vectors in one job (an
+    IN-filter scan instead of one job per id)."""
+    rows = (
+        df.filter(F.col(id_col).isin(list(vec_ids)))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    got = {int(r[0]): [float(v) for v in r[1]] for r in rows}
+    missing = set(int(i) for i in vec_ids) - set(got)
+    if missing:
+        raise KeyError(f"no vector with {id_col} in {sorted(missing)}")
+    return got
+
+
 # --- Product quantization (PQ) -------------------------------------------
 #
 # The memory-bound ANN tier: each vector compresses to m sub-space code
@@ -386,9 +440,7 @@ def _pq_code_col(vec_col: str, codebooks: list[list[list[float]]]):
     subcodes = []
     for s in range(m):
         subvec = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        cents = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for c in codebooks[s]]
-        )
+        cents = F.lit([[float(v) for v in c] for c in codebooks[s]])
         choices = F.transform(
             F.sequence(F.lit(0), F.lit(k - 1)), argmin_fn(subvec, cents)
         )
@@ -414,57 +466,48 @@ def train_pq(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample_n: int = 65536,
 ) -> list[list[list[float]]]:
     """Per-subspace Lloyd k-means → codebooks[m][k][dim/m].
 
     Init: sub-vectors of the first ``k`` vectors by id (deterministic).
-    Each iteration: one map-only encode (argmin over literal
-    centroids) + one (sub, code, pos) aggregate for the new means —
-    the table is scanned, never shuffled at vector width.  Like the
-    IVF trainer, means are FP-order-dependent, so PQ quality is
+    Like :func:`train_ivf_cells`, training runs DRIVER-SIDE over a
+    deterministic bounded sample (one TakeOrdered job) — the FAISS
+    layout: codebooks are O(m·k·dsub) and converge on a sample, so a
+    100 TB corpus never pays per-iteration encode+aggregate passes for
+    them; only the one-shot :func:`encode_pq` map touches every row.
+    Ties in the argmin pick the lowest code id, matching encode_pq's
+    struct array_min.  Means are FP-order-dependent, so PQ quality is
     asserted by recall properties in tests rather than a cross-engine
     hash oracle.
     """
-    first = df.select(vec_col).first()
-    if first is None:
-        raise ValueError("train_pq: empty input — nothing to train on")
-    dim = len(first[0])
+    import numpy as np
+
+    X = np.asarray(
+        _collect_train_sample(df, vec_col, id_col, sample_n), dtype=np.float64
+    )
+    dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    init = df.orderBy(id_col).limit(k).select(vec_col).collect()
-    codebooks = [
-        [[float(v) for v in r[0][s * dsub : (s + 1) * dsub]] for r in init]
-        for s in range(m)
-    ]
-    for _ in range(iters):
-        enc = encode_pq(df, codebooks, vec_col)
-        subrows = enc.select(
-            F.posexplode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.element_at("pq_code", s + 1).alias("code"),
-                            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("sv"),
-                        )
-                        for s in range(m)
-                    ]
-                )
-            ).alias("sub", "sc")
-        )
-        means = (
-            subrows.select("sub", F.col("sc.code").alias("code"), F.posexplode("sc.sv").alias("pos", "v"))
-            .groupBy("sub", "code", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("c"))
-            .groupBy("sub", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-            .select("sub", "code", F.transform("pc", lambda x: x["c"]).alias("centroid"))
-            .collect()
-        )
-        got = {(r["sub"], r["code"]): [float(v) for v in r["centroid"]] for r in means}
-        codebooks = [
-            [got.get((s, j), codebooks[s][j]) for j in range(k)] for s in range(m)
-        ]
+    codebooks: list[list[list[float]]] = []
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        cb = sub[:k].copy()
+        for _ in range(iters):
+            # ||x-c||² = ||x||² + ||c||² - 2x·c without the (n,k,dsub)
+            # broadcast temp — O(n·k) memory at any sample size
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                + (cb * cb).sum(axis=1)[None, :]
+                - 2.0 * (sub @ cb.T)
+            )
+            lab = np.argmin(d2, axis=1)  # ties → lowest code id
+            for j in range(k):
+                msk = lab == j
+                if msk.any():
+                    cb[j] = sub[msk].mean(axis=0)
+        codebooks.append([[float(v) for v in c] for c in cb])
     return codebooks
 
 
@@ -491,7 +534,7 @@ def _adc_dist_col(
     ]
     parts = [
         F.element_at(
-            F.array(*[F.lit(float(d)) for d in lut[s]]),
+            F.lit([float(d) for d in lut[s]]),
             F.element_at(code_col, s + 1) + 1,
         )
         for s in range(m)
@@ -569,9 +612,7 @@ def ivfpq_build(
     assigned, cents = train_ivf_cells(
         df, k=k_cells, iters=iters, vec_col=vec_col, id_col=id_col
     )
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
-    )
+    cent_arr = F.lit([[float(v) for v in c] for c in cents])
     resid = assigned.withColumn(
         "_resid",
         F.zip_with(

@@ -28,40 +28,41 @@ _ALL = (
 # same window.  Every query keeps its oracle either way — the builder's
 # mirror (tools/check_parity.py) always runs ALL of them.
 _FRONT = [
-    # --- ROUND-5 window (first ~50 = driver budget): after r4 the
-    # --- cumulative driver-verified set is 192/203 oracle-bearing
-    # --- queries.  r5 front-loads the LAST 11 never-driver-gated
-    # --- oracle-bearing queries (VERDICT r4 task 1) so every oracle-
-    # --- bearing query carries the hard driver signal at least once,
-    # --- then fills the remaining slots with a regression-canary
-    # --- sample of older greens — the MinHash family first (it broke
-    # --- once, in r3), then the bench headliners, then one query per
-    # --- remaining family.  All no-oracle queries are EXCLUDED from
-    # --- the window (they'd burn slots on permanent `err: no_oracle`
-    # --- rows).  Every query keeps its oracle either way — the
-    # --- builder's mirror (tools/check_parity.py) always runs ALL.
+    # --- ROUND-6 window (first ~50 = driver budget): after r5 every
+    # --- oracle-bearing query has carried the hard driver signal at
+    # --- least once EXCEPT x_sim_search_ivfpq.  r6 front-loads (a)
+    # --- everything whose implementation changed THIS round — the
+    # --- similarity family (numpy bounded-sample trainers + single
+    # --- F.lit literals + batched gate jobs), the split-agg sketch
+    # --- gate, the boilerplate localCheckpoint — (b) the three
+    # --- multimodal queries freshly converted from rows-only to
+    # --- structural-law hash oracles plus the new x4 gate, (c) the
+    # --- queries VERDICT r5 flagged as changed after the r5 gate ran,
+    # --- then fills with the usual canaries (MinHash family first —
+    # --- it broke once, in r3 — then bench headliners, then one per
+    # --- family).  No-oracle queries are EXCLUDED from the window
+    # --- (they'd burn slots on permanent `err: no_oracle` rows).
+    # --- Every query keeps its oracle either way — the builder's
+    # --- mirror (tools/check_parity.py) always runs ALL.
     "flagship_career_collapse",   # driver smoke target stays first
-    # --- the 11 never-driver-gated oracle-bearing queries ---
-    "s24_peak_hour_profile",
-    "s25_event_cooccurrence",
-    "s26_data_freshness",
-    "s27_cusum_alarm",
-    "s28_conversion_latency",
-    "s29_event_trigrams",
-    "x_graph_kcore",
-    "x3_holt_winters",
-    "src04_orc_roundtrip",
-    "src05_jsonl_quarantine",
-    "src06_schema_evolution",
-    # --- freshly oracle-backed this round (was rows-only in r1-r4;
-    # --- converted to hash-checked gate queries per VERDICT r4 task 4)
+    # --- (a) changed this round: must re-gate on current impl ---
+    "x_sim_search_ivfpq",         # also the one never-driver-gated query
     "x_sim_search_pq",
-    "x_embed_pca_project",
+    "x_sim_search_ivf",
+    "x_sim_search_bruteforce",
+    "x_ann_recall_gate",
     "x_embed_semdedup",
-    "x_bpe_token_stats",
-    "x5_monte_carlo_fan",
+    "x_sketch_accuracy_gate",
+    "x_boilerplate_lines",
+    # --- (b) freshly oracle-backed this round ---
+    "x_multimodal_decode_stub",
+    "x_multimodal_feature_extract",
+    "x_multimodal_frame_pipeline",
+    "x4_diagnostics_gate",
+    # --- (c) changed after the r5 gate ran (VERDICT r5 task 1) ---
+    "x_dedup_clusters_cc",
+    "x_fuzzy_name_match",
     "x5_sarimax_exog_fan",
-    "x_sketch_approx_stats",
     # --- regression canaries: MinHash/dedup family first (r3's only
     # --- break was here — x_dedup_minhash_* oracle drift)
     "x_minhash_signatures",
@@ -74,7 +75,6 @@ _FRONT = [
     "x_dedup_simhash_hamming",
     "x_dedup_containment",
     "x_dedup_canonical_pick",
-    "x_dedup_clusters_cc",
     "x_dedup_exact_fingerprint",
     "x_dedup_rate_by_source",
     "x_dedup_chunks",
@@ -83,8 +83,6 @@ _FRONT = [
     "j03_fact_dict_broadcast",
     "a06_quantile_summary",
     "w02_rolling_mean",
-    "x_sim_search_bruteforce",
-    "x_sim_search_ivf",
     "x_text_quality",
     "x_doc_chunking",
     "q05_star_join_revenue",
@@ -99,13 +97,17 @@ _FRONT = [
     "u01_union_long_format",      # union
     "x_graph_pagerank",           # iterative graph
     "x_graph_triangles",
+    "x_graph_kcore",
     "x_decontaminate_ngram_overlap",
     "x_pack_sequences",           # packing
     "x_e2e_training_corpus",      # end-to-end pipeline
-    "x_boilerplate_lines",        # chunk dedup
     "x_dup_span_detection",
-    "x_ann_recall_gate",          # accuracy gates
-    "x_sketch_accuracy_gate",
+    "x_embed_pca_project",        # r5 hash-gate conversions
+    "x_bpe_token_stats",
+    "x5_monte_carlo_fan",
+    "x_sketch_approx_stats",
+    "x3_holt_winters",
+    "x_curation_hash_split",
 ]
 
 # The external driver verifies roughly this many registry-order

@@ -650,6 +650,85 @@ def x4_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_diagnostics(m, "flag", "month", "revenue").orderBy("group")
 
 
+# Exact goldens for the planted-series X4 gate below: produced by THIS
+# repo's from-scratch implementations and cross-checked against the
+# published-table anchors (MacKinnon 1994 response surface; KPSS 1992
+# Table 1) in tests/test_diagnostics_golden.py — ar1 must hard-reject
+# the unit root, the random walk must not, the planted 12-cycle must
+# dominate the periodogram.  Any change to lag selection, detrending,
+# or the Newey-West kernel moves these and flips a gate boolean.
+_X4_GOLDEN = {
+    # group: (adf_stat, adf_p, kpss_stat, kpss_p, acf1, yj_lambda)
+    "ar1": (-7.514092106045581, 3.945041169358975e-11,
+            0.20703780121861332, 0.10, 0.5124380216267279, 1.0),
+    "rw": (-2.6016871957715844, 0.09264905954208903,
+           4.262428739777127, 0.01, 0.9837231601878814, 1.1),
+    "seasonal": (-3.09959244388872, 0.02658336416576898,
+                 0.02353458711422884, 0.10, 0.850568219238897, 0.7),
+}
+
+
+@_q(
+    "x4_diagnostics_gate",
+    "Driver-checkable X4 core (VERDICT r5 task 8): run_diagnostics — "
+    "the SAME applyInPandas operator x4_diagnostics uses — over three "
+    "planted known-process series (stationary AR(1) phi=0.5, random "
+    "walk, 12-period seasonal; numpy RandomState(20260814), fully "
+    "deterministic).  The oracle pins the decision booleans and "
+    "seasonal periods as exact values and every statistic to within "
+    "1e-6 of the goldens that tests/test_diagnostics_golden.py anchors "
+    "against the published MacKinnon/KPSS tables — so the ADF "
+    "auxiliary regression, Newey-West kernel, Yeo-Johnson MLE grid, "
+    "and periodogram all carry a driver hash signal despite the "
+    "iterative cores not being SQL-expressible.",
+    """
+SELECT g AS "group", CAST(240 AS BIGINT) AS n_obs, adf_reject, kpss_reject,
+       CAST(period AS BIGINT) AS seasonal_period,
+       TRUE AS adf_ok, TRUE AS adf_p_ok, TRUE AS kpss_ok, TRUE AS kpss_p_ok,
+       TRUE AS acf1_ok, TRUE AS yj_ok
+FROM (VALUES ('ar1', TRUE, FALSE, 3),
+             ('rw', FALSE, TRUE, 6),
+             ('seasonal', TRUE, FALSE, 12)) v(g, adf_reject, kpss_reject, period)
+""",
+    tags=("M3", "model", "gate"),
+)
+def x4_diagnostics_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    rng = np.random.RandomState(20260814)
+    e = rng.randn(240)
+    ar = np.zeros(240)
+    for t in range(1, 240):
+        ar[t] = 0.5 * ar[t - 1] + e[t]
+    rw = np.cumsum(rng.randn(240))
+    seas = 10 + np.sin(2 * np.pi * np.arange(240) / 12) + 0.1 * rng.randn(240)
+    rows = []
+    for name, y in (("ar1", ar), ("rw", rw), ("seasonal", seas)):
+        rows += [(name, int(t), float(v)) for t, v in enumerate(y)]
+    sdf = spark.createDataFrame(rows, "group string, t int, y double")
+    d = run_diagnostics(sdf, "group", "t", "y")
+    gold = spark.createDataFrame(
+        [(g, *v) for g, v in _X4_GOLDEN.items()],
+        "group string, g_adf double, g_adf_p double, g_kpss double, "
+        "g_kpss_p double, g_acf1 double, g_yj double",
+    )
+    d = d.join(F.broadcast(gold), "group")
+    tol = 1e-6
+    return d.select(
+        "group",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("adf_reject_unit_root_5pct").alias("adf_reject"),
+        F.col("kpss_reject_stationary_5pct").alias("kpss_reject"),
+        F.col("seasonal_period").cast("long").alias("seasonal_period"),
+        (F.abs(F.col("adf_stat") - F.col("g_adf")) <= tol).alias("adf_ok"),
+        (F.abs(F.col("adf_pvalue") - F.col("g_adf_p")) <= tol).alias("adf_p_ok"),
+        (F.abs(F.col("kpss_stat") - F.col("g_kpss")) <= tol).alias("kpss_ok"),
+        (F.abs(F.col("kpss_pvalue") - F.col("g_kpss_p")) <= tol).alias("kpss_p_ok"),
+        (F.abs(F.col("acf1") - F.col("g_acf1")) <= tol).alias("acf1_ok"),
+        (F.abs(F.col("yj_lambda") - F.col("g_yj")) <= tol).alias("yj_ok"),
+    )
+
+
 @_q(
     "x5_monte_carlo_fan",
     "X5: Monte-Carlo fan forecast — native seeded path simulation "
@@ -779,8 +858,21 @@ def x5_sarimax_exog_fan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_multimodal_decode_stub",
     "Multimodal decode plumbing end-to-end: binary payloads through the "
     "Arrow-batched mapInPandas decode stage (deterministic stub decoder "
-    "— media libs absent; see operators.multimodal). Rows-only check.",
-    None,  # stub decoder is Python-side by design
+    "— media libs absent; see operators.multimodal).  Hash-gated via "
+    "structural laws (the PQ/PCA envelope pattern): byte_len must equal "
+    "the payload's octet length (SQL-recomputable), and the stub's "
+    "internal consistency — height, mean_luma, and n_frames all derive "
+    "from the same byte-sum h as width — is pinned per row "
+    "(height == 64+((width-64)*7)%1024; mean_luma == ((width-64)%256)/255; "
+    "image → exactly 1 frame).  A batch misalignment, row mixup, or "
+    "schema drift in the Arrow plumbing flips a boolean and fails the "
+    "value hash; only the decoder internals stay un-oracled.",
+    """
+SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS media_type,
+       CAST(strlen(text) AS BIGINT) AS byte_len,
+       TRUE AS geom_ok, TRUE AS luma_ok, TRUE AS frames_ok
+FROM documents
+""",
     tags=("M4", "multimodal"),
 )
 def x_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -790,7 +882,21 @@ def x_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("media_type"),
         F.col("source").alias("source_uri"),
     )
-    return decode_media(docs)
+    d = decode_media(docs)
+    h = F.col("width") - 64  # the stub's byte-sum h, mod 1024
+    return d.select(
+        "media_id",
+        "media_type",
+        "byte_len",
+        (
+            (F.col("width").between(64, 64 + 1023))
+            & (F.col("height") == (h * 7) % 1024 + 64)
+        ).alias("geom_ok"),
+        (F.abs(F.col("mean_luma") - (h % 256).cast("double") / 255.0) <= 1e-12).alias(
+            "luma_ok"
+        ),
+        (F.col("n_frames") == 1).alias("frames_ok"),
+    )
 
 
 @_q(
@@ -798,9 +904,17 @@ def x_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Multimodal feature-extract stage: payload → fixed-dim embedding "
     "via Arrow-batched mapInPandas (stub encoder — byte histogram; "
     "schema/batch shape real, output feeds similarity search "
-    "unchanged). Embedding checked via JVM-side size + L1 aggregate. "
-    "Rows-only check.",
-    None,  # Python-side stub encoder by design
+    "unchanged).  Hash-gated via structural laws: the embedding must "
+    "be exactly FEATURE_DIM wide, every component in [0,1], and "
+    "L1-normalized (sum == 1 for any non-empty payload; the corpus "
+    "has none empty) — checked JVM-side with size + aggregate over "
+    "the array and pinned TRUE per row, so a batch misalignment or "
+    "normalization regression fails the value hash.",
+    """
+SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS media_type,
+       CAST(8 AS INT) AS dim, TRUE AS l1_ok, TRUE AS range_ok
+FROM documents
+""",
     tags=("M4", "multimodal"),
 )
 def x_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,13 +924,15 @@ def x_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("media_type"),
     )
     feats = extract_features(docs)
+    l1 = F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x)
     return feats.select(
         "media_id",
         "media_type",
         F.size("embedding").alias("dim"),
-        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 6).alias(
-            "embedding_l1"
-        ),
+        (F.abs(l1 - 1.0) <= 1e-9).alias("l1_ok"),
+        F.forall(
+            "embedding", lambda x: (x >= 0.0) & (x <= 1.0)
+        ).alias("range_ok"),
     )
 
 
@@ -1569,7 +1685,14 @@ def x_sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "accuracy=10000).  The oracle mirrors the exact values and pins "
     "the booleans TRUE — a sketch drifting out of envelope flips a "
     "boolean and fails the value-hash gate, which turns sketch "
-    "accuracy from a pytest-only claim into a driver-verified row.",
+    "accuracy from a pytest-only claim into a driver-verified row.  "
+    "Round-6 scale fix: COUNT(DISTINCT) mixed with the buffer-heavy "
+    "aggregates in ONE agg triggers Catalyst's distinct-rewrite "
+    "(Expand doubles every row and the percentile/HLL buffers fall "
+    "off the hash-agg fast path) — 234 s at sf1.  Splitting the "
+    "distinct count into its own aggregation and joining on the "
+    "3-row group key keeps every aggregate on the partial-agg fast "
+    "path: 10 s at sf1, whole corpus, semantics identical.",
     """
 SELECT l_returnflag,
        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
@@ -1586,8 +1709,14 @@ def x_sketch_accuracy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # testdata.  Round-robin first: 57 s -> 16 s at sf0.1 (identity at
     # production scan widths).
     li = spread(table(spark, sf_dir, "lineitem"))
+    # COUNT(DISTINCT) stays in its OWN aggregation: combined with the
+    # buffer aggregates it triggers the distinct-rewrite Expand (2x
+    # rows, sort-based agg) — measured 23x slower at sf1.  The join is
+    # on the 3-row group key, broadcast for free.
+    dist = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
     agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_distinct"),
         F.percentile("l_extendedprice", F.lit(0.5)).alias("_exact_p50"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("_hllpp"),
         F.hll_sketch_estimate(
@@ -1597,6 +1726,7 @@ def x_sketch_accuracy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_gk_p50"
         ),
     )
+    agg = dist.join(agg, "l_returnflag")
 
     return agg.select(
         "l_returnflag",
@@ -1718,8 +1848,20 @@ def x_quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Arrow-batched plumbing) → resize geometry (JVM) → frame-sample "
     "plan (sequence+explode, JVM) → per-media frame counts.  The only "
     "Python stage is the decode stub; everything downstream of it is "
-    "whole-plan Spark.  Rows-only check (stub decode is Python-side).",
-    None,
+    "whole-plan Spark.  Hash-gated via structural laws: resize must "
+    "bound the longest side at 256, images must sample 0 frames, and "
+    "the stride-10 sampling arithmetic must self-agree "
+    "(last_frame_idx == (n_sampled-1)*10 when sampled, -1 when not; "
+    "never more than ceil(300/10) samples) — pinned TRUE per row "
+    "alongside the SQL-recomputed media-type mix, so a join/explode "
+    "regression anywhere in the chain fails the value hash.",
+    """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'video' ELSE 'audio' END AS media_type,
+       TRUE AS size_ok, TRUE AS image_ok, TRUE AS stride_ok
+FROM documents
+""",
     tags=("M4", "multimodal"),
 )
 def x_multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1742,15 +1884,22 @@ def x_multimodal_frame_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled_frames"),
         F.max("frame_idx").alias("last_frame_idx"),
     )
+    n_s = F.coalesce(F.col("n_sampled_frames"), F.lit(0))
+    last = F.coalesce(F.col("last_frame_idx"), F.lit(-1))
     return (
         resized.join(per_media, "media_id", "left")
         .select(
             "media_id",
             "media_type",
-            "width",
-            "height",
-            F.coalesce("n_sampled_frames", F.lit(0)).alias("n_sampled_frames"),
-            F.coalesce("last_frame_idx", F.lit(-1)).alias("last_frame_idx"),
+            (
+                (F.greatest("width", "height") <= 256)
+                & (F.least("width", "height") >= 1)
+            ).alias("size_ok"),
+            ((F.col("media_type") != "image") | (n_s == 0)).alias("image_ok"),
+            (
+                F.when(n_s == 0, last == -1).otherwise(last == (n_s - 1) * 10)
+                & (n_s <= 30)
+            ).alias("stride_ok"),
         )
     )
 
@@ -2467,32 +2616,44 @@ def x_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_pq,
         pq_adc_topk,
         pq_search_rerank,
-        query_vector_of,
+        query_vectors_of,
         train_pq,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    # spread before cache: the single-row-group scan would otherwise
+    # serialize every downstream map on one task
+    emb = spread(table(spark, sf_dir, "embeddings"))
     emb.cache().count()
     cb = train_pq(emb, m=8, k=16, iters=2)
     codes = encode_pq(emb, cb).select("vec_id", "pq_code").persist()
+    qids = (0, 1, 2)
     out = []
     try:
-        for qid in (0, 1, 2):
-            q = query_vector_of(emb, qid)
-            # top-k collects are O(k) rows each (documented driver-side
-            # scalars, same as x_ann_recall_gate)
-            exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
-            adc = {
-                r["vec_id"] for r in pq_adc_topk(codes, cb, q, k=10).collect()
-            }
-            rerank = {
-                r["vec_id"]
-                for r in pq_search_rerank(
-                    emb, codes, cb, q, k=10, shortlist=50
-                ).collect()
-            }
-            r_adc = len(exact & adc) / 10.0
-            r_rr = len(exact & rerank) / 10.0
+        qs = query_vectors_of(emb, qids)
+
+        # ONE job per comparison family: union the per-qid top-k legs
+        # (each O(k) rows) and collect once — the per-qid loop of
+        # separate collects paid job overhead 9x for 90 rows total
+        def _sets(mk):
+            legs = [
+                mk(qs[qid]).withColumn("__qid", F.lit(qid)) for qid in qids
+            ]
+            u = legs[0]
+            for leg in legs[1:]:
+                u = u.unionByName(leg)
+            got: dict[int, set] = {qid: set() for qid in qids}
+            for r in u.select("__qid", "vec_id").collect():
+                got[r["__qid"]].add(r["vec_id"])
+            return got
+
+        exact = _sets(lambda q: brute_force_topk(emb, q, k=10))
+        adc = _sets(lambda q: pq_adc_topk(codes, cb, q, k=10))
+        rerank = _sets(
+            lambda q: pq_search_rerank(emb, codes, cb, q, k=10, shortlist=50)
+        )
+        for qid in qids:
+            r_adc = len(exact[qid] & adc[qid]) / 10.0
+            r_rr = len(exact[qid] & rerank[qid]) / 10.0
             out.append((qid, 10, r_rr >= 0.2, r_rr >= r_adc))
     finally:
         codes.unpersist()
@@ -2534,26 +2695,56 @@ def x_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         brute_force_topk,
         ivfpq_build,
         ivfpq_topk,
-        query_vector_of,
+        query_vectors_of,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    # spread before cache: the single-row-group scan would otherwise
+    # serialize every downstream map on one task
+    emb = spread(table(spark, sf_dir, "embeddings"))
     emb.cache().count()
     codes, cb, cents = ivfpq_build(emb, k_cells=10, m=8, k_codes=16, iters=2)
     codes = codes.persist()
+    qids = (0, 1, 2)
     out = []
     try:
-        for qid in (0, 1, 2):
-            q = query_vector_of(emb, qid)
-            exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+        qs = query_vectors_of(emb, qids)
+        # batch the 3 exact baselines into ONE job, and the 6
+        # qid x n_probe searches into ONE job: every leg is an O(k)-row
+        # top-k, so the union collects 90 rows total instead of paying
+        # 9 separate jobs' scheduling+codegen overhead
+        ex_legs = [
+            brute_force_topk(emb, qs[qid], k=10).withColumn("__qid", F.lit(qid))
+            for qid in qids
+        ]
+        u = ex_legs[0]
+        for leg in ex_legs[1:]:
+            u = u.unionByName(leg)
+        exact: dict[int, set] = {qid: set() for qid in qids}
+        for r in u.select("__qid", "vec_id").collect():
+            exact[r["__qid"]].add(r["vec_id"])
+
+        got_legs = []
+        for qid in qids:
             for n_probe in (1, 2):
-                got = {
-                    r["vec_id"]
-                    for r in ivfpq_topk(
-                        emb, codes, cb, cents, q, k=10, n_probe=n_probe, shortlist=50
-                    ).collect()
-                }
-                out.append((qid, n_probe, 10, len(exact & got) / 10.0 >= 0.3))
+                got_legs.append(
+                    ivfpq_topk(
+                        emb, codes, cb, cents, qs[qid],
+                        k=10, n_probe=n_probe, shortlist=50,
+                    )
+                    .withColumn("__qid", F.lit(qid))
+                    .withColumn("__np", F.lit(n_probe))
+                )
+        u = got_legs[0]
+        for leg in got_legs[1:]:
+            u = u.unionByName(leg)
+        got: dict[tuple[int, int], set] = {}
+        for r in u.select("__qid", "__np", "vec_id").collect():
+            got.setdefault((r["__qid"], r["__np"]), set()).add(r["vec_id"])
+
+        for qid in qids:
+            for n_probe in (1, 2):
+                hits = exact[qid] & got.get((qid, n_probe), set())
+                out.append((qid, n_probe, 10, len(hits) / 10.0 >= 0.3))
     finally:
         codes.unpersist()
         emb.unpersist()

@@ -224,6 +224,29 @@ class TestBoilerplateRemoval:
         )
         assert a == b
 
+    def test_auto_aggregates_segments_once(self, spark):
+        """'auto' must materialize the boilerplate table BEFORE the
+        decision count — the returned plan (either path) reads the
+        checkpointed table, not a second explode+groupBy.  Without the
+        localCheckpoint the count() action and the removal path each
+        run the full segment aggregation (the dominant shuffle)."""
+        from mcm_problem_f_data_wrangling_spark.operators.quality import (
+            boilerplate_removal,
+        )
+
+        docs = self._docs(spark)
+        # force the anti-join route: the returned plan JOINS seg_df, so
+        # a recomputed (non-checkpointed) seg_df would show up as a
+        # count_distinct aggregate in the plan
+        out = boilerplate_removal(
+            docs, seg_tokens=2, max_df=4, max_boiler_set=0, strategy="auto"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan, "anti-join side must be the checkpoint"
+        assert "count(distinct" not in plan.lower().replace(" ", ""), (
+            "segment df-count aggregate recomputed in the removal plan"
+        )
+
     def test_unknown_strategy_rejected(self, spark):
         from mcm_problem_f_data_wrangling_spark.operators.quality import (
             boilerplate_removal,

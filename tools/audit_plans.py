@@ -39,6 +39,7 @@ PYTHON_OK = {
     "x5_sarimax_exog_fan",
     "x3_drift_fit_forecast",
     "x4_diagnostics",
+    "x4_diagnostics_gate",  # same applyInPandas core, planted series
     "x5_monte_carlo_fan",
     "x_multimodal_decode_stub",
     "x_multimodal_feature_extract",

@@ -5,15 +5,16 @@
 # without re-running the mirror; six driver-green queries went red for a
 # whole round (VERDICT r3 item 1).  This gate makes that impossible to
 # repeat: it refuses (exit 1) unless the driver contract, the
-# physical-plan audit, the full oracle-parity mirror, AND a bench smoke
-# (r4 verdict task 8: a perf cliff must not ship blind either) are all
-# green.
+# physical-plan audit, the full oracle-parity mirror, AND two bench
+# smokes — sf0.1 and sf1 (r4 task 8 / r5 task 6: a perf cliff, and in
+# particular a quadratic one invisible inside sf0.1 noise, must not
+# ship blind) — are all green.
 #
 # Usage:  sh tools/pre_snapshot_gate.sh   (from the repo root)
 set -e
 cd "$(dirname "$0")/.."
 
-echo "== gate 1/4: driver-contract smoke (vanilla session, like the driver) =="
+echo "== gate 1/5: driver-contract smoke (vanilla session, like the driver) =="
 python - <<'EOF'
 import sys
 sys.path.insert(0, ".")
@@ -30,13 +31,13 @@ print(f"entry rows={len(rows)} queries={len(qs)} oracles={len(osql)}")
 spark.stop()
 EOF
 
-echo "== gate 2/4: physical-plan audit (red flags + shuffle snapshot) =="
+echo "== gate 2/5: physical-plan audit (red flags + shuffle snapshot) =="
 python tools/audit_plans.py
 
-echo "== gate 3/4: full oracle-parity mirror (sf0.001) =="
+echo "== gate 3/5: full oracle-parity mirror (sf0.001) =="
 python -m pytest tests/test_oracle_parity.py -q
 
-echo "== gate 4/4: bench smoke (one JSON line, no query > 3x its committed median) =="
+echo "== gate 4/5: bench smoke (one JSON line, no query > 3x its committed median) =="
 python - <<'EOF'
 import json, os, subprocess, sys
 
@@ -65,6 +66,42 @@ if prior:
     print(f"bench ok: wall={got['value']}s, {len(got['queries'])} queries, no cliff vs {prior[-1]}")
 else:
     print(f"bench ok: wall={got['value']}s (no prior BENCH_r*.json to compare)")
+EOF
+
+echo "== gate 5/5: sf1 bench smoke (quadratic cliffs hide inside sf0.1 noise) =="
+python - <<'EOF'
+import json, os, subprocess, sys
+
+# the sf1 tier is gitignored and regenerable; skip (loudly) if absent
+if not os.path.isdir("benchdata/sf1"):
+    print("SKIP: benchdata/sf1 missing — regenerate with tools/gen_bench_sf1.py")
+    sys.exit(0)
+env = dict(os.environ, SPARK_GRAFT_SF_DIR="benchdata/sf1")
+out = subprocess.run(
+    [sys.executable, "bench.py"], env=env, capture_output=True, text=True, check=True
+).stdout.strip().splitlines()
+got = json.loads(out[-1])
+import glob
+
+prior = sorted(glob.glob("BENCH_SF1_r*.json"))
+if prior:
+    base = json.load(open(prior[-1])).get("queries", {})
+    # 2x vs the committed min-of-medians anchor: sf1 queries are
+    # data-bound, so a genuine 2x move is a regression, not noise
+    # (cross-run spreads in the anchor top out ~0.33) — but this is
+    # ONE run vs a min-of-3 anchor, so allow one noisy-box outlier:
+    # fail only when 2+ queries cliff, or one exceeds 3x
+    cliffs = {
+        n: (base[n], round(t, 3))
+        for n, t in got["queries"].items()
+        if n in base and base[n] > 0 and t > 2.0 * base[n]
+    }
+    hard = {n: v for n, v in cliffs.items() if v[1] > 3.0 * v[0]}
+    assert len(cliffs) < 2 and not hard, f"sf1 bench cliff vs {prior[-1]}: {cliffs}"
+    print(f"sf1 bench ok: wall={got['value']}s, no cliff vs {prior[-1]}"
+          + (f" (single soft outlier tolerated: {cliffs})" if cliffs else ""))
+else:
+    print(f"sf1 bench ok: wall={got['value']}s (no prior BENCH_SF1_r*.json)")
 EOF
 
 echo "GATE GREEN — safe to commit"
