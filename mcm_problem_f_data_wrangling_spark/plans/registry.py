@@ -59,6 +59,7 @@ _FRONT = [
     "x_multimodal_feature_extract",
     "x_multimodal_frame_pipeline",
     "x4_diagnostics_gate",
+    "x3_aic_gate",
     # --- (c) changed after the r5 gate ran (VERDICT r5 task 1) ---
     "x_dedup_clusters_cc",
     "x_fuzzy_name_match",

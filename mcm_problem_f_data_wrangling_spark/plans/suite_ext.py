@@ -634,6 +634,93 @@ def x3_aic_grid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact goldens for the planted-series X3 gate below: produced by THIS
+# repo's exact-ML estimator, trustworthy because the likelihood it
+# maximizes is pinned exact against an independent brute-force MVN
+# evaluation in tests/test_forecast_ml.py (test_kalman_matches_
+# bruteforce_mvn), with the optimizer wiring golden-pinned there too.
+# Two planted integrated seasonal AR(1) level series with different
+# dynamics so the AIC grid picks DIFFERENT winning orders — the gate
+# checks candidate selection, not just one fit.
+_X3_GOLDEN = {
+    # group: (winning order, aic, [6-step forecasts])
+    "ar_hi": ("(1,1,0)x(1,1,0,12)", 314.610045,
+              [911.972854, 913.017259, 917.198489,
+               918.900935, 923.337906, 927.24472]),
+    "ar_lo": ("(1,1,1)x(0,1,1,12)", 300.628014,
+              [480.516106, 481.395153, 482.788858,
+               480.893047, 482.585326, 482.33907]),
+}
+
+
+@_q(
+    "x3_aic_gate",
+    "Driver-checkable X3 core (the x4_diagnostics_gate pattern): "
+    "fit_best_arma_forecast — the SAME applyInPandas exact-ML AIC-grid "
+    "operator x3_aic_grid_fit uses — over two planted integrated "
+    "seasonal AR(1) level series (numpy RandomState seeds 7/11, fully "
+    "deterministic) whose dynamics make the grid pick DIFFERENT "
+    "winning orders.  The oracle pins the winning order strings "
+    "exactly and AIC/forecasts to within 1e-2/1e-3 of goldens whose "
+    "likelihood tests/test_forecast_ml.py proves exact against an "
+    "independent brute-force MVN evaluation — so the Kalman filter, "
+    "the Nelder-Mead wiring, AND the candidate selection all carry a "
+    "driver hash signal despite the optimizer not being "
+    "SQL-expressible.",
+    """
+SELECT g AS "group", CAST(s AS INT) AS step, ord AS "order",
+       TRUE AS aic_ok, TRUE AS fc_ok
+FROM (VALUES ('ar_hi', '(1,1,0)x(1,1,0,12)'),
+             ('ar_lo', '(1,1,1)x(0,1,1,12)')) v(g, ord),
+     (SELECT unnest(generate_series(1, 6)) AS s)
+""",
+    tags=("M3", "model", "gate"),
+)
+def x3_aic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.forecast import fit_best_arma_forecast
+
+    def level_series(n, phi, seed, base):
+        rng = np.random.RandomState(seed)
+        z = np.zeros(n)
+        e = rng.normal(0, 1.0, n)
+        for t in range(1, n):
+            z[t] = phi * z[t - 1] + e[t]
+        dy = np.zeros(n)
+        for t in range(n):
+            dy[t] = z[t] + (dy[t - 12] if t >= 12 else 0.0)
+        return base + np.cumsum(dy)
+
+    rows = []
+    for name, phi, seed, base in (
+        ("ar_hi", 0.6, 7, 1000.0),
+        ("ar_lo", 0.2, 11, 500.0),
+    ):
+        y = level_series(120, phi, seed, base)
+        rows += [(name, int(t), float(v)) for t, v in enumerate(y)]
+    sdf = spark.createDataFrame(rows, "grp string, t int, y double")
+    fit = fit_best_arma_forecast(sdf, "grp", "t", "y", steps=6)
+    gold = spark.createDataFrame(
+        [(g, aic, [float(f) for f in fcs]) for g, (_, aic, fcs) in _X3_GOLDEN.items()],
+        "group string, g_aic double, g_fc array<double>",
+    )
+    out = fit.join(F.broadcast(gold), "group")
+    return out.select(
+        "group",
+        F.col("step").cast("int").alias("step"),
+        "order",
+        (F.abs(F.col("aic") - F.col("g_aic")) <= 1e-2).alias("aic_ok"),
+        (
+            F.abs(
+                F.col("forecast")
+                - F.element_at("g_fc", F.col("step").cast("int"))
+            )
+            <= 1e-3
+        ).alias("fc_ok"),
+    )
+
+
 @_q(
     "x4_diagnostics",
     "X4: per-group stationarity/seasonality diagnostics via applyInPandas "

@@ -35,6 +35,7 @@ RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 # queries whose semantics genuinely need a Python boundary
 PYTHON_OK = {
     "x3_aic_grid_fit",
+    "x3_aic_gate",  # same applyInPandas ML core, planted series
     "x3_holt_winters",
     "x5_sarimax_exog_fan",
     "x3_drift_fit_forecast",
