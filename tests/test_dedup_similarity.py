@@ -190,6 +190,45 @@ def test_ivf_trained_cells_recall(spark):
     assert len(exact & r2) / 10 >= 0.9
 
 
+def test_query_vectors_of_batched_fetch(spark):
+    """query_vectors_of fetches several query literals in ONE job and
+    must agree with the per-id fetch; missing ids raise KeyError."""
+    import pytest as _pytest
+
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import (
+        query_vector_of,
+        query_vectors_of,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = query_vectors_of(emb, (0, 1, 2))
+    assert set(got) == {0, 1, 2}
+    for i in (0, 1, 2):
+        assert got[i] == query_vector_of(emb, i)
+    with _pytest.raises(KeyError, match="-5"):
+        query_vectors_of(emb, (0, -5))
+
+
+def test_trainers_deterministic_under_repartition(spark):
+    """The bounded-sample trainers must be partitioning-independent:
+    the sample is the lowest-id rows regardless of layout, and the
+    numpy Lloyd loop is sequential — so codebooks are bit-identical
+    on any cluster width (the property the old per-iteration
+    distributed means could NOT give)."""
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import (
+        train_ivf_cells,
+        train_pq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    _, c1 = train_ivf_cells(emb, k=5, iters=2)
+    _, c2 = train_ivf_cells(emb.repartition(7), k=5, iters=2)
+    assert c1 == c2
+    cb1 = train_pq(emb, m=8, k=8, iters=2)
+    cb2 = train_pq(emb.repartition(7), m=8, k=8, iters=2)
+    assert cb1 == cb2
+
+
 def test_edit_distance_pairs_banded(spark):
     from mcm_problem_f_data_wrangling_spark.operators.dedup import (
         edit_distance_pairs,
