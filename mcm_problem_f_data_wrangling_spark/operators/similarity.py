@@ -626,6 +626,46 @@ def ivfpq_build(
     return codes, cb, cents
 
 
+def ivfpq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors against a FROZEN IVF-PQ index (coarse centroids
+    + PQ codebooks from a prior :func:`ivfpq_build`) — the incremental
+    index-maintenance path.
+
+    A growing corpus appends daily embedding deltas to a 100 TB ANN
+    index; retraining (and re-encoding the whole corpus) for every
+    delta is not an option, and because both the cell assignment and
+    the PQ argmin are ROW-LOCAL maps over frozen literals, it never
+    has to be: encoding the delta alone produces byte-identical codes
+    to re-encoding those rows inside the full corpus (asserted by the
+    ``x_sim_ivfpq_incremental`` gate and tests).  Appended as new
+    files under the existing ``partitionBy(cell)`` layout, the delta
+    is immediately searchable with unchanged n_probe pruning; existing
+    partitions are never rewritten.  Quantization quality for the
+    delta degrades only as the data distribution drifts from the
+    training sample — the standard FAISS operating regime (monitor
+    recall, retrain on drift).
+    """
+    assigned = assign_cells(df, centroids, vec_col)
+    cent_arr = F.lit([[float(v) for v in c] for c in centroids])
+    resid = assigned.withColumn(
+        "_resid",
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(cent_arr, F.col("cell") + 1),
+            lambda a, b: a.cast("double") - b,
+        ),
+    )
+    return encode_pq(resid, codebooks, vec_col="_resid").select(
+        id_col, "cell", "pq_code"
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     codes: DataFrame,

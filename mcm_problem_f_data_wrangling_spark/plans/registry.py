@@ -47,6 +47,7 @@ _FRONT = [
     "flagship_career_collapse",   # driver smoke target stays first
     # --- (a) changed this round: must re-gate on current impl ---
     "x_sim_search_ivfpq",         # also the one never-driver-gated query
+    "x_sim_ivfpq_incremental",    # new r6: frozen-codebook index append
     "x_sim_search_pq",
     "x_sim_search_ivf",
     "x_sim_search_bruteforce",

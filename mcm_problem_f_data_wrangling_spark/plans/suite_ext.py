@@ -2751,6 +2751,91 @@ def x_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_sim_ivfpq_incremental",
+    "Incremental IVF-PQ index maintenance (operators/similarity.py "
+    "ivfpq_encode): a 1/4 hash shard plays the daily embedding delta "
+    "— encoded against the FROZEN codebooks trained on the other 3/4 "
+    "and unioned onto the existing codes, exactly how a 100 TB ANN "
+    "index grows (append new files under the partitionBy(cell) "
+    "layout; never retrain / re-encode / rewrite existing "
+    "partitions).  The oracle recomputes the shard row-counts from "
+    "the portable hash and pins two laws TRUE: (a) incremental codes "
+    "are byte-identical to re-encoding those rows through the full "
+    "frozen-codebook pass — guaranteed because assignment and PQ "
+    "argmin are row-local maps over frozen literals, so this law "
+    "failing means the encode stopped being row-local; (b) a delta "
+    "vector is immediately searchable through the merged index "
+    "(top-1 self-recovery probing all cells).",
+    """
+WITH s AS (
+  SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % 4
+         AS shard
+  FROM embeddings
+)
+SELECT CAST(SUM(CASE WHEN shard != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       CAST(SUM(CASE WHEN shard = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       TRUE AS codes_identical, TRUE AS delta_searchable
+FROM s
+""",
+    tags=("M4", "similarity", "scale"),
+)
+def x_sim_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        ivfpq_build,
+        ivfpq_encode,
+        ivfpq_topk,
+        query_vectors_of,
+    )
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    emb.cache().count()
+    shard = portable_hash64(F.col("vec_id").cast("string")) % 4
+    base, delta = emb.filter(shard != 0), emb.filter(shard == 0)
+    try:
+        codes_base, cb, cents = ivfpq_build(base, k_cells=10, m=8, k_codes=16, iters=2)
+        merged = codes_base.unionByName(
+            ivfpq_encode(delta, cb, cents)
+        ).localCheckpoint(eager=True)
+        full = ivfpq_encode(emb, cb, cents)
+        # law (a): merged == full re-encode, row for row (one collect of
+        # 3 O(1) scalars — the gate-query driver-literal pattern)
+        stats = (
+            merged.alias("a")
+            .join(full.alias("b"), "vec_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_total"),
+                F.sum(
+                    (
+                        (F.col("a.cell") == F.col("b.cell"))
+                        & (F.col("a.pq_code") == F.col("b.pq_code"))
+                    ).cast("long")
+                ).alias("n_same"),
+            )
+            .first()
+        )
+        n_base = codes_base.count()
+        n_total = emb.count()
+        n_delta = n_total - n_base
+        identical = bool(stats["n_total"] == n_total and stats["n_same"] == n_total)
+        # law (b): the lowest-id delta vector self-recovers through the
+        # merged index when every cell is probed
+        probe_id = delta.agg(F.min("vec_id")).first()[0]
+        qv = query_vectors_of(emb, (probe_id,))[probe_id]
+        top = ivfpq_topk(
+            emb, merged, cb, cents, qv, k=1, n_probe=10, shortlist=50
+        ).first()
+        searchable = bool(top is not None and top["vec_id"] == probe_id)
+    finally:
+        emb.unpersist()
+    return spark.createDataFrame(
+        [(n_base, n_delta, n_total, identical, searchable)],
+        "n_base bigint, n_delta bigint, n_total bigint, "
+        "codes_identical boolean, delta_searchable boolean",
+    )
+
+
+@_q(
     "x_sim_search_ivfpq",
     "IVF-PQ ANN (operators/similarity.py ivfpq_build/ivfpq_topk — the "
     "FAISS IVFx,PQy layout, Jegou et al. TPAMI'11 §V): coarse k-means "

@@ -128,6 +128,64 @@ def test_ivfpq_rerank_recall_at_10(emb, ivfpq):
     assert hits / (10 * len(QIDS)) >= 0.4
 
 
+def test_ivfpq_encode_is_incremental_safe(emb, ivfpq):
+    """Frozen-codebook encode is row-local: encoding a delta shard
+    alone yields byte-identical codes to re-encoding those rows inside
+    the full corpus — the law that makes append-only index maintenance
+    (ivfpq_encode + partitionBy-append) sound."""
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import ivfpq_encode
+
+    _, cb, cents = ivfpq
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    alone = {
+        r["vec_id"]: (r["cell"], list(r["pq_code"]))
+        for r in ivfpq_encode(delta, cb, cents).collect()
+    }
+    within = {
+        r["vec_id"]: (r["cell"], list(r["pq_code"]))
+        for r in ivfpq_encode(emb, cb, cents).collect()
+        if r["vec_id"] % 5 == 0
+    }
+    assert alone == within and alone
+
+
+def test_ivfpq_encode_appends_to_partitioned_layout(emb, ivfpq, tmp_path):
+    """Delta codes written under the existing partitionBy(cell) layout
+    are immediately visible to a cell-pruned scan, and old partitions'
+    files are untouched."""
+    import os
+
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import ivfpq_encode
+
+    codes, cb, cents = ivfpq
+    out = str(tmp_path / "codes")
+    base = codes.filter(F.col("vec_id") % 5 != 0)
+    base.repartition(1).write.partitionBy("cell").parquet(out)
+    before = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    delta = ivfpq_encode(emb.filter(F.col("vec_id") % 5 == 0), cb, cents)
+    delta.repartition(1).write.partitionBy("cell").mode("append").parquet(out)
+    after = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert before < after  # strictly appended
+    spark = emb.sparkSession
+    got = spark.read.parquet(out)
+    assert got.count() == codes.count()
+    # a cell-pruned read sees both base and delta rows of that cell
+    one_cell = got.select("cell").first()["cell"]
+    pruned = spark.read.parquet(out).filter(F.col("cell") == one_cell)
+    want = {r["vec_id"] for r in codes.filter(F.col("cell") == one_cell).collect()}
+    assert {r["vec_id"] for r in pruned.collect()} == want
+
+
 def test_ivfpq_self_found_when_own_cell_probed(emb, ivfpq):
     """A vector queried with its own embedding is recovered as the top
     hit whenever enough cells are probed to include its own (n_probe =
