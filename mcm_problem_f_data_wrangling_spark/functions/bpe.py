@@ -136,17 +136,12 @@ def bpe_token_stats(
 
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                words = str(row[text_col] or "").split()
+            # zip over the column arrays, not iterrows — row-boxing
+            # overhead is pure waste next to the memoized encode
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                words = str(text or "").split()
                 n_bpe = sum(len(enc(w)) for w in words)
-                out.append(
-                    (
-                        row[id_col],
-                        n_bpe,
-                        len(words),
-                        enc(words[0]) if words else [],
-                    )
-                )
+                out.append((doc_id, n_bpe, len(words), enc(words[0]) if words else []))
             yield pd.DataFrame(
                 out,
                 columns=["doc_id", "n_tokens_bpe", "n_tokens_ws", "sample_tokens"],

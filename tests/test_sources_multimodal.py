@@ -94,6 +94,35 @@ def test_decode_stub_shapes(media):
     assert rows[1] == again[1]
 
 
+def test_decode_batch_matches_scalar_stub(media):
+    """The vectorized Arrow-batch decode must agree row-for-row with
+    the scalar _fake_decode contract (the function a real decoder
+    swaps in for) — guards the 'replace one function' promise."""
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import _fake_decode
+
+    inputs = {
+        r["media_id"]: (bytes(r["payload"]), r["media_type"])
+        for r in media.collect()
+    }
+    for r in decode_media(media).collect():
+        payload, mtype = inputs[r["media_id"]]
+        w, h, nf, luma = _fake_decode(payload, mtype)
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+        assert abs(r["mean_luma"] - luma) < 1e-12
+        assert r["byte_len"] == len(payload)
+
+
+def test_decode_unknown_media_type_raises(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, b"xx", "hologram", "u")],
+        ["media_id", "payload", "media_type", "source_uri"],
+    )
+    with _pytest.raises(Exception, match="no decoder for media_type"):
+        decode_media(df).collect()
+
+
 def test_frame_sample_plan(media):
     decoded = decode_media(media)
     plan = frame_sample_plan(decoded, every_n=50).collect()
