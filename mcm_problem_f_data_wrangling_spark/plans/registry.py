@@ -61,6 +61,7 @@ _FRONT = [
     "x_multimodal_frame_pipeline",
     "x4_diagnostics_gate",
     "x3_aic_gate",
+    "x_bpe_token_stats",          # batch-loop rewrite this round
     # --- (c) changed after the r5 gate ran (VERDICT r5 task 1) ---
     "x_dedup_clusters_cc",
     "x_fuzzy_name_match",
@@ -105,7 +106,6 @@ _FRONT = [
     "x_e2e_training_corpus",      # end-to-end pipeline
     "x_dup_span_detection",
     "x_embed_pca_project",        # r5 hash-gate conversions
-    "x_bpe_token_stats",
     "x5_monte_carlo_fan",
     "x_sketch_approx_stats",
     "x3_holt_winters",
