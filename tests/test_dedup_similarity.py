@@ -229,6 +229,39 @@ def test_trainers_deterministic_under_repartition(spark):
     assert cb1 == cb2
 
 
+def test_ivf_knn_join_blas_matches_sql_engine(spark):
+    """The BLAS kNN-join engine must produce row-identical results to
+    the zero-Python SQL engine — same candidate generation (cell
+    cogroup), same (cos desc, nid asc) ranking — in both the own-cell
+    and trained-multi-probe configurations."""
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import (
+        ivf_knn_join,
+        ivf_knn_join_blas,
+        train_ivf_cells,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, ivf_knn_join(emb, emb, k=3).collect()))
+    b = sorted(map(tuple, ivf_knn_join_blas(emb, emb, k=3).collect()))
+    assert a == b and a
+
+    _, cents = train_ivf_cells(emb, k=5, iters=2)
+    qs = emb.limit(20)
+    a = sorted(
+        map(
+            tuple,
+            ivf_knn_join(qs, emb, k=3, centroids=cents, n_probe=2).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivf_knn_join_blas(qs, emb, k=3, centroids=cents, n_probe=2).collect(),
+        )
+    )
+    assert a == b and a
+
+
 def test_edit_distance_pairs_banded(spark):
     from mcm_problem_f_data_wrangling_spark.operators.dedup import (
         edit_distance_pairs,
