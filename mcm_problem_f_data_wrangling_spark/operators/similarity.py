@@ -461,12 +461,21 @@ def ivf_knn_join_blas(
             out_c.extend(row[sel[keep]])
         return pd.DataFrame({"__qid": out_q, "__nid": out_n, "cos_raw": out_c})
 
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = queries.schema[id_col].dataType
     cand = (
         q.groupBy("__qcell")
         .cogroup(c.groupBy("__qcell"))
         .applyInPandas(
             lambda left, right: score(left, right),
-            schema="__qid long, __nid long, cos_raw double",
+            schema=StructType(
+                [
+                    StructField("__qid", id_type),
+                    StructField("__nid", corpus.schema[id_col].dataType),
+                    StructField("cos_raw", DoubleType()),
+                ]
+            ),
         )
     )
     # global top-k across probed cells — the shuffle carries at most
