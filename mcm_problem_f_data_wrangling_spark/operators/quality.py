@@ -21,6 +21,11 @@ from pyspark.sql import functions as F
 
 from ..functions.textfn import tokens
 
+# boilerplate_removal('auto')'s checkpointed segment table from the
+# most recent call — unpersisted by the next call so repeated sweeps
+# cache at most one (the semantic_dedup _LAST_ASSIGNED pattern).
+_LAST_SEG: DataFrame | None = None
+
 
 def word_ngrams_strict(toks: Column, n: int) -> Column:
     """Word n-grams of an ``array<string>`` token column; rows with
@@ -217,8 +222,20 @@ def boilerplate_removal(
         # by construction (df > max_df survivors only), so the
         # executor-local blocks are cheap; both paths below read the
         # checkpointed result, so exactly one segment aggregation runs
-        # per call (asserted in tests/test_quality.py).
+        # per call (asserted in tests/test_quality.py).  The handle is
+        # tracked module-wide and each call unpersists the PREVIOUS
+        # call's blocks (the semantic_dedup _LAST_ASSIGNED pattern), so
+        # repeated invocations — full parity sweeps, pytest loops —
+        # hold at most one segment table instead of accumulating.
+        global _LAST_SEG
+        if _LAST_SEG is not None:
+            try:
+                _LAST_SEG.unpersist()
+            except Exception:
+                # handle may belong to an already-stopped SparkSession
+                pass
         seg_df = seg_df.localCheckpoint(eager=True)
+        _LAST_SEG = seg_df
         strategy = (
             "broadcast" if seg_df.count() <= max_boiler_set else "anti_join"
         )

@@ -276,35 +276,21 @@ def semantic_dedup(
     return assigned.join(dropped, id_col, "left_anti")
 
 
-def ivf_knn_join(
+
+def _knn_candidate_frames(
     queries: DataFrame,
     corpus: DataFrame,
-    k: int = 3,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    cell_col: str = "label",
-    n_probe: int = 1,
-    centroids: list[list[float]] | None = None,
-) -> DataFrame:
-    """kNN JOIN: top-k cosine neighbors for EVERY query vector.
-
-    ``brute_force_topk``/``ivf_topk`` serve one query vector; bulk
-    similarity (embedding near-dup sweeps, retrieval eval) needs all-N
-    queries at once, and N × brute-force is O(N·M).  Here both sides
-    carry a cell assignment and candidates are generated by an
-    equi-join on cell — one shuffle keyed on cell id, never a cross
-    join — then ranked per query with a window top-k.
-
-    With ``centroids`` (the trained codebook, a driver-side literal),
-    each query probes its ``n_probe`` max-cosine cells; without, it
-    probes its own ``cell_col`` cell (n_probe=1, fully deterministic —
-    the cross-engine-oracle configuration).  Self-pairs (same id) are
-    excluded.  Skew note: a hot cell concentrates its candidates in
-    one task; cap cell sizes at build time or salt the corpus side
-    (operators/skew.py) if a cell exceeds a task's budget.
-    """
-    from pyspark.sql import Window
-
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    n_probe: int,
+    centroids: list[list[float]] | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared kNN-join candidate generation: queries tagged with their
+    probe cell(s) (trained multi-probe when ``centroids`` is given,
+    own-cell otherwise) and the corpus tagged with its cell — BOTH
+    engines join/cogroup these on ``__qcell``, so a probe-selection
+    change cannot drift between them."""
     if centroids is not None:
         probes = F.slice(
             F.reverse(F.array_sort(_centroid_choices(vec_col, centroids))),
@@ -326,6 +312,60 @@ def ivf_knn_join(
         F.col(id_col).alias("__nid"),
         F.col(vec_col).alias("__nvec"),
         F.col(cell_col).alias("__qcell"),
+    )
+    return q, c
+
+
+def _knn_topk(cand: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Shared kNN-join ranking/output contract: per-query row_number
+    over (cos desc, neighbor id asc), rounded presentation — both
+    engines emit through this, so the tie-break and rounding rules
+    cannot drift between them."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__qid").orderBy(F.desc("cos_raw"), "__nid")
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            F.col("__qid").alias(id_col),
+            F.col("__nid").alias("neighbor_id"),
+            F.round("cos_raw", 6).alias("cos_sim"),
+        )
+    )
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    n_probe: int = 1,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """kNN JOIN: top-k cosine neighbors for EVERY query vector.
+
+    ``brute_force_topk``/``ivf_topk`` serve one query vector; bulk
+    similarity (embedding near-dup sweeps, retrieval eval) needs all-N
+    queries at once, and N × brute-force is O(N·M).  Here both sides
+    carry a cell assignment and candidates are generated by an
+    equi-join on cell — one shuffle keyed on cell id, never a cross
+    join — then ranked per query with a window top-k
+    (:func:`_knn_candidate_frames` / :func:`_knn_topk`, shared with
+    the BLAS engine).
+
+    With ``centroids`` (the trained codebook, a driver-side literal),
+    each query probes its ``n_probe`` max-cosine cells; without, it
+    probes its own ``cell_col`` cell (n_probe=1, fully deterministic —
+    the cross-engine-oracle configuration).  Self-pairs (same id) are
+    excluded.  Skew note: a hot cell concentrates its candidates in
+    one task; cap cell sizes at build time or salt the corpus side
+    (operators/skew.py) if a cell exceeds a task's budget.
+    """
+    q, c = _knn_candidate_frames(
+        queries, corpus, vec_col, id_col, cell_col, n_probe, centroids
     )
     # pre-normalize both sides ONCE so each candidate pair costs one
     # dot product instead of dot + two norms (the pair count is
@@ -354,16 +394,7 @@ def ivf_knn_join(
             dot(F.col("__qunit"), F.col("__nunit")).alias("cos_raw"),
         )
     )
-    w = Window.partitionBy("__qid").orderBy(F.desc("cos_raw"), "__nid")
-    return (
-        pairs.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select(
-            F.col("__qid").alias(id_col),
-            F.col("__nid").alias("neighbor_id"),
-            F.round("cos_raw", 6).alias("cos_sim"),
-        )
-    )
+    return _knn_topk(pairs, k, id_col)
 
 
 def ivf_knn_join_blas(
@@ -401,29 +432,9 @@ def ivf_knn_join_blas(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window
 
-    if centroids is not None:
-        probes = F.slice(
-            F.reverse(F.array_sort(_centroid_choices(vec_col, centroids))),
-            1,
-            n_probe,
-        )
-        q = queries.select(
-            F.col(id_col).alias("__qid"),
-            F.col(vec_col).alias("__qvec"),
-            F.explode(probes).alias("__probe"),
-        ).select("__qid", "__qvec", F.col("__probe")["cell"].alias("__qcell"))
-    else:
-        q = queries.select(
-            F.col(id_col).alias("__qid"),
-            F.col(vec_col).alias("__qvec"),
-            F.col(cell_col).alias("__qcell"),
-        )
-    c = corpus.select(
-        F.col(id_col).alias("__nid"),
-        F.col(vec_col).alias("__nvec"),
-        F.col(cell_col).alias("__qcell"),
+    q, c = _knn_candidate_frames(
+        queries, corpus, vec_col, id_col, cell_col, n_probe, centroids
     )
 
     def score(qpdf: "pd.DataFrame", cpdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -443,16 +454,20 @@ def ivf_knn_join_blas(
         # self-pairs never rank (same id on both sides)
         S[qids[:, None] == nids[None, :]] = -np.inf
         kk = min(k, S.shape[1])
-        # per-row top-k by (cos desc, nid asc): argpartition bounds the
-        # sort to kk+ties, lexsort settles the order exactly
         out_q, out_n, out_c = [], [], []
         for i in range(S.shape[0]):
             row = S[i]
-            cand = (
-                np.argpartition(-row, kk - 1)[:kk]
-                if kk < len(row)
-                else np.arange(len(row))
-            )
+            # per-row top-k by (cos desc, nid asc).  argpartition picks
+            # an ARBITRARY subset among cosines equal to the boundary
+            # value, so widen the candidate set to every index at or
+            # above the boundary before the exact lexsort — otherwise a
+            # tie straddling the k cutoff resolves differently than the
+            # SQL engine's row_number (lowest neighbor id wins).
+            if kk < len(row):
+                part = np.argpartition(-row, kk - 1)[:kk]
+                cand = np.flatnonzero(row >= row[part].min())
+            else:
+                cand = np.arange(len(row))
             order = np.lexsort((nids[cand], -row[cand]))[:kk]
             sel = cand[order]
             keep = row[sel] > -np.inf
@@ -463,15 +478,14 @@ def ivf_knn_join_blas(
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    id_type = queries.schema[id_col].dataType
     cand = (
         q.groupBy("__qcell")
         .cogroup(c.groupBy("__qcell"))
         .applyInPandas(
-            lambda left, right: score(left, right),
+            score,
             schema=StructType(
                 [
-                    StructField("__qid", id_type),
+                    StructField("__qid", queries.schema[id_col].dataType),
                     StructField("__nid", corpus.schema[id_col].dataType),
                     StructField("cos_raw", DoubleType()),
                 ]
@@ -480,16 +494,7 @@ def ivf_knn_join_blas(
     )
     # global top-k across probed cells — the shuffle carries at most
     # k*n_probe candidate rows per query
-    w = Window.partitionBy("__qid").orderBy(F.desc("cos_raw"), "__nid")
-    return (
-        cand.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select(
-            F.col("__qid").alias(id_col),
-            F.col("__nid").alias("neighbor_id"),
-            F.round("cos_raw", 6).alias("cos_sim"),
-        )
-    )
+    return _knn_topk(cand, k, id_col)
 
 
 def query_vector_of(df: DataFrame, vec_id: int, vec_col: str = "embedding", id_col: str = "vec_id") -> list[float]:

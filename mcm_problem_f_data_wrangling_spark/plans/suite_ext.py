@@ -2718,20 +2718,14 @@ def x_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         qs = query_vectors_of(emb, qids)
 
-        # ONE job per comparison family: union the per-qid top-k legs
-        # (each O(k) rows) and collect once — the per-qid loop of
-        # separate collects paid job overhead 9x for 90 rows total
+        # ONE job per comparison family (_union_topk_sets): the
+        # per-qid loop of separate collects paid job overhead 9x for
+        # 90 rows total
         def _sets(mk):
-            legs = [
-                mk(qs[qid]).withColumn("__qid", F.lit(qid)) for qid in qids
-            ]
-            u = legs[0]
-            for leg in legs[1:]:
-                u = u.unionByName(leg)
-            got: dict[int, set] = {qid: set() for qid in qids}
-            for r in u.select("__qid", "vec_id").collect():
-                got[r["__qid"]].add(r["vec_id"])
-            return got
+            return _union_topk_sets(
+                [mk(qs[qid]).withColumn("__t0", F.lit(qid)) for qid in qids],
+                n_tags=1,
+            )
 
         exact = _sets(lambda q: brute_force_topk(emb, q, k=10))
         adc = _sets(lambda q: pq_adc_topk(codes, cb, q, k=10))
@@ -2748,6 +2742,23 @@ def x_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "qid bigint, k int, rerank_recall_ok boolean, rerank_ge_adc_ok boolean"
     )
+
+
+def _union_topk_sets(legs: "list[DataFrame]", n_tags: int) -> dict:
+    """Union per-query top-k legs (each tagged with literal columns
+    ``__t0[, __t1]``) and collect in ONE job, returning
+    {tag: set(vec_id)} — the gate queries' batching primitive: every
+    leg is an O(k)-row top-k, so the union collects ~100 rows total
+    instead of paying one job's scheduling+codegen overhead per leg."""
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    cols = [f"__t{i}" for i in range(n_tags)] + ["vec_id"]
+    got: dict = {}
+    for r in u.select(*cols).collect():
+        key = r[0] if n_tags == 1 else tuple(r[i] for i in range(n_tags))
+        got.setdefault(key, set()).add(r["vec_id"])
+    return got
 
 
 @_q(
@@ -2792,6 +2803,7 @@ def x_sim_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb.cache().count()
     shard = portable_hash64(F.col("vec_id").cast("string")) % 4
     base, delta = emb.filter(shard != 0), emb.filter(shard == 0)
+    merged = None
     try:
         codes_base, cb, cents = ivfpq_build(base, k_cells=10, m=8, k_codes=16, iters=2)
         merged = codes_base.unionByName(
@@ -2814,9 +2826,11 @@ def x_sim_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .first()
         )
-        n_base = codes_base.count()
+        # shard counts from the CACHED emb (cheap filters), never a
+        # second assign+encode pass over the base shard
         n_total = emb.count()
-        n_delta = n_total - n_base
+        n_delta = delta.count()
+        n_base = n_total - n_delta
         identical = bool(stats["n_total"] == n_total and stats["n_same"] == n_total)
         # law (b): the lowest-id delta vector self-recovers through the
         # merged index when every cell is probed
@@ -2827,6 +2841,8 @@ def x_sim_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()
         searchable = bool(top is not None and top["vec_id"] == probe_id)
     finally:
+        if merged is not None:
+            merged.unpersist()
         emb.unpersist()
     return spark.createDataFrame(
         [(n_base, n_delta, n_total, identical, searchable)],
@@ -2880,38 +2896,28 @@ def x_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = []
     try:
         qs = query_vectors_of(emb, qids)
-        # batch the 3 exact baselines into ONE job, and the 6
-        # qid x n_probe searches into ONE job: every leg is an O(k)-row
-        # top-k, so the union collects 90 rows total instead of paying
-        # 9 separate jobs' scheduling+codegen overhead
-        ex_legs = [
-            brute_force_topk(emb, qs[qid], k=10).withColumn("__qid", F.lit(qid))
-            for qid in qids
-        ]
-        u = ex_legs[0]
-        for leg in ex_legs[1:]:
-            u = u.unionByName(leg)
-        exact: dict[int, set] = {qid: set() for qid in qids}
-        for r in u.select("__qid", "vec_id").collect():
-            exact[r["__qid"]].add(r["vec_id"])
-
-        got_legs = []
-        for qid in qids:
-            for n_probe in (1, 2):
-                got_legs.append(
-                    ivfpq_topk(
-                        emb, codes, cb, cents, qs[qid],
-                        k=10, n_probe=n_probe, shortlist=50,
-                    )
-                    .withColumn("__qid", F.lit(qid))
-                    .withColumn("__np", F.lit(n_probe))
+        # batch the 3 exact baselines into ONE job and the 6
+        # qid x n_probe searches into ONE job (_union_topk_sets)
+        exact = _union_topk_sets(
+            [
+                brute_force_topk(emb, qs[qid], k=10).withColumn("__t0", F.lit(qid))
+                for qid in qids
+            ],
+            n_tags=1,
+        )
+        got = _union_topk_sets(
+            [
+                ivfpq_topk(
+                    emb, codes, cb, cents, qs[qid],
+                    k=10, n_probe=n_probe, shortlist=50,
                 )
-        u = got_legs[0]
-        for leg in got_legs[1:]:
-            u = u.unionByName(leg)
-        got: dict[tuple[int, int], set] = {}
-        for r in u.select("__qid", "__np", "vec_id").collect():
-            got.setdefault((r["__qid"], r["__np"]), set()).add(r["vec_id"])
+                .withColumn("__t0", F.lit(qid))
+                .withColumn("__t1", F.lit(n_probe))
+                for qid in qids
+                for n_probe in (1, 2)
+            ],
+            n_tags=2,
+        )
 
         for qid in qids:
             for n_probe in (1, 2):

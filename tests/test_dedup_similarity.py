@@ -262,6 +262,30 @@ def test_ivf_knn_join_blas_matches_sql_engine(spark):
     assert a == b and a
 
 
+def test_ivf_knn_join_blas_tie_at_k_boundary(spark):
+    """Exact-duplicate embeddings (the dedup domain) create cosine
+    ties straddling the k cutoff; both engines must resolve them the
+    same way (lowest neighbor id wins) — argpartition alone picks an
+    arbitrary tied subset, so the BLAS engine widens the boundary."""
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import (
+        ivf_knn_join,
+        ivf_knn_join_blas,
+    )
+
+    # one cell; ids 10..40 share a vector (all pairwise cos == 1.0),
+    # id 50 is distinct.  k=2 from any query hits a 3-way tie at the
+    # boundary — the winners must be the two LOWEST other ids.
+    rows = [(i, [1.0, 0.0], 0) for i in (40, 30, 20, 10)] + [(50, [0.0, 1.0], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    a = sorted(map(tuple, ivf_knn_join(df, df, k=2).collect()))
+    b = sorted(map(tuple, ivf_knn_join_blas(df, df, k=2).collect()))
+    assert a == b
+    by_q = {}
+    for qid, nid, _ in b:
+        by_q.setdefault(qid, []).append(nid)
+    assert sorted(by_q[40]) == [10, 20]  # lowest tied ids win
+
+
 def test_edit_distance_pairs_banded(spark):
     from mcm_problem_f_data_wrangling_spark.operators.dedup import (
         edit_distance_pairs,
