@@ -67,11 +67,21 @@ class RunningTotalsProcessor(StatefulProcessor):
         pass
 
 
+def _has_protobuf() -> bool:
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        return False
+
+
 def running_totals_stream(
     stream_df: DataFrame,
     key_col: str,
     value_col: str,
     ttl_ms: int | None = None,
+    api: str = "auto",
 ) -> DataFrame:
     """Per-key running (count, sum) over a stream.
 
@@ -80,27 +90,37 @@ def running_totals_stream(
     (RocksDB/HDFS state store hygiene for unbounded key spaces —
     without it, per-key state lives forever by design).
 
-    Env gate: ``transformWithStateInPandas``'s state-server protocol
-    speaks protobuf between the JVM and the Python workers; this
-    container ships PySpark without the ``protobuf`` package, so the
-    query would crash at stream start with an opaque
-    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE.  Fail fast with a
-    clear message instead (same policy as the openpyxl-gated Excel
-    sink, sources/writers.py).  The processor itself and the batch
-    twin are fully implemented and tested; the stream path runs
-    anywhere protobuf is installed.
-    """
-    import importlib.util
+    ``api`` picks the stateful engine:
 
-    try:
-        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:  # no 'google' namespace package at all
-        has_protobuf = False
-    if not has_protobuf:
+    - ``'tws'`` — ``transformWithStateInPandas`` (Spark 4: typed state
+      variables, TTL, timers).  Its state-server protocol speaks
+      protobuf between the JVM and the Python workers; this container
+      ships PySpark without the ``protobuf`` package, so the query
+      would crash at stream start with an opaque
+      STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE — fail fast with
+      a clear message instead (the openpyxl-gated Excel sink policy).
+    - ``'gst'`` — ``applyInPandasWithState`` (GroupState, Arrow-only —
+      no protobuf needed; the engine sessionize/drift already run in
+      this container).  Same state, same emitted rows; no TTL support
+      (GroupState has timeouts, not per-state TTL).
+    - ``'auto'`` (default) — ``tws`` when protobuf is importable,
+      else ``gst``; requesting ``ttl_ms`` forces ``tws``.
+    """
+    if api not in ("auto", "tws", "gst"):
+        raise ValueError(f"unknown api {api!r}")
+    if api == "auto":
+        api = "tws" if (_has_protobuf() or ttl_ms is not None) else "gst"
+    if api == "gst" and ttl_ms is not None:
+        raise ValueError(
+            "ttl_ms requires the transformWithState engine (api='tws'); "
+            "GroupState has no per-state TTL"
+        )
+    if api == "tws" and not _has_protobuf():
         raise NotImplementedError(
             "transformWithStateInPandas requires the 'protobuf' package "
             "(its JVM<->Python state-server protocol); install protobuf "
-            "to enable the streaming path. The batch twin "
+            "to enable this engine, or use api='gst' "
+            "(applyInPandasWithState — runs here). The batch twin "
             "(running_totals_batch) is unaffected."
         )
     if key_col == value_col:
@@ -122,17 +142,36 @@ def running_totals_stream(
     # state-server Arrow batches minimal
     from pyspark.sql import functions as F
 
-    return (
-        stream_df.select(
-            F.col(key_col).alias("key"), F.col(value_col).alias(value_col)
-        )
-        .groupBy("key")
-        .transformWithStateInPandas(
+    pruned = stream_df.select(
+        F.col(key_col).alias("key"), F.col(value_col).alias(value_col)
+    )
+    out_schema = f"key {key_sql_type}, cnt LONG, total DOUBLE"
+    if api == "tws":
+        return pruned.groupBy("key").transformWithStateInPandas(
             RunningTotalsProcessor(value_col, ttl_ms),
-            outputStructType=f"key {key_sql_type}, cnt LONG, total DOUBLE",
+            outputStructType=out_schema,
             outputMode="Update",
             timeMode="None",
         )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        # identical arithmetic to RunningTotalsProcessor.handleInputRows
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            v = pdf[value_col]
+            cnt += int(v.count())
+            total += float(v.sum()) if v.count() else 0.0
+        state.update((cnt, total))
+        yield pd.DataFrame({"key": [key[0]], "cnt": [cnt], "total": [total]})
+
+    return pruned.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

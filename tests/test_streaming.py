@@ -466,9 +466,32 @@ def test_transform_with_state_running_totals_matches_batch(
         .parquet(str(d))
     )
 
+    # the GroupState engine runs in EVERY environment (Arrow-only, no
+    # protobuf): drive it end-to-end across two micro-batches and the
+    # last emitted row per key must equal the batch aggregate
+    gst = running_totals_stream(stream, "src", "value", api="gst")
+    assert gst.isStreaming
+    qg = (
+        gst.writeStream.format("memory")
+        .queryName("gst_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qg.awaitTermination(120)
+    last = {}
+    for r in spark.sql("SELECT * FROM gst_totals").collect():
+        last[r["key"]] = (r["cnt"], r["total"])
+    assert last == want
+    # TTL is a transformWithState-only capability — explicit error
+    with pytest.raises(ValueError, match="ttl_ms"):
+        running_totals_stream(stream, "src", "value", ttl_ms=1000, api="gst")
+
     if not _HAS_PROTOBUF:
         with pytest.raises(NotImplementedError, match="protobuf"):
-            running_totals_stream(stream, "src", "value")
+            running_totals_stream(stream, "src", "value", api="tws")
+        # 'auto' without protobuf must route to the executable engine
+        assert running_totals_stream(stream, "src", "value").isStreaming
         # drive the processor's own logic through a fake state handle:
         # two "micro-batches" for key a must carry state across calls
         class _FakeState:
