@@ -62,6 +62,7 @@ _FRONT = [
     "x4_diagnostics_gate",
     "x3_aic_gate",
     "x_bpe_token_stats",          # batch-loop rewrite this round
+    "s30_streaming_running_totals",  # new r6: live streaming under the gate
     # --- (c) changed after the r5 gate ran (VERDICT r5 task 1) ---
     "x_dedup_clusters_cc",
     "x_fuzzy_name_match",

@@ -2427,6 +2427,68 @@ def s08_tumbling_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "s30_streaming_running_totals",
+    "LIVE Structured Streaming execution under the driver hash gate "
+    "(streaming/running.py running_totals_stream, GroupState engine): "
+    "the documents parquet replays as a stream (availableNow), the "
+    "stateful per-source running (count, sum-of-chars) accumulates "
+    "through applyInPandasWithState into a memory sink, and the FINAL "
+    "state per key — what any ordered replay converges to — is "
+    "emitted.  The oracle is the plain batch aggregate: n_chars is "
+    "integral, so the running float sum is order-exact (< 2^53) and "
+    "the convergence law holds on any micro-batch split.  Every other "
+    "streaming entry is a batch mirror; this one actually runs the "
+    "streaming engine.",
+    """
+SELECT source AS key, CAST(COUNT(n_chars) AS BIGINT) AS cnt,
+       CAST(SUM(n_chars) AS DOUBLE) AS total
+FROM documents GROUP BY 1
+""",
+    tags=("M2", "streaming", "stateful"),
+)
+def s30_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming.running import running_totals_stream
+
+    schema = table(spark, sf_dir, "documents").schema
+    # glob, not a bare path: the streaming file source requires a
+    # directory basePath, and documents.parquet is a flat FILE in the
+    # driver's testdata but a Spark-written DIRECTORY in benchdata/sf1
+    # — the glob form handles both layouts
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{sf_dir}/documents.parquet*")
+    )
+    out = running_totals_stream(
+        stream, "source", "n_chars", api="gst"
+    )
+    sink = f"s30_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    # memory sink appends in micro-batch order; the LAST row per key is
+    # the converged state.  Rows are O(#sources) — a driver-literal pull.
+    last: dict = {}
+    for r in spark.sql(f"SELECT * FROM {sink}").collect():
+        last[r["key"]] = (r["cnt"], r["total"])
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(
+        [(k, c, t) for k, (c, t) in last.items()],
+        "key string, cnt bigint, total double",
+    )
+
+
+@_q(
     "s16_cdc_apply",
     "CDC change-log apply (operators/cdc.py): row-level upserts + "
     "tombstones collapse to the final snapshot via max(struct(order, "

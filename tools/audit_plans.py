@@ -45,6 +45,8 @@ PYTHON_OK = {
     "x_multimodal_decode_stub",
     "x_multimodal_feature_extract",
     "x_bpe_token_stats",
+    "s30_streaming_running_totals",  # applyInPandasWithState stream
+
     "x_multimodal_frame_pipeline",
 }
 
