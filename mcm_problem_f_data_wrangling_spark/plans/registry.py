@@ -67,6 +67,7 @@ _FRONT = [
     "x_dedup_clusters_cc",
     "x_fuzzy_name_match",
     "x5_sarimax_exog_fan",
+    "x_sim_knn_join",             # engine refactored onto shared helpers r6
     # --- regression canaries: MinHash/dedup family first (r3's only
     # --- break was here — x_dedup_minhash_* oracle drift)
     "x_minhash_signatures",
@@ -110,7 +111,6 @@ _FRONT = [
     "x5_monte_carlo_fan",
     "x_sketch_approx_stats",
     "x3_holt_winters",
-    "x_curation_hash_split",
 ]
 
 # The external driver verifies roughly this many registry-order
