@@ -140,13 +140,37 @@ def _centroid_choices(vec_col: str, centroids: list[list[float]]) -> F.Column:
 def _collect_train_sample(
     df: DataFrame, vec_col: str, id_col: str, sample_n: int
 ) -> "list[list[float]]":
-    """Deterministic bounded training sample: the ``sample_n``
-    lowest-id vectors, fetched with ONE TakeOrdered job (map-side
-    partial top-N per partition + driver merge — never a full sort;
-    at 100 TB this reads two columns and ships ≤ sample_n rows)."""
-    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    """Deterministic but content-UNIFORM bounded training sample.
+
+    MEMBERSHIP is the ``sample_n`` vectors with the lowest md5-hash
+    of id — one TakeOrdered job (map-side partial top-N per partition
+    + driver merge — never a full sort; at 100 TB this reads two
+    columns and ships ≤ sample_n rows).  Drawing membership by a hash
+    of the id rather than the id itself matters on real corpora: id
+    order usually correlates with content (time- or source-sorted
+    ingest), so a lowest-id PREFIX is a biased sample that
+    under-represents later data in the codebooks/cells; the hash draw
+    is uniform over the corpus yet still bit-reproducible across
+    partitionings and engines (md5 is portable; ties broken by id).
+
+    The returned sample is then sorted by id DRIVER-SIDE (O(sample_n
+    log sample_n), trivial next to the Lloyd iterations): k-means
+    init takes the first rows of the sample, so the row order feeds
+    quantizer quality — id order keeps init independent of the hash
+    function, and on corpora smaller than ``sample_n`` (the test
+    fixtures) makes training exactly reproducible against the
+    whole-corpus id-ordered baseline."""
+    from ..functions.textfn import portable_hash64
+
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(portable_hash64(F.col(id_col).cast("string")), id_col)
+        .limit(sample_n)
+        .collect()
+    )
     if not rows:
         raise ValueError("empty input — nothing to train on")
+    rows.sort(key=lambda r: r[0])
     return [[float(v) for v in r[1]] for r in rows]
 
 
@@ -163,7 +187,7 @@ def train_ivf_cells(
     The provided ``label`` column in the test embeddings is nearly
     random w.r.t. cosine direction (IVF recall over it ≈ the scanned
     fraction), so a real deployment trains the codebook: init from the
-    first k vectors by id (deterministic), then assign → mean →
+    first k sample vectors by id (deterministic), then assign → mean →
     re-assign.
 
     Training runs DRIVER-SIDE over a deterministic bounded sample
@@ -320,12 +344,20 @@ def _knn_topk(cand: DataFrame, k: int, id_col: str) -> DataFrame:
     """Shared kNN-join ranking/output contract: per-query row_number
     over (cos desc, neighbor id asc), rounded presentation — both
     engines emit through this, so the tie-break and rounding rules
-    cannot drift between them."""
+    cannot drift between them.
+
+    NULL ``cos_raw`` rows (a zero-norm query or corpus vector in the
+    SQL engine's pre-normalized units) are dropped BEFORE ranking:
+    the BLAS engine masks zero-norm vectors out of its matmul, so
+    without this filter a zero-norm QUERY would emit k NULL-cosine
+    rows from the SQL engine and nothing from the BLAS engine — the
+    filter makes both engines agree by construction."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("__qid").orderBy(F.desc("cos_raw"), "__nid")
     return (
-        cand.withColumn("__rk", F.row_number().over(w))
+        cand.filter(F.col("cos_raw").isNotNull())
+        .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .select(
             F.col("__qid").alias(id_col),
@@ -425,10 +457,12 @@ def ivf_knn_join_blas(
     vs sequential summation), so oracle-bearing queries keep the
     zero-Python SQL engine and this is the documented scale path.
 
-    Zero-norm vectors: the SQL engine gives them NULL cosine (never
-    ranked into a top-k unless a cell is starved); here they are
-    dropped from scoring outright — same outcome on any cell with
-    ≥ k valid candidates, and the corpus fixtures contain none.
+    Zero-norm vectors: both engines drop them by construction — here
+    they are masked out of the matmul (the ``qok``/``cok`` guards);
+    the SQL engine scores them NULL and :func:`_knn_topk` filters
+    NULL cosines before ranking.  A zero-norm query therefore emits
+    zero rows from EITHER engine (row-identity holds even when the
+    fixtures contain such vectors; pinned in tests).
     """
     import numpy as np
     import pandas as pd
@@ -601,7 +635,8 @@ def train_pq(
 ) -> list[list[list[float]]]:
     """Per-subspace Lloyd k-means → codebooks[m][k][dim/m].
 
-    Init: sub-vectors of the first ``k`` vectors by id (deterministic).
+    Init: sub-vectors of the first ``k`` sample vectors by id
+    (deterministic).
     Like :func:`train_ivf_cells`, training runs DRIVER-SIDE over a
     deterministic bounded sample (one TakeOrdered job) — the FAISS
     layout: codebooks are O(m·k·dsub) and converge on a sample, so a

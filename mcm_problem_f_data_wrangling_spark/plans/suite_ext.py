@@ -2473,7 +2473,14 @@ def s30_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(300)
+        # awaitTermination returns False on timeout — a timed-out run
+        # has PARTIAL running totals in the sink, which would surface
+        # as an opaque hash mismatch downstream; fail loudly instead
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "s30 streaming query did not drain within 300 s — "
+                "partial state would corrupt the running totals"
+            )
     finally:
         q.stop()
     # memory sink appends in micro-batch order; the LAST row per key is

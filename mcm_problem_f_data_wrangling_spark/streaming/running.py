@@ -116,12 +116,20 @@ def running_totals_stream(
             "GroupState has no per-state TTL"
         )
     if api == "tws" and not _has_protobuf():
+        # only suggest the GroupState escape hatch when it can actually
+        # serve the request — with ttl_ms set, api='gst' would raise
+        # ValueError (GroupState has no per-state TTL), a dead end
+        escape = (
+            "install protobuf to enable this engine (per-state TTL has "
+            "no GroupState equivalent)"
+            if ttl_ms is not None
+            else "install protobuf to enable this engine, or use "
+            "api='gst' (applyInPandasWithState — runs here)"
+        )
         raise NotImplementedError(
             "transformWithStateInPandas requires the 'protobuf' package "
-            "(its JVM<->Python state-server protocol); install protobuf "
-            "to enable this engine, or use api='gst' "
-            "(applyInPandasWithState — runs here). The batch twin "
-            "(running_totals_batch) is unaffected."
+            f"(its JVM<->Python state-server protocol); {escape}. The "
+            "batch twin (running_totals_batch) is unaffected."
         )
     if key_col == value_col:
         raise ValueError(

@@ -211,10 +211,11 @@ def test_query_vectors_of_batched_fetch(spark):
 
 def test_trainers_deterministic_under_repartition(spark):
     """The bounded-sample trainers must be partitioning-independent:
-    the sample is the lowest-id rows regardless of layout, and the
-    numpy Lloyd loop is sequential — so codebooks are bit-identical
-    on any cluster width (the property the old per-iteration
-    distributed means could NOT give)."""
+    the sample is the lowest-hash-of-id rows (content-uniform even on
+    id-sorted ingest) regardless of layout, and the numpy Lloyd loop
+    is sequential — so codebooks are bit-identical on any cluster
+    width (the property the old per-iteration distributed means could
+    NOT give)."""
     from mcm_problem_f_data_wrangling_spark.operators.similarity import (
         train_ivf_cells,
         train_pq,
@@ -284,6 +285,60 @@ def test_ivf_knn_join_blas_tie_at_k_boundary(spark):
     for qid, nid, _ in b:
         by_q.setdefault(qid, []).append(nid)
     assert sorted(by_q[40]) == [10, 20]  # lowest tied ids win
+
+
+def test_ivf_knn_join_zero_norm_query_both_engines_drop(spark):
+    """A zero-norm QUERY vector (failed encode / padding) must emit
+    zero rows from BOTH engines: the BLAS engine masks it out of the
+    matmul, and the SQL engine's NULL cosines are filtered before
+    ranking (_knn_topk) — without that filter the SQL engine emitted
+    k NULL-cosine rows for the query and the engines diverged."""
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import (
+        ivf_knn_join,
+        ivf_knn_join_blas,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 0.0], 0),  # zero-norm: never a query hit, never a neighbor
+        (4, [0.5, 0.5], 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    a = sorted(map(tuple, ivf_knn_join(df, df, k=2).collect()))
+    b = sorted(map(tuple, ivf_knn_join_blas(df, df, k=2).collect()))
+    assert a == b and a
+    assert not any(q == 3 or n == 3 for q, n, _ in a)
+
+
+def test_trainer_sample_is_hash_ordered_not_id_prefix(spark):
+    """On id-correlated corpora the training sample must NOT be the
+    lowest-id prefix: planting two disjoint clusters in the low-id and
+    high-id halves, a k=2 codebook trained with sample_n = half the
+    corpus must still see BOTH clusters (a prefix sample would place
+    both centroids inside the first cluster)."""
+    import numpy as np
+
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import (
+        train_ivf_cells,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for vid in range(200):
+        base = np.zeros(4)
+        base[0 if vid < 100 else 1] = 1.0  # content correlates with id
+        v = base + rng.normal(0, 0.01, 4)
+        rows.append((vid, [float(x) for x in v], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    assigned, cents = train_ivf_cells(df, k=2, iters=3, sample_n=100)
+    got = assigned.groupBy("cell").agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).collect()
+    # both cells exist and split cleanly on the id halves
+    assert len(got) == 2
+    spans = sorted((r["lo"], r["hi"]) for r in got)
+    assert spans[0][1] < 100 <= spans[1][0]
 
 
 def test_edit_distance_pairs_banded(spark):

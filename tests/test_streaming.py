@@ -490,6 +490,13 @@ def test_transform_with_state_running_totals_matches_batch(
     if not _HAS_PROTOBUF:
         with pytest.raises(NotImplementedError, match="protobuf"):
             running_totals_stream(stream, "src", "value", api="tws")
+        # with ttl_ms the error must NOT suggest api='gst' (which would
+        # immediately ValueError — GroupState has no per-state TTL)
+        with pytest.raises(NotImplementedError) as ei:
+            running_totals_stream(stream, "src", "value", api="auto", ttl_ms=1000)
+        assert "api='gst'" not in str(ei.value)
+        with pytest.raises(NotImplementedError, match="api='gst'"):
+            running_totals_stream(stream, "src", "value", api="tws", ttl_ms=None)
         # 'auto' without protobuf must route to the executable engine
         assert running_totals_stream(stream, "src", "value").isStreaming
         # drive the processor's own logic through a fake state handle:
