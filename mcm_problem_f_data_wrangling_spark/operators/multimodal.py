@@ -3,12 +3,21 @@ star): image/audio/video as opaque ``binary`` columns with typed
 metadata.
 
 The Spark-side plumbing — schema, batching, partition sizing, UDF
-signatures — is real and tested; the actual media decode is STUBBED
-(image/audio libraries are not in this container).  The stub is a
-deterministic fake keyed on content bytes, clearly marked, so the
-pipeline shape (decode → feature-extract → resize/frame-sample) can be
-exercised end-to-end and swapped for a real decoder (PIL/ffmpeg) by
-replacing one function.
+signatures — is real and tested.  The decode stage is REAL for the two
+formats the Python stdlib can decode with zero dependencies:
+
+- **PNG** (``zlib``): chunk walk with CRC verification, IHDR parse,
+  IDAT inflate, full scanline un-filtering (None/Sub/Up/Average/Paeth)
+  for 8-bit grayscale and RGB — :func:`decode_png`.
+- **WAV** (``struct``): RIFF chunk walk, fmt parse, 16-bit PCM sample
+  extraction — :func:`decode_wav`.
+
+Formats whose codecs genuinely need external libraries (JPEG needs a
+DCT/huffman implementation = PIL; MP4/H.264 needs libav) fail fast
+with an honest ``NotImplementedError``; any other payload falls back
+to the clearly-marked deterministic STUB (a fake keyed on content
+bytes) so the pipeline shape (decode → feature-extract →
+resize/frame-sample) stays exercisable end-to-end on arbitrary bytes.
 
 Design for scale:
 - media rows are *heavy*; ``media_repartition_hint`` sizes partitions
@@ -56,6 +65,10 @@ DECODED_SCHEMA = StructType(
         StructField("height", IntegerType()),
         StructField("n_frames", IntegerType()),
         StructField("mean_luma", DoubleType()),
+        # audio-only columns (NULL for image/video rows)
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("mean_sample", DoubleType()),
     ]
 )
 
@@ -94,6 +107,210 @@ def media_repartition_hint(df: DataFrame, target_bytes_per_partition: int = 128 
     return df.repartition(n)
 
 
+# --- real stdlib codecs ----------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(
+    samples: "bytes | bytearray | list[int]",
+    width: int,
+    height: int,
+    channels: int = 1,
+) -> bytes:
+    """Minimal stdlib PNG writer (8-bit grayscale or RGB, no
+    interlace) — the fixture/test-side twin of :func:`decode_png`.
+
+    ``samples`` is the row-major flat sample stream (``width * height
+    * channels`` bytes).  Each scanline is written with filter type
+    ``row % 5``, cycling through all five PNG filters (None, Sub, Up,
+    Average, Paeth) — a valid encoder choice that makes every decoder
+    filter path load-bearing in round-trip tests and gates.
+    """
+    import struct
+    import zlib
+
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 (gray) or 3 (RGB), got {channels}")
+    raw = bytes(samples)
+    stride = width * channels
+    if len(raw) != stride * height:
+        raise ValueError(f"need {stride * height} samples, got {len(raw)}")
+    bpp = channels  # bytes per pixel at bit depth 8
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    color_type = 0 if channels == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = bytearray()
+    prior = bytes(stride)
+    for r in range(height):
+        line = raw[r * stride : (r + 1) * stride]
+        f = r % 5
+        out.append(f)
+        for i in range(stride):
+            x = line[i]
+            left = line[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            upleft = prior[i - bpp] if i >= bpp else 0
+            if f == 1:
+                x -= left
+            elif f == 2:
+                x -= up
+            elif f == 3:
+                x -= (left + up) >> 1
+            elif f == 4:
+                x -= _paeth(left, up, upleft)
+            out.append(x & 0xFF)
+        prior = line
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real stdlib PNG decoder → ``(width, height, channels,
+    samples)`` with ``samples`` the row-major flat 8-bit stream.
+
+    Full chunk walk with CRC verification, zlib inflate of the
+    concatenated IDATs, and un-filtering of all five scanline filter
+    types.  Supports bit depth 8, color types 0 (grayscale) and
+    2 (RGB), no interlace — anything else raises
+    ``NotImplementedError`` (an honest boundary, not a fake).
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (0, 2) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit_depth={depth} color_type={color_type} "
+            f"interlace={interlace} unsupported (8-bit gray/RGB only)"
+        )
+    channels = 1 if color_type == 0 else 3
+    stride = width * channels
+    bpp = channels
+    flat = zlib.decompress(bytes(idat))
+    if len(flat) != (stride + 1) * height:
+        raise ValueError("PNG IDAT length does not match dimensions")
+    out = bytearray(stride * height)
+    prior = bytes(stride)
+    for r in range(height):
+        f = flat[r * (stride + 1)]
+        line = bytearray(flat[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if f == 1:
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                upleft = prior[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prior[i], upleft)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"PNG scanline filter {f} invalid")
+        out[r * stride : (r + 1) * stride] = line
+        prior = bytes(line)
+    return width, height, channels, bytes(out)
+
+
+def encode_wav_pcm16(
+    samples: "list[int]", sample_rate: int, channels: int = 1
+) -> bytes:
+    """Minimal stdlib RIFF/WAVE writer (16-bit PCM, interleaved) —
+    the fixture/test-side twin of :func:`decode_wav`."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * 2, channels * 2, 16,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, "list[int]"]:
+    """Real stdlib WAV decoder → ``(sample_rate, channels, n_samples,
+    samples)`` with ``samples`` the interleaved 16-bit PCM stream
+    (``n_samples`` counts individual samples across channels).
+
+    RIFF chunk walk honoring word alignment; 16-bit PCM (format tag
+    1) only — compressed/float WAVE raises ``NotImplementedError``.
+    """
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, channels, sample_rate, _, _, bits = fmt
+    if tag != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format tag={tag} bits={bits} unsupported (16-bit PCM only)"
+        )
+    n = len(data) // 2
+    return sample_rate, channels, n, list(struct.unpack(f"<{n}h", data[: n * 2]))
+
+
 def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int, float]:
     """STUB decoder — deterministic fake keyed on content bytes.
 
@@ -115,16 +332,24 @@ def decode_media(df: DataFrame) -> DataFrame:
 
     The iterator form streams one Arrow batch at a time — a partition
     of large payloads never materializes fully in Python memory.
+
+    Per-payload dispatch on magic bytes:
+
+    - PNG signature → :func:`decode_png` (REAL stdlib decode: width,
+      height, mean over all decoded samples as ``mean_luma``)
+    - RIFF/WAVE → :func:`decode_wav` (REAL stdlib decode:
+      ``sample_rate``, ``n_samples``, ``mean_sample``; the image
+      geometry columns stay NULL)
+    - JPEG / MP4 magic → honest ``NotImplementedError`` (their codecs
+      need PIL/libav, absent from this container)
+    - anything else → the deterministic STUB fake (vectorized over
+      the batch), keyed on content bytes, clearly marked
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            # vectorized over the Arrow batch (no per-row iterrows —
-            # measured ~6x on the 200k-doc sf1 stub): the stub decode
-            # is a pure function of the byte-sum h and media_type, so
-            # compute h for the whole batch then derive columns
             payloads = [
                 bytes(p) if p is not None else b"" for p in pdf["payload"]
             ]
@@ -135,26 +360,80 @@ def decode_media(df: DataFrame) -> DataFrame:
                 raise NotImplementedError(
                     f"no decoder for media_type={mtypes[bad.argmax()]!r}"
                 )
-            h = np.array(
-                [
-                    np.frombuffer(p[:64], dtype=np.uint8).sum(dtype=np.int64)
-                    for p in payloads
-                ]
-            )
-            out = pd.DataFrame(
+            n = len(payloads)
+            width = np.full(n, np.nan)
+            height = np.full(n, np.nan)
+            n_frames = np.full(n, np.nan)
+            mean_luma = np.full(n, np.nan)
+            sample_rate = np.full(n, np.nan)
+            n_samples = np.full(n, np.nan)
+            mean_sample = np.full(n, np.nan)
+            stub_idx = []
+            for i, p in enumerate(payloads):
+                if p[:8] == PNG_MAGIC:
+                    w, h, ch, flat = decode_png(p)
+                    width[i], height[i], n_frames[i] = w, h, 1
+                    arr = np.frombuffer(flat, dtype=np.uint8)
+                    mean_luma[i] = float(arr.mean(dtype=np.float64)) / 255.0
+                elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                    sr, ch, ns, samples = decode_wav(p)
+                    sample_rate[i], n_samples[i], n_frames[i] = sr, ns, 1
+                    mean_sample[i] = float(
+                        np.asarray(samples, dtype=np.float64).mean()
+                    )
+                elif p[:3] == b"\xff\xd8\xff":
+                    raise NotImplementedError(
+                        "JPEG decode needs PIL (DCT/huffman codec) — "
+                        "absent from this container; PNG decodes natively"
+                    )
+                elif p[4:8] == b"ftyp":
+                    raise NotImplementedError(
+                        "MP4 decode needs libav/ffmpeg — absent from "
+                        "this container; WAV decodes natively"
+                    )
+                else:
+                    stub_idx.append(i)
+            if stub_idx:
+                # STUB fake for unrecognized bytes, vectorized over the
+                # stub subset (no per-row iterrows — measured ~6x on
+                # the 200k-doc sf1 stub): a pure function of the
+                # byte-sum h and media_type
+                si = np.asarray(stub_idx)
+                h = np.array(
+                    [
+                        np.frombuffer(
+                            payloads[i][:64], dtype=np.uint8
+                        ).sum(dtype=np.int64)
+                        for i in stub_idx
+                    ]
+                )
+                width[si] = 64 + h % 1024
+                height[si] = 64 + (h * 7) % 1024
+                n_frames[si] = np.where(mtypes[si] == "image", 1, 1 + h % 300)
+                mean_luma[si] = (h % 256) / 255.0
+
+            def as_int(col, dtype):
+                s = pd.Series(col)
+                return s.astype("Float64").astype(dtype)
+
+            yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
                     "media_type": mtypes,
-                    "byte_len": np.array([len(p) for p in payloads], dtype=np.int64),
-                    "width": (64 + h % 1024).astype(np.int32),
-                    "height": (64 + (h * 7) % 1024).astype(np.int32),
-                    "n_frames": np.where(
-                        mtypes == "image", 1, 1 + h % 300
-                    ).astype(np.int32),
-                    "mean_luma": (h % 256) / 255.0,
+                    "byte_len": np.array(
+                        [len(p) for p in payloads], dtype=np.int64
+                    ),
+                    "width": as_int(width, "Int32"),
+                    "height": as_int(height, "Int32"),
+                    "n_frames": as_int(n_frames, "Int32"),
+                    # nullable Float64: NaN marks "not this modality"
+                    # and must arrive as NULL, not NaN
+                    "mean_luma": pd.Series(mean_luma).astype("Float64"),
+                    "sample_rate": as_int(sample_rate, "Int32"),
+                    "n_samples": as_int(n_samples, "Int64"),
+                    "mean_sample": pd.Series(mean_sample).astype("Float64"),
                 }
             )
-            yield out
 
     return df.mapInPandas(decode_batches, DECODED_SCHEMA)
 

@@ -56,7 +56,7 @@ _FRONT = [
     "x_sketch_accuracy_gate",
     "x_boilerplate_lines",
     # --- (b) freshly oracle-backed this round ---
-    "x_multimodal_decode_stub",
+    "x_multimodal_decode",
     "x_multimodal_feature_extract",
     "x_multimodal_frame_pipeline",
     "x4_diagnostics_gate",

@@ -942,47 +942,92 @@ def x5_sarimax_exog_fan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "x_multimodal_decode_stub",
-    "Multimodal decode plumbing end-to-end: binary payloads through the "
-    "Arrow-batched mapInPandas decode stage (deterministic stub decoder "
-    "— media libs absent; see operators.multimodal).  Hash-gated via "
-    "structural laws (the PQ/PCA envelope pattern): byte_len must equal "
-    "the payload's octet length (SQL-recomputable), and the stub's "
-    "internal consistency — height, mean_luma, and n_frames all derive "
-    "from the same byte-sum h as width — is pinned per row "
-    "(height == 64+((width-64)*7)%1024; mean_luma == ((width-64)%256)/255; "
-    "image → exactly 1 frame).  A batch misalignment, row mixup, or "
-    "schema drift in the Arrow plumbing flips a boolean and fails the "
-    "value hash; only the decoder internals stay un-oracled.",
+    "x_multimodal_decode",
+    "REAL media decode under the full-value hash gate: 120 planted "
+    "payloads — PNG (8-bit gray and RGB, scanline filters cycling "
+    "through all five types) and 16-bit PCM WAV, both written AND "
+    "decoded by pure-stdlib codecs (operators/multimodal.py "
+    "encode_png/decode_png via zlib, encode_wav_pcm16/decode_wav via "
+    "struct) — go through the same Arrow-batched mapInPandas decode "
+    "stage as any corpus.  The planted pixel/sample streams are pure "
+    "integer formulas of (media_id, position), so the DuckDB oracle "
+    "recomputes the DECODED VALUES — width/height geometry, mean "
+    "luma over every un-filtered sample byte, sample counts/rate and "
+    "mean amplitude — from the formulas alone, independent of the "
+    "codec: inflate, CRC, un-filtering (Sub/Up/Average/Paeth), RIFF "
+    "chunk-walk and PCM unpack are all load-bearing for the hash.  "
+    "Integer sums stay < 2^53 so means are bit-exact cross-engine.  "
+    "(JPEG/MP4 remain honestly env-blocked — their codecs need "
+    "PIL/libav; arbitrary-byte payloads keep the clearly-marked "
+    "deterministic stub, gated structurally in "
+    "x_multimodal_frame_pipeline.)",
     """
-SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS media_type,
-       CAST(strlen(text) AS BIGINT) AS byte_len,
-       TRUE AS geom_ok, TRUE AS luma_ok, TRUE AS frames_ok
-FROM documents
+WITH ids AS (SELECT unnest(generate_series(0, 119)) AS id),
+png AS (
+  SELECT id, 4 + (id % 13) AS w, 3 + ((3 * id) % 11) AS h,
+         CASE WHEN id % 4 = 0 THEN 3 ELSE 1 END AS ch
+  FROM ids WHERE id % 2 = 0
+),
+png_px AS (
+  SELECT id, w, h, unnest(generate_series(0, w * h * ch - 1)) AS j FROM png
+),
+png_stats AS (
+  SELECT id, AVG(CAST((id * 31 + 7 * j) % 251 AS DOUBLE)) / 255.0 AS luma
+  FROM png_px GROUP BY id
+),
+wav AS (
+  SELECT id, 8000 + 100 * (id % 5) AS sr, 40 + (id % 30) AS ns
+  FROM ids WHERE id % 2 = 1
+),
+wav_px AS (SELECT id, ns, unnest(generate_series(0, ns - 1)) AS j FROM wav),
+wav_stats AS (
+  SELECT id, AVG(CAST(((id * 37 + 11 * j) % 2001) - 1000 AS DOUBLE)) AS meanv
+  FROM wav_px GROUP BY id
+)
+SELECT CAST(p.id AS BIGINT) AS media_id, 'image' AS media_type,
+       CAST(p.w AS INT) AS width, CAST(p.h AS INT) AS height,
+       CAST(1 AS INT) AS n_frames, s.luma AS mean_luma,
+       CAST(NULL AS INT) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
+       CAST(NULL AS DOUBLE) AS mean_sample
+FROM png p JOIN png_stats s USING (id)
+UNION ALL
+SELECT CAST(v.id AS BIGINT), 'audio', NULL, NULL, CAST(1 AS INT), NULL,
+       CAST(v.sr AS INT), CAST(v.ns AS BIGINT), ws.meanv
+FROM wav v JOIN wav_stats ws USING (id)
 """,
     tags=("M4", "multimodal"),
 )
-def x_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.col("text").cast("binary").alias("payload"),
-        F.lit("image").alias("media_type"),
-        F.col("source").alias("source_uri"),
-    )
-    d = decode_media(docs)
-    h = F.col("width") - 64  # the stub's byte-sum h, mod 1024
-    return d.select(
+def x_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import encode_png, encode_wav_pcm16
+
+    rows = []
+    for mid in range(120):
+        if mid % 2 == 0:
+            ch = 3 if mid % 4 == 0 else 1
+            w, h = 4 + (mid % 13), 3 + ((3 * mid) % 11)
+            samples = bytes((mid * 31 + 7 * j) % 251 for j in range(w * h * ch))
+            rows.append(
+                (mid, encode_png(samples, w, h, ch), "image", f"planted://png/{mid}")
+            )
+        else:
+            sr, ns = 8000 + 100 * (mid % 5), 40 + (mid % 30)
+            samples = [((mid * 37 + 11 * j) % 2001) - 1000 for j in range(ns)]
+            rows.append(
+                (mid, encode_wav_pcm16(samples, sr), "audio", f"planted://wav/{mid}")
+            )
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return decode_media(media).select(
         "media_id",
         "media_type",
-        "byte_len",
-        (
-            (F.col("width").between(64, 64 + 1023))
-            & (F.col("height") == (h * 7) % 1024 + 64)
-        ).alias("geom_ok"),
-        (F.abs(F.col("mean_luma") - (h % 256).cast("double") / 255.0) <= 1e-12).alias(
-            "luma_ok"
-        ),
-        (F.col("n_frames") == 1).alias("frames_ok"),
+        "width",
+        "height",
+        "n_frames",
+        "mean_luma",
+        "sample_rate",
+        "n_samples",
+        "mean_sample",
     )
 
 

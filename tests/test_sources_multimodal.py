@@ -360,3 +360,101 @@ def test_phash_neardup_finds_identical_payloads(spark):
     assert [(r["media_id_1"], r["media_id_2"], r["hamming"]) for r in pairs] == [
         (0, 2, 0)
     ]
+
+
+# --- real stdlib PNG/WAV codecs -------------------------------------------
+
+
+def test_png_roundtrip_all_filters_gray_and_rgb():
+    """encode_png cycles scanline filters 0-4 (height >= 5 exercises
+    every filter); decode_png must recover the exact sample stream —
+    inflate, CRC, and all five un-filter paths are load-bearing."""
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    for ch in (1, 3):
+        w, h = 6, 8
+        samples = bytes(((11 * i + 5) % 256) for i in range(w * h * ch))
+        w2, h2, ch2, flat = decode_png(encode_png(samples, w, h, ch))
+        assert (w2, h2, ch2) == (w, h, ch)
+        assert flat == samples
+
+
+def test_png_crc_corruption_detected():
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    p = bytearray(encode_png(bytes(9), 3, 3, 1))
+    p[20] ^= 0xFF  # flip a bit inside IHDR
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(p))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+
+
+def test_wav_roundtrip_and_guards():
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    s = [((7 * i) % 2001) - 1000 for i in range(33)]
+    sr, ch, n, got = decode_wav(encode_wav_pcm16(s, 44100))
+    assert (sr, ch, n) == (44100, 1, 33) and got == s
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_decode_media_real_png_wav_and_stub_in_one_batch(spark):
+    """One Arrow batch mixing a real PNG, a real WAV, and a stub
+    payload: per-row dispatch must keep columns aligned — geometry
+    from the real decode, audio columns NULL on image rows and vice
+    versa, stub laws intact on the fallback row."""
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        encode_png,
+        encode_wav_pcm16,
+    )
+
+    px = bytes(((i * 3) % 256) for i in range(5 * 4))
+    wv = [100, -100, 250, -250]
+    rows = [
+        (10, encode_png(px, 5, 4, 1), "image", "planted://png"),
+        (11, encode_wav_pcm16(wv, 8000), "audio", "planted://wav"),
+        (12, b"arbitrary bytes \x01\x02", "video", "planted://stub"),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload", "media_type", "source_uri"])
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    png = got[10]
+    assert (png["width"], png["height"], png["n_frames"]) == (5, 4, 1)
+    assert png["mean_luma"] == pytest.approx(sum(px) / len(px) / 255.0)
+    assert png["sample_rate"] is None and png["n_samples"] is None
+    assert png["mean_sample"] is None
+    wav = got[11]
+    assert (wav["sample_rate"], wav["n_samples"]) == (8000, 4)
+    assert wav["mean_sample"] == pytest.approx(sum(wv) / len(wv))
+    assert wav["width"] is None and wav["height"] is None
+    assert wav["mean_luma"] is None
+    stub = got[12]
+    h = sum(rows[2][1][:64])
+    assert stub["width"] == 64 + h % 1024 and stub["n_frames"] == 1 + h % 300
+
+
+def test_decode_media_jpeg_mp4_fail_fast(spark):
+    """JPEG/MP4 payloads raise the honest env-blocked error instead of
+    silently stubbing (their codecs need PIL/libav)."""
+    jpeg = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0" + b"j" * 40, "image", "x")],
+        ["media_id", "payload", "media_type", "source_uri"],
+    )
+    with pytest.raises(Exception, match="JPEG"):
+        decode_media(jpeg).collect()
+    mp4 = spark.createDataFrame(
+        [(1, b"\x00\x00\x00\x18ftypmp42" + b"m" * 40, "video", "x")],
+        ["media_id", "payload", "media_type", "source_uri"],
+    )
+    with pytest.raises(Exception, match="MP4"):
+        decode_media(mp4).collect()
