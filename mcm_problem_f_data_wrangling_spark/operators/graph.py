@@ -10,16 +10,22 @@ nothing like this (its dedup surface is ``drop_duplicates``,
 SURVEY.md §2.2 P11); this is an engine extension on the BASELINE.json
 north star, same family as GraphFrames/GraphX connectedComponents.
 
-Algorithm: **hash-min label propagation with pointer-edge doubling**,
-pure DataFrame ops (no RDDs, no Python in the loop).  State is one
-(node, comp) table, comp = smallest node id known reachable.  Each
-round the label table is joined against an edge set that is the graph
-PLUS the label table's own pointer edges (node→comp and comp→node), so
-a node receives comp(comp(v)) as well as its neighbors' labels — the
-pointer-doubling shortcut folded into the one equi-join, closing long
-chains in O(log length) rounds.  Convergence is detected with a
-one-number aggregate: labels only decrease, so SUM(comp) is strictly
-monotone and stalls exactly at the fixpoint.
+Algorithm: **hash-min label propagation with two-level pointer
+doubling**, pure DataFrame ops (no RDDs, no Python in the loop).
+State is one (node, comp) table, comp = smallest node id known
+reachable.  Each round first composes the label table with itself
+(one n-row equi-join: lab2(v) = comp(comp(v)) — components are node
+ids, so the mapping is total), then joins the composed labels against
+an edge set that is the graph PLUS lab2's own pointer edges (node→comp
+and comp→node): a node receives comp⁴(v) through the shortcut and
+comp²(u) from each neighbor u, closing long chains in O(log₄ length)
+rounds — measured 10 → 5 rounds on the 20M-node chain+random smoke
+for one extra node-sized shuffle per round.  The fixpoint (min node id
+per component) is unchanged from the single-hop formulation, so
+labels stay byte-identical and the recursive-CTE oracle still pins
+them.  Convergence is detected with a one-number aggregate: labels
+only decrease, so SUM(comp) is strictly monotone and stalls exactly
+at the fixpoint.
 
 Iteration state lives in PARQUET, re-read each round.  This is
 deliberate and load-bearing: ``localCheckpoint``/``checkpoint`` do NOT
@@ -113,13 +119,40 @@ def connected_components(
 
         prev = total(labels)
         for i in range(max_iter):
-            # graph edges + label pointer edges (both ways): the rtr edge
-            # (comp→node) delivers comp(comp(v)) — pointer doubling —
-            # through the same single equi-join as the neighbor step
-            ptr = labels.select(
+            # label self-composition BEFORE the edge join: lab2(v) =
+            # comp(comp(v)) — one n-row equi-join (components are node
+            # ids, always present in the label table, so inner is
+            # total; labels only decrease, so comp(comp(v)) <=
+            # comp(v)).  With lab2 feeding the pointer edges below,
+            # each round propagates comp⁴ instead of comp² — the
+            # round count drops ~2x for one extra node-sized shuffle
+            # per round (cheap next to the edge join), and the
+            # FIXPOINT is unchanged: min-per-component labels, byte-
+            # identical to the single-hop formulation (the recursive-
+            # CTE oracle in x_dedup_clusters_cc pins this).
+            lab2 = (
+                labels.join(
+                    labels.select(
+                        F.col(node_col).alias("component"),
+                        F.col("component").alias("__c2"),
+                    ).hint("shuffle_hash"),
+                    "component",
+                )
+                .select(F.col(node_col), F.col("__c2").alias("component"))
+                # lab2 feeds FOUR plan branches (ptr, rtr, offer map,
+                # final union) — persist so the composition join runs
+                # once per round; unpersisted after the state write
+                .persist()
+            )
+            # graph edges + label pointer edges (both ways), all built
+            # from the COMPOSED labels: an edge (u, v) delivers
+            # comp²(u), and the rtr edge (comp²(v), v) delivers
+            # comp²(comp²(v)) = comp⁴(v) — through the same single
+            # equi-join as the neighbor step
+            ptr = lab2.select(
                 F.col(node_col).alias("a"), F.col("component").alias("b")
             )
-            rtr = labels.select(
+            rtr = lab2.select(
                 F.col("component").alias("a"), F.col(node_col).alias("b")
             )
             gr = sym.unionByName(ptr).unionByName(rtr)
@@ -128,10 +161,10 @@ def connected_components(
             # sort-merge (pays a sort per round) — measured 2.2 s vs
             # 2.6-5 s per round at 2M nodes
             offers = gr.join(
-                labels.hint("shuffle_hash"), gr["a"] == labels[node_col], "inner"
+                lab2.hint("shuffle_hash"), gr["a"] == lab2[node_col], "inner"
             ).select(F.col("b").alias(node_col), "component")
             nxt = (
-                labels.unionByName(offers)
+                lab2.unionByName(offers)
                 .groupBy(node_col)
                 .agg(F.min("component").alias("component"))
             )
@@ -144,6 +177,7 @@ def connected_components(
             nxt.observe(
                 obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("t")
             ).write.mode("overwrite").parquet(f"{base}/labels_{i + 1}")
+            lab2.unpersist()
             labels = spark.read.parquet(f"{base}/labels_{i + 1}")
             if on_round is not None:
                 on_round(i)

@@ -28,89 +28,81 @@ _ALL = (
 # same window.  Every query keeps its oracle either way — the builder's
 # mirror (tools/check_parity.py) always runs ALL of them.
 _FRONT = [
-    # --- ROUND-6 window (first ~50 = driver budget): after r5 every
-    # --- oracle-bearing query has carried the hard driver signal at
-    # --- least once EXCEPT x_sim_search_ivfpq.  r6 front-loads (a)
-    # --- everything whose implementation changed THIS round — the
-    # --- similarity family (numpy bounded-sample trainers + single
-    # --- F.lit literals + batched gate jobs), the split-agg sketch
-    # --- gate, the boilerplate localCheckpoint — (b) the three
-    # --- multimodal queries freshly converted from rows-only to
-    # --- structural-law hash oracles plus the new x4 gate, (c) the
-    # --- queries VERDICT r5 flagged as changed after the r5 gate ran,
-    # --- then fills with the usual canaries (MinHash family first —
-    # --- it broke once, in r3 — then bench headliners, then one per
-    # --- family).  No-oracle queries are EXCLUDED from the window
-    # --- (they'd burn slots on permanent `err: no_oracle` rows).
-    # --- Every query keeps its oracle either way — the builder's
-    # --- mirror (tools/check_parity.py) always runs ALL.
+    # --- ROUND-7 window (first ~50 = driver budget).  Two blocks:
+    # --- (a) everything whose implementation changed THIS round —
+    # --- the new real-decode multimodal gate, the kNN/semdedup
+    # --- engines (NULL-cosine filter, cell-cap join-key refactor),
+    # --- the trainer-sampled ANN family (hash-membership sample),
+    # --- the two-level-doubling CC loop, and the s30 timeout guard;
+    # --- (b) the STALEST oracle gates (VERDICT r6 task 3): the
+    # --- relational core last carried a driver hash in r1 — p05-p14,
+    # --- w01-w15 singles, f01-f14 families, a03-a08, j04-j08,
+    # --- u02-u05 — topped up with the oldest r2 rows.  No-oracle
+    # --- queries are EXCLUDED from the window (they'd burn slots on
+    # --- permanent `err: no_oracle` rows).  Every query keeps its
+    # --- oracle either way — the builder's mirror
+    # --- (tools/check_parity.py) always runs ALL.
     "flagship_career_collapse",   # driver smoke target stays first
     # --- (a) changed this round: must re-gate on current impl ---
-    "x_sim_search_ivfpq",         # also the one never-driver-gated query
-    "x_sim_ivfpq_incremental",    # new r6: frozen-codebook index append
-    "x_sim_search_pq",
-    "x_sim_search_ivf",
-    "x_sim_search_bruteforce",
+    "x_multimodal_decode",        # NEW: real PNG/WAV decode, planted oracle
+    "x_multimodal_frame_pipeline",  # decode schema gained audio columns
+    "x_sim_knn_join",             # NULL-cosine filter + join-key refactor
+    "x_embed_semdedup",           # cell-cap branch in semantic_dedup
+    "x_sim_search_pq",            # hash-membership trainer sample
+    "x_sim_search_ivfpq",
+    "x_sim_ivfpq_incremental",
     "x_ann_recall_gate",
-    "x_embed_semdedup",
-    "x_sketch_accuracy_gate",
-    "x_boilerplate_lines",
-    # --- (b) freshly oracle-backed this round ---
-    "x_multimodal_decode",
-    "x_multimodal_feature_extract",
-    "x_multimodal_frame_pipeline",
-    "x4_diagnostics_gate",
-    "x3_aic_gate",
-    "x_bpe_token_stats",          # batch-loop rewrite this round
-    "s30_streaming_running_totals",  # new r6: live streaming under the gate
-    # --- (c) changed after the r5 gate ran (VERDICT r5 task 1) ---
-    "x_dedup_clusters_cc",
-    "x_fuzzy_name_match",
-    "x5_sarimax_exog_fan",
-    "x_sim_knn_join",             # engine refactored onto shared helpers r6
-    # --- regression canaries: MinHash/dedup family first (r3's only
-    # --- break was here — x_dedup_minhash_* oracle drift)
-    "x_minhash_signatures",
-    "x_dedup_minhash_lsh_pairs",
-    "x_dedup_minhash_estimate",
-    "x_dedup_incremental",
-    "x_lsh_recall_gate",
-    "x_dedup_jaccard_prefix",
-    "x_dedup_simhash",
-    "x_dedup_simhash_hamming",
-    "x_dedup_containment",
-    "x_dedup_canonical_pick",
-    "x_dedup_exact_fingerprint",
-    "x_dedup_rate_by_source",
-    "x_dedup_chunks",
-    "x_dedup_ngram_jaccard",
-    # --- bench headliners (perf-sensitive plans double as canaries)
-    "j03_fact_dict_broadcast",
-    "a06_quantile_summary",
-    "w02_rolling_mean",
-    "x_text_quality",
-    "x_doc_chunking",
-    "q05_star_join_revenue",
-    "q01_pricing_summary",
-    "q06_revenue_delta",
-    "x_dup_ngram_fraction",
-    # --- one canary per remaining family ---
-    "a01_group_sum",              # aggregates
-    "a02_weighted_mean",          # ratio-of-sums
-    "w04_rolling_corr",           # window frames (r1 ANSI regression site)
-    "j01_dictionary_bridge_join", # dimension bridge
-    "u01_union_long_format",      # union
-    "x_graph_pagerank",           # iterative graph
-    "x_graph_triangles",
-    "x_graph_kcore",
-    "x_decontaminate_ngram_overlap",
-    "x_pack_sequences",           # packing
-    "x_e2e_training_corpus",      # end-to-end pipeline
-    "x_dup_span_detection",
-    "x_embed_pca_project",        # r5 hash-gate conversions
-    "x5_monte_carlo_fan",
-    "x_sketch_approx_stats",
-    "x3_holt_winters",
+    "x_dedup_clusters_cc",        # two-level pointer doubling in CC
+    "s30_streaming_running_totals",  # awaitTermination timeout guard
+    # --- (b) stalest gates: last driver hash in round 1 ---
+    "p05_monthly_regex_filter",
+    "p06_in_list_filter",
+    "p07_seasonal_equality",
+    "p08_exact_or_prefix_codes",
+    "p09_naics_mask",
+    "p10_ci_contains_search",
+    "p11_distinct_pairs",
+    "p12_null_fill_join",
+    "p14_json_props_extract",
+    "a03_value_counts",
+    "a04_dedupe_collapse",
+    "a05_minmax_summary",
+    "a07_first_nonnull",
+    "f01_06_date_synthesis",
+    "f07_cast_coerce_null",
+    "f09_14_scalar_math",
+    "j04_weight_attach",
+    "j05_two_aggregate_join",
+    "j06_exog_month_end_join",
+    "j08_semi_anti_join",
+    "u02_intersect_active_users",
+    "u03_except_all_multiset",
+    "u04_rollup_hierarchy",
+    "u05_cube_order_matrix",
+    "w01_pct_change",
+    "w03_rolling_std",
+    "w05_rolling_median",
+    "w06_differences",
+    "w07_index_rebase",
+    "w08_cumulative_sum",
+    "w09_tail_window",
+    "w10_multikey_sort_projection",
+    "w11_top_n",
+    "w12_month_grid_gapfill",
+    "w13_future_month_index",
+    "w14_pivot_event_matrix",
+    "w15_ntile_price_quartiles",
+    # --- stalest r2 rows top up the window ---
+    "a08_nested_array_agg",
+    "q02_min_cost_supplier",
+    "q09_product_profit",
+    "q11_important_stock",
+    "q18_large_volume_customers",
+    "q20_potential_promo_suppliers",
+    "q21_waiting_orders",
+    "s08_tumbling_window_rollup",
+    "s09_sessionize_batch",
+    "s13_retention_cohorts",
 ]
 
 # The external driver verifies roughly this many registry-order

@@ -420,6 +420,8 @@ SELECT qid AS vec_id, nid AS neighbor_id, ROUND(dot / (na * nb), 6) AS cos_sim
 FROM p
 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dot / (na * nb) DESC, nid) <= 3
 """,
+    headline=True,  # r7: the one shuffle-heavy pair-join plan in the
+    # bench set — tracks the cell join + window top-k round-over-round
     tags=("M4", "similarity"),
 )
 def x_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,7 +14,7 @@
 set -e
 cd "$(dirname "$0")/.."
 
-echo "== gate 1/5: driver-contract smoke (vanilla session, like the driver) =="
+echo "== gate 1/6: driver-contract smoke (vanilla session, like the driver) =="
 python - <<'EOF'
 import sys
 sys.path.insert(0, ".")
@@ -31,13 +31,13 @@ print(f"entry rows={len(rows)} queries={len(qs)} oracles={len(osql)}")
 spark.stop()
 EOF
 
-echo "== gate 2/5: physical-plan audit (red flags + shuffle snapshot) =="
+echo "== gate 2/6: physical-plan audit (red flags + shuffle snapshot) =="
 python tools/audit_plans.py
 
-echo "== gate 3/5: full oracle-parity mirror (sf0.001) =="
+echo "== gate 3/6: full oracle-parity mirror (sf0.001) =="
 python -m pytest tests/test_oracle_parity.py -q
 
-echo "== gate 4/5: bench smoke (one JSON line, no query > 3x its committed median) =="
+echo "== gate 4/6: bench smoke (one JSON line, no query > 3x its committed median) =="
 python - <<'EOF'
 import json, os, subprocess, sys
 
@@ -68,7 +68,7 @@ else:
     print(f"bench ok: wall={got['value']}s (no prior BENCH_r*.json to compare)")
 EOF
 
-echo "== gate 5/5: sf1 bench smoke (quadratic cliffs hide inside sf0.1 noise) =="
+echo "== gate 5/6: sf1 bench smoke (quadratic cliffs hide inside sf0.1 noise) =="
 python - <<'EOF'
 import json, os, subprocess, sys
 
@@ -102,6 +102,49 @@ if prior:
           + (f" (single soft outlier tolerated: {cliffs})" if cliffs else ""))
 else:
     print(f"sf1 bench ok: wall={got['value']}s (no prior BENCH_SF1_r*.json)")
+EOF
+
+echo "== gate 6/6: sf1 full-suite sweep (heavy-query regression anchor) =="
+python - <<'EOF'
+import glob, json, os, subprocess, sys
+
+# the r5 sketch-gate regression (234 s at sf1) lived in a NON-headline
+# query and was caught by a human reading sweep output; this gate
+# machine-checks every registry query's sf1 wall against the committed
+# sweep anchor, so the dominators (x_graph_triangles, x_sim_knn_join,
+# x_embed_semdedup, x_dedup_clusters_cc) are gated, not narrated.
+if not os.path.isdir("benchdata/sf1"):
+    print("SKIP: benchdata/sf1 missing — regenerate with tools/gen_bench_sf1.py")
+    sys.exit(0)
+if os.environ.get("SPARK_GRAFT_SKIP_SF1_SWEEP"):
+    print("SKIP (explicit): SPARK_GRAFT_SKIP_SF1_SWEEP set — run the full "
+          "gate before the round snapshot")
+    sys.exit(0)
+prior = sorted(glob.glob("SWEEP_SF1_r*.json"))
+out = "/tmp/sweep_sf1_gate.json"
+env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "16g"))
+r = subprocess.run(
+    [sys.executable, "tools/sweep_all.py", "benchdata/sf1", "10", "--out", out],
+    env=env, capture_output=True, text=True,
+)
+if r.returncode:
+    sys.stderr.write(r.stdout[-3000:] + r.stderr[-3000:])
+    raise SystemExit("sf1 sweep had failures")
+got = json.load(open(out))["queries"]
+if not prior:
+    print(f"sf1 sweep ok ({len(got)} queries; no committed SWEEP_SF1_r*.json "
+          "anchor yet — commit one this round)")
+    sys.exit(0)
+base = json.load(open(prior[-1]))["queries"]
+# 3x vs the committed anchor, with a 2 s absolute floor so sub-second
+# queries' scheduler jitter can't trip the gate
+cliffs = {
+    n: (base[n], round(t, 1))
+    for n, t in got.items()
+    if n in base and t > max(3.0 * base[n], 2.0)
+}
+assert not cliffs, f"sf1 sweep cliff vs {prior[-1]}: {cliffs}"
+print(f"sf1 sweep ok: {len(got)} queries, no query >3x its {prior[-1]} anchor")
 EOF
 
 echo "GATE GREEN — safe to commit"

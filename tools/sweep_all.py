@@ -8,7 +8,12 @@ This is the scale-cliff detector the r4 round used at sf0.1 (found the
 single-task sketch gate / boilerplate / ngram-jaccard replays); run it
 at benchdata/sf1 for the 10x tier.
 
-Usage: python tools/sweep_all.py [sf_dir] [top_n]
+With ``--out PATH`` the per-query walls are also written as ONE JSON
+artifact (committed as ``SWEEP_SF1_r{N}.json`` each round — the
+regression anchor pre_snapshot_gate.sh gate 6 compares against, so the
+heavy non-headline queries are machine-gated, not narrative-gated).
+
+Usage: python tools/sweep_all.py [sf_dir] [top_n] [--out PATH]
 """
 
 from __future__ import annotations
@@ -25,8 +30,14 @@ from mcm_problem_f_data_wrangling_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 15
+    args = list(sys.argv[1:])
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    top_n = int(args[1]) if len(args) > 1 else 15
     spark = get_spark("sweep_all")
     spark.sparkContext.setLogLevel("ERROR")
     times: dict[str, float] = {}
@@ -48,6 +59,21 @@ def main() -> int:
             )
             traceback.print_exc(file=sys.stderr)
     wall = round(time.time() - t_all, 1)
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(REGISTRY),
+                    "wall_seconds": round(time.time() - t_all, 1),
+                    "failures": failures,
+                    "queries": times,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"sweep artifact written: {out_path}", flush=True)
     slowest = sorted(times.items(), key=lambda kv: -kv[1])[:top_n]
     print(
         json.dumps(
