@@ -10,33 +10,41 @@ nothing like this (its dedup surface is ``drop_duplicates``,
 SURVEY.md §2.2 P11); this is an engine extension on the BASELINE.json
 north star, same family as GraphFrames/GraphX connectedComponents.
 
-Algorithm: **hash-min label propagation with two-level pointer
-doubling**, pure DataFrame ops (no RDDs, no Python in the loop).
-State is one (node, comp) table, comp = smallest node id known
-reachable.  Each round first composes the label table with itself
-(one n-row equi-join: lab2(v) = comp(comp(v)) — components are node
-ids, so the mapping is total), then joins the composed labels against
-an edge set that is the graph PLUS lab2's own pointer edges (node→comp
-and comp→node): a node receives comp⁴(v) through the shortcut and
-comp²(u) from each neighbor u, closing long chains in O(log₄ length)
-rounds — measured 10 → 5 rounds on the 20M-node chain+random smoke
-for one extra node-sized shuffle per round.  The fixpoint (min node id
-per component) is unchanged from the single-hop formulation, so
-labels stay byte-identical and the recursive-CTE oracle still pins
-them.  Convergence is detected with a one-number aggregate: labels
-only decrease, so SUM(comp) is strictly monotone and stalls exactly
-at the fixpoint.
+Algorithm: **alternating large-star / small-star edge contraction**
+(Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+Components in MapReduce and Beyond", SoCC 2014), pure DataFrame ops —
+no RDDs, no Python in the loop.  State is the EDGE set itself, which
+contracts toward per-component stars centered on the component min:
 
-Iteration state lives in PARQUET, re-read each round.  This is
+- *large-star(E)*: per node x over Γ(x) (both directions), with
+  m = min(Γ(x) ∪ {x}), emit (y, m) for every neighbor y > x;
+- *small-star(E)*: orient every edge toward its smaller endpoint; per
+  node x over its smaller neighbors N, with m = min(N), emit (y, m)
+  for y ∈ N ∪ {x} \\ {m}.
+
+Each phase is one groupBy + one equi-join over the current edge set.
+Two properties make this the 100 TB algorithm over hash-min label
+propagation: the round count is governed by CONTRACTION, not graph
+distance (hash-min needs ~eccentricity rounds — measured 9-10 on the
+20M-node chain+random smoke, whose farthest node is ~9 hops from the
+min; two-phase converges in 4-5 iterations on the same graph), and
+the edge set COLLAPSES after the first iteration (measured 470k → 109k
+→ 100k at 100k nodes; per-iteration shuffle falls with it), so late
+iterations are near-free.  At convergence the edge set IS the answer:
+(leaf → component-min) star edges — byte-identical labels to hash-min
+(the recursive-CTE oracle in x_dedup_clusters_cc pins this).
+Convergence = a stable (count, Σu, Σv, Σhash) edge-set checksum, read
+from an Observation riding the state write.
+
+Iteration state lives in PARQUET, re-read each phase.  This is
 deliberate and load-bearing: ``localCheckpoint``/``checkpoint`` do NOT
-reliably truncate lineage for this loop shape on Spark 4.1 — the label
-plan references the previous round's labels four times, and once
-truncation fails the recompute tree grows ~4^rounds (measured: flat
-~1 s/round through round 17, then 2.2 s, 4 s, 9 s, 22 s, 57 s).  With
-parquet state every round is a fresh scan: measured flat ~1 s/round to
-fixpoint on a 200k-node/190k-edge chain+random graph.  At cluster
-scale the work dir is a distributed-FS path and the per-round write is
-one row per node — the same pattern GraphX uses for iterative state.
+reliably truncate lineage for data-dependent loop shapes on Spark 4.1
+— each phase references the previous edge set three times, and once
+truncation fails the recompute tree grows ~3^phases (measured on the
+hash-min predecessor: flat ~1 s/round through round 17, then 2.2 s,
+4 s, 9 s, 22 s, 57 s).  With parquet state every phase is a fresh
+scan.  At cluster scale the work dir is a distributed-FS path — the
+same pattern GraphX uses for iterative state.
 """
 
 from __future__ import annotations
@@ -74,125 +82,138 @@ def connected_components(
     vertices (no incident edges); otherwise the vertex set is derived
     from the edges.
 
-    ``work_dir`` holds per-round parquet state (see module docstring);
-    default is a local temp dir, removed afterwards — on a cluster
-    pass a distributed-FS path.  ``max_iter`` is a safety rail;
-    hitting it raises rather than returning a half-merged labeling.
-    ``on_round`` (optional ``Callable[[int], None]``) fires after each
-    round's state write — the observability seam the scale smoke uses
-    to sample per-iteration shuffle volume from the UI REST API.
+    ``work_dir`` holds per-iteration parquet state (see module
+    docstring); default is a local temp dir, removed afterwards — on a
+    cluster pass a distributed-FS path.  ``max_iter`` bounds two-phase
+    (large-star + small-star) iterations; hitting it raises rather
+    than returning a half-contracted labeling.  ``on_round`` (optional
+    ``Callable[[int], None]``) fires after each iteration's state
+    write — the observability seam the scale smoke uses to sample
+    per-iteration shuffle volume from the UI REST API.
     """
     spark = edges.sparkSession
-    sym = symmetrize_edges(edges, src, dst)
-
     base = work_dir or tempfile.mkdtemp(prefix="cc_state_")
     own_dir = work_dir is None
     try:
-        sym.write.mode("overwrite").parquet(f"{base}/edges")
-        # the edge set is static across rounds — pin it in memory
-        # (spillable) instead of rescanning parquet every iteration
-        sym = spark.read.parquet(f"{base}/edges").persist()
-        # derive the vertex set from the MATERIALIZED edges, not the
-        # input lineage: building it from the pre-write plan re-executes
-        # the (possibly expensive — e.g. a prefix-filter Jaccard join)
-        # edge computation a second time for the labels_0 write
-        if nodes is None:
-            vertices = sym.select(F.col("a").alias(node_col)).dropDuplicates()
-        else:
-            # edges may mention vertices absent from `nodes`; the union keeps
-            # the label table closed over everything the joins will touch
-            vertices = (
-                nodes.select(F.col(node_col))
-                .unionByName(sym.select(F.col("a").alias(node_col)))
+        # canonical undirected edge set (u < v), deduped ONCE; the
+        # (possibly expensive) input edge plan executes exactly once
+        # into parquet, and everything downstream reads the file
+        e0 = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("u"),
+                F.greatest(F.col(src), F.col(dst)).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+        e0.write.mode("overwrite").parquet(f"{base}/edges_0")
+        cur = spark.read.parquet(f"{base}/edges_0")
+        # no vertex-set materialization: both star phases provably
+        # preserve every endpoint (a node always reappears as a leaf or
+        # a center of the rewired edges), so the final stars cover
+        # every non-isolated vertex — singletons exist only when the
+        # caller passes ``nodes``, and are resolved by one anti-join at
+        # the end.  (Skipping the two full-edge-scan distinct + write
+        # shaved ~60 s off the 20M-node smoke's first iteration.)
+
+        from pyspark.sql import Observation
+
+        def large_star(E: DataFrame) -> DataFrame:
+            # per node x: m = min(Γ(x) ∪ {x}); strictly-larger
+            # neighbors re-attach to m.  shuffle-hash for the m join —
+            # the r4-measured winner over sort-merge and per-round
+            # broadcast for iteration-state joins.
+            nbrs = E.select(
+                F.col("u").alias("x"), F.col("v").alias("y")
+            ).unionByName(E.select(F.col("v").alias("x"), F.col("u").alias("y")))
+            m = nbrs.groupBy("x").agg(
+                F.least(F.min("y"), F.first("x")).alias("m")
+            )
+            return (
+                nbrs.join(m.hint("shuffle_hash"), "x")
+                .where(F.col("y") > F.col("x"))
+                .select(F.col("y").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
                 .dropDuplicates()
             )
-        vertices.select(
-            F.col(node_col), F.col(node_col).alias("component")
-        ).write.mode("overwrite").parquet(f"{base}/labels_0")
-        labels = spark.read.parquet(f"{base}/labels_0")
 
-        def total(lab: DataFrame):
-            # decimal(38) accumulator: SUM over bigint ids can exceed int64
-            return lab.agg(
-                F.sum(F.col("component").cast("decimal(38,0)")).alias("t")
-            ).collect()[0]["t"]
+        def small_star(E: DataFrame) -> DataFrame:
+            # orient toward the smaller endpoint; per node x over its
+            # smaller neighbors N: m = min(N); everything in
+            # N ∪ {x} \ {m} re-attaches to m
+            o = E.select(
+                F.greatest("u", "v").alias("x"), F.least("u", "v").alias("y")
+            )
+            m = o.groupBy("x").agg(F.min("y").alias("m"))
+            leaves = o.join(m.hint("shuffle_hash"), "x").select(
+                F.col("y").alias("u"), F.col("m").alias("v")
+            )
+            centers = m.select(F.col("x").alias("u"), F.col("m").alias("v"))
+            return (
+                leaves.unionByName(centers)
+                .where(F.col("u") != F.col("v"))
+                .dropDuplicates()
+            )
 
-        prev = total(labels)
+        prev_sig = None
         for i in range(max_iter):
-            # label self-composition BEFORE the edge join: lab2(v) =
-            # comp(comp(v)) — one n-row equi-join (components are node
-            # ids, always present in the label table, so inner is
-            # total; labels only decrease, so comp(comp(v)) <=
-            # comp(v)).  With lab2 feeding the pointer edges below,
-            # each round propagates comp⁴ instead of comp² — the
-            # round count drops ~2x for one extra node-sized shuffle
-            # per round (cheap next to the edge join), and the
-            # FIXPOINT is unchanged: min-per-component labels, byte-
-            # identical to the single-hop formulation (the recursive-
-            # CTE oracle in x_dedup_clusters_cc pins this).
-            lab2 = (
-                labels.join(
-                    labels.select(
-                        F.col(node_col).alias("component"),
-                        F.col("component").alias("__c2"),
-                    ).hint("shuffle_hash"),
-                    "component",
-                )
-                .select(F.col(node_col), F.col("__c2").alias("component"))
-                # lab2 feeds FOUR plan branches (ptr, rtr, offer map,
-                # final union) — persist so the composition join runs
-                # once per round; unpersisted after the state write
-                .persist()
-            )
-            # graph edges + label pointer edges (both ways), all built
-            # from the COMPOSED labels: an edge (u, v) delivers
-            # comp²(u), and the rtr edge (comp²(v), v) delivers
-            # comp²(comp²(v)) = comp⁴(v) — through the same single
-            # equi-join as the neighbor step
-            ptr = lab2.select(
-                F.col(node_col).alias("a"), F.col("component").alias("b")
-            )
-            rtr = lab2.select(
-                F.col("component").alias("a"), F.col(node_col).alias("b")
-            )
-            gr = sym.unionByName(ptr).unionByName(rtr)
-            # shuffle-hash beats both the default (AQE may broadcast the
-            # ~32 MB label table — a driver roundtrip EVERY round) and
-            # sort-merge (pays a sort per round) — measured 2.2 s vs
-            # 2.6-5 s per round at 2M nodes
-            offers = gr.join(
-                lab2.hint("shuffle_hash"), gr["a"] == lab2[node_col], "inner"
-            ).select(F.col("b").alias(node_col), "component")
-            nxt = (
-                lab2.unionByName(offers)
-                .groupBy(node_col)
-                .agg(F.min("component").alias("component"))
-            )
-            # fold the convergence aggregate into the state write via
-            # an Observation — ONE job per round instead of write +
-            # separate sum scan (halves round count's job overhead)
-            from pyspark.sql import Observation
-
-            obs = Observation(f"cc_round_{i}")
-            nxt.observe(
-                obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("t")
-            ).write.mode("overwrite").parquet(f"{base}/labels_{i + 1}")
-            lab2.unpersist()
-            labels = spark.read.parquet(f"{base}/labels_{i + 1}")
+            ls = large_star(cur)
+            # the intermediate edge set feeds small_star's groupBy AND
+            # join branches — ground it in parquet (the state
+            # discipline) so neither branch recomputes large_star
+            ls.write.mode("overwrite").parquet(f"{base}/edges_{i + 1}L")
+            ss = small_star(spark.read.parquet(f"{base}/edges_{i + 1}L"))
+            # convergence checksum folded into the state write via an
+            # Observation — ONE job per iteration.  The edge set is
+            # exactly stable at the star fixpoint; (count, Σu, Σv,
+            # Σxxhash64(u,v)) pins it without a second scan.
+            obs = Observation(f"cc_iter_{i}")
+            ss.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+                F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            ).write.mode("overwrite").parquet(f"{base}/edges_{i + 1}")
+            cur = spark.read.parquet(f"{base}/edges_{i + 1}")
             if on_round is not None:
                 on_round(i)
-            cur = obs.get["t"]
-            if cur == prev:
-                # fixpoint; materialize the result off the state dir
-                # before it is deleted
-                final = labels.localCheckpoint(eager=True)
-                return final
-            prev = cur
+            got = obs.get
+            sig = (got["n"], got["su"], got["sv"], got["h"])
+            if sig == prev_sig:
+                # stars reached: edges are (leaf → component min).
+                # labels = leaves + centers + singletons; the min-agg
+                # on the leaf side is belt-and-braces (at the fixpoint
+                # each leaf has exactly one edge)
+                leaves = (
+                    cur.groupBy(F.col("u").alias(node_col))
+                    .agg(F.min("v").alias("component"))
+                )
+                centers = (
+                    cur.select(F.col("v").alias(node_col))
+                    .dropDuplicates()
+                    .withColumn("component", F.col(node_col))
+                )
+                labeled = leaves.unionByName(centers)
+                labeled = labeled.groupBy(node_col).agg(
+                    F.min("component").alias("component")
+                )
+                if nodes is not None:
+                    singles = (
+                        nodes.select(F.col(node_col))
+                        .dropDuplicates()
+                        .join(labeled, node_col, "left_anti")
+                        .withColumn("component", F.col(node_col))
+                    )
+                    labeled = labeled.unionByName(singles)
+                # materialize the result off the state dir before it
+                # is deleted
+                return labeled.localCheckpoint(eager=True)
+            prev_sig = sig
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
+            f"connected_components did not converge in {max_iter} iterations"
         )
     finally:
-        sym.unpersist()
         if own_dir:
             shutil.rmtree(base, ignore_errors=True)
 
@@ -415,7 +436,7 @@ def k_core(
     Work per round is one degree aggregate + two semi-joins, all keyed
     on node id; the edge set only shrinks.  Rounds equal the peel
     DEPTH, which is worst-case LINEAR (a bare path peels ~2 nodes per
-    round) — unlike CC's log-round pointer doubling — hence the large
+    round) — unlike CC's contraction iterations — hence the large
     ``max_iter`` rail.  Returns (node,) rows; empty result when no
     k-core exists.
     """

@@ -33,7 +33,7 @@ _FRONT = [
     # --- the new real-decode multimodal gate, the kNN/semdedup
     # --- engines (NULL-cosine filter, cell-cap join-key refactor),
     # --- the trainer-sampled ANN family (hash-membership sample),
-    # --- the two-level-doubling CC loop, and the s30 timeout guard;
+    # --- the star-contraction CC rewrite, and the s30 timeout guard;
     # --- (b) the STALEST oracle gates (VERDICT r6 task 3): the
     # --- relational core last carried a driver hash in r1 — p05-p14,
     # --- w01-w15 singles, f01-f14 families, a03-a08, j04-j08,
@@ -52,7 +52,7 @@ _FRONT = [
     "x_sim_search_ivfpq",
     "x_sim_ivfpq_incremental",
     "x_ann_recall_gate",
-    "x_dedup_clusters_cc",        # two-level pointer doubling in CC
+    "x_dedup_clusters_cc",        # CC rewritten: large-star/small-star
     "s30_streaming_running_totals",  # awaitTermination timeout guard
     # --- (b) stalest gates: last driver hash in round 1 ---
     "p05_monthly_regex_filter",
