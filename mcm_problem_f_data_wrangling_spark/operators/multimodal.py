@@ -8,7 +8,8 @@ formats the Python stdlib can decode with zero dependencies:
 
 - **PNG** (``zlib``): chunk walk with CRC verification, IHDR parse,
   IDAT inflate, full scanline un-filtering (None/Sub/Up/Average/Paeth)
-  for 8-bit grayscale and RGB — :func:`decode_png`.
+  for 8-bit grayscale, RGB, and palette (PLTE-expanded to RGB) —
+  :func:`decode_png`.
 - **WAV** (``struct``): RIFF chunk walk, fmt parse, 16-bit PCM sample
   extraction — :func:`decode_wav`.
 
@@ -186,15 +187,75 @@ def encode_png(
     )
 
 
+def encode_png_palette(
+    indices: "bytes | bytearray | list[int]",
+    width: int,
+    height: int,
+    palette: "list[tuple[int, int, int]]",
+) -> bytes:
+    """Minimal stdlib palette-PNG writer (color type 3, 8-bit indices)
+    — the fixture/test-side twin of :func:`decode_png`'s PLTE path.
+    Scanline filters cycle ``row % 5`` like :func:`encode_png`."""
+    import struct
+    import zlib
+
+    raw = bytes(indices)
+    if len(raw) != width * height:
+        raise ValueError(f"need {width * height} indices, got {len(raw)}")
+    if max(raw, default=0) >= len(palette):
+        raise ValueError("index out of palette range")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(rgb) for rgb in palette)
+    out = bytearray()
+    prior = bytes(width)
+    for r in range(height):
+        line = raw[r * width : (r + 1) * width]
+        f = r % 5
+        out.append(f)
+        for i in range(width):
+            x = line[i]
+            left = line[i - 1] if i >= 1 else 0
+            up = prior[i]
+            upleft = prior[i - 1] if i >= 1 else 0
+            if f == 1:
+                x -= left
+            elif f == 2:
+                x -= up
+            elif f == 3:
+                x -= (left + up) >> 1
+            elif f == 4:
+                x -= _paeth(left, up, upleft)
+            out.append(x & 0xFF)
+        prior = line
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """Real stdlib PNG decoder → ``(width, height, channels,
     samples)`` with ``samples`` the row-major flat 8-bit stream.
 
     Full chunk walk with CRC verification, zlib inflate of the
     concatenated IDATs, and un-filtering of all five scanline filter
-    types.  Supports bit depth 8, color types 0 (grayscale) and
-    2 (RGB), no interlace — anything else raises
-    ``NotImplementedError`` (an honest boundary, not a fake).
+    types.  Supports bit depth 8, color types 0 (grayscale), 2 (RGB),
+    and 3 (palette — indices expanded through the PLTE chunk to RGB,
+    so downstream luma semantics match color type 2), no interlace —
+    anything else raises ``NotImplementedError`` (an honest boundary,
+    not a fake).
     """
     import struct
     import zlib
@@ -204,6 +265,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     pos = 8
     ihdr = None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
@@ -213,6 +275,10 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if ln % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = data
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -221,12 +287,14 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     width, height, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or color_type not in (0, 2) or interlace != 0:
+    if depth != 8 or color_type not in (0, 2, 3) or interlace != 0:
         raise NotImplementedError(
             f"PNG bit_depth={depth} color_type={color_type} "
-            f"interlace={interlace} unsupported (8-bit gray/RGB only)"
+            f"interlace={interlace} unsupported (8-bit gray/RGB/palette only)"
         )
-    channels = 1 if color_type == 0 else 3
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    channels = 1 if color_type in (0, 3) else 3
     stride = width * channels
     bpp = channels
     flat = zlib.decompress(bytes(idat))
@@ -256,6 +324,16 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"PNG scanline filter {f} invalid")
         out[r * stride : (r + 1) * stride] = line
         prior = bytes(line)
+    if color_type == 3:
+        # expand palette indices to RGB triples (PLTE lookup); an
+        # index past the palette is corrupt data, not a decode choice
+        n_entries = len(plte) // 3
+        if max(out, default=0) >= n_entries:
+            raise ValueError("PNG palette index out of range")
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(out):
+            rgb[i * 3 : i * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
+        return width, height, 3, bytes(rgb)
     return width, height, channels, bytes(out)
 
 

@@ -458,3 +458,42 @@ def test_decode_media_jpeg_mp4_fail_fast(spark):
     )
     with pytest.raises(Exception, match="MP4"):
         decode_media(mp4).collect()
+
+
+def test_png_palette_roundtrip_and_guards():
+    """Color type 3 (palette): indices expand through PLTE to RGB, so
+    decode returns channels=3 with luma semantics matching truecolor;
+    out-of-range indices and a missing PLTE are corrupt data."""
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    pal = [(255, 0, 0), (0, 128, 0), (0, 0, 255), (10, 20, 30)]
+    w, h = 5, 7
+    idx = bytes((3 * i + 1) % len(pal) for i in range(w * h))
+    w2, h2, ch, flat = decode_png(encode_png_palette(idx, w, h, pal))
+    assert (w2, h2, ch) == (w, h, 3)
+    want = b"".join(bytes(pal[i]) for i in idx)
+    assert flat == want
+    with pytest.raises(ValueError, match="palette"):
+        encode_png_palette(bytes([9]), 1, 1, pal)
+
+
+def test_decode_media_palette_png_through_arrow_stage(spark):
+    """A palette PNG through the mapInPandas decode: geometry + mean
+    luma over the EXPANDED RGB samples."""
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        encode_png_palette,
+    )
+
+    pal = [(0, 0, 0), (30, 60, 90)]
+    idx = bytes([0, 1, 1, 0, 1, 0])  # 3x2
+    df = spark.createDataFrame(
+        [(1, encode_png_palette(idx, 3, 2, pal), "image", "planted://plte")],
+        ["media_id", "payload", "media_type", "source_uri"],
+    )
+    got = decode_media(df).collect()[0]
+    assert (got["width"], got["height"], got["n_frames"]) == (3, 2, 1)
+    samples = [c for i in idx for c in pal[i]]
+    assert got["mean_luma"] == pytest.approx(sum(samples) / len(samples) / 255.0)
