@@ -497,3 +497,16 @@ def test_decode_media_palette_png_through_arrow_stage(spark):
     assert (got["width"], got["height"], got["n_frames"]) == (3, 2, 1)
     samples = [c for i in idx for c in pal[i]]
     assert got["mean_luma"] == pytest.approx(sum(samples) / len(samples) / 255.0)
+
+
+def test_wav_stereo_interleaved_roundtrip():
+    """Two-channel PCM: interleaved samples survive the round trip and
+    n_samples counts individual samples across channels."""
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    s = [((13 * i) % 2001) - 1000 for i in range(40)]  # 20 frames x 2ch
+    sr, ch, n, got = decode_wav(encode_wav_pcm16(s, 16000, channels=2))
+    assert (sr, ch, n) == (16000, 2, 40) and got == s
