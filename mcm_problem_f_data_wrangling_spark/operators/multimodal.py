@@ -269,6 +269,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(payload):
+            # corrupt input must fail with the same clean error class
+            # as every other validation path, not a struct.error from
+            # a short CRC slice (ADVICE r7)
+            raise ValueError("truncated PNG chunk")
         data = payload[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
@@ -297,44 +302,92 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     channels = 1 if color_type in (0, 3) else 3
     stride = width * channels
     bpp = channels
+    import numpy as np
+
     flat = zlib.decompress(bytes(idat))
     if len(flat) != (stride + 1) * height:
         raise ValueError("PNG IDAT length does not match dimensions")
-    out = bytearray(stride * height)
-    prior = bytes(stride)
+    # un-filtering, vectorized where the recurrence allows it:
+    # None is a view; Up is one whole-line uint8 add (wraps mod 256);
+    # Sub is a per-byte-lane cumulative sum mod 256 (the recurrence
+    # out[i] = raw[i] + out[i-bpp] telescopes).  Average and Paeth
+    # are genuinely loop-carried (their left operand passes through a
+    # shift / a branch, so no cumsum form exists) and run as tight
+    # bytearray loops with the predictor inlined and the left/upleft
+    # operands carried in locals — bytearray indexing is several
+    # times faster than numpy scalar indexing for per-byte work.
+    # Measured on 256x256 cycling-filter batches: 1.6x end-to-end vs
+    # the all-bytearray form; all-vectorizable-filter batches are
+    # ~5x (SCALE.md §media-decode).
+    rows = np.frombuffer(flat, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    prior_b = bytes(stride)
     for r in range(height):
-        f = flat[r * (stride + 1)]
-        line = bytearray(flat[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
-        if f == 1:
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        f = int(rows[r, 0])
+        line = rows[r, 1:]
+        cur_b = None
+        if f == 0:
+            cur = line
+        elif f == 1:
+            cur = (
+                np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.uint64)
+                .astype(np.uint8)
+                .reshape(-1)
+            )
         elif f == 2:
-            for i in range(stride):
-                line[i] = (line[i] + prior[i]) & 0xFF
+            cur = line + prior
         elif f == 3:
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+            la = bytearray(line.tobytes())
+            pb = prior_b
+            for lane in range(bpp):
+                a = 0
+                for i in range(lane, stride, bpp):
+                    a = la[i] = (la[i] + ((a + pb[i]) >> 1)) & 0xFF
+            cur = np.frombuffer(la, np.uint8)
+            cur_b = bytes(la)
         elif f == 4:
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                upleft = prior[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(left, prior[i], upleft)) & 0xFF
-        elif f != 0:
+            la = bytearray(line.tobytes())
+            pb = prior_b
+            for lane in range(bpp):
+                a = 0
+                c = 0
+                for i in range(lane, stride, bpp):
+                    b_up = pb[i]
+                    p = a + b_up - c
+                    pa = p - a
+                    if pa < 0:
+                        pa = -pa
+                    pv = p - b_up
+                    if pv < 0:
+                        pv = -pv
+                    pc = p - c
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pv and pa <= pc:
+                        pred = a
+                    elif pv <= pc:
+                        pred = b_up
+                    else:
+                        pred = c
+                    a = la[i] = (la[i] + pred) & 0xFF
+                    c = b_up
+            cur = np.frombuffer(la, np.uint8)
+            cur_b = bytes(la)
+        else:
             raise ValueError(f"PNG scanline filter {f} invalid")
-        out[r * stride : (r + 1) * stride] = line
-        prior = bytes(line)
+        out[r] = cur
+        prior = out[r]
+        prior_b = cur_b if cur_b is not None else prior.tobytes()
     if color_type == 3:
-        # expand palette indices to RGB triples (PLTE lookup); an
+        # expand palette indices to RGB triples — one fancy-index; an
         # index past the palette is corrupt data, not a decode choice
-        n_entries = len(plte) // 3
-        if max(out, default=0) >= n_entries:
+        lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(-1)
+        if idx.size and int(idx.max()) >= lut.shape[0]:
             raise ValueError("PNG palette index out of range")
-        rgb = bytearray(width * height * 3)
-        for i, idx in enumerate(out):
-            rgb[i * 3 : i * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
-        return width, height, 3, bytes(rgb)
-    return width, height, channels, bytes(out)
+        return width, height, 3, lut[idx].tobytes()
+    return width, height, channels, out.tobytes()
 
 
 def encode_wav_pcm16(
@@ -372,8 +425,14 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, "list[int]"]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + ln > len(payload):
+            # clean error class for corrupt input, not a struct.error
+            # surfacing as an opaque task failure (ADVICE r7)
+            raise ValueError("truncated WAV chunk")
         body = payload[pos + 8 : pos + 8 + ln]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -392,8 +451,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, "list[int]"]:
 def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int, float]:
     """STUB decoder — deterministic fake keyed on content bytes.
 
-    Replace with PIL/libav in production.  Raises for unknown types the
-    same way a real decoder would.
+    This scalar form is the CONTRACT, not the implementation of
+    record: the vectorized batch path inside :func:`decode_media` is
+    what production runs, and tests pin the two to identical outputs.
+    Replace with PIL/libav in production.  Raises for unknown types
+    the same way a real decoder would.
     """
     if media_type not in {"image", "audio", "video"}:
         raise NotImplementedError(f"no decoder for media_type={media_type!r}")
@@ -411,17 +473,23 @@ def decode_media(df: DataFrame) -> DataFrame:
     The iterator form streams one Arrow batch at a time — a partition
     of large payloads never materializes fully in Python memory.
 
-    Per-payload dispatch on magic bytes:
+    Per-payload dispatch on the DECLARED ``media_type`` first, magic
+    bytes second (ADVICE r7: magic-only dispatch mis-routes arbitrary
+    binary that happens to contain ``ftyp``/RIFF/PNG bytes — the
+    declared type gates which codecs are even considered):
 
-    - PNG signature → :func:`decode_png` (REAL stdlib decode: width,
-      height, mean over all decoded samples as ``mean_luma``)
-    - RIFF/WAVE → :func:`decode_wav` (REAL stdlib decode:
+    - image + PNG signature → :func:`decode_png` (REAL stdlib decode:
+      width, height, mean over all decoded samples as ``mean_luma``)
+    - audio + RIFF/WAVE → :func:`decode_wav` (REAL stdlib decode:
       ``sample_rate``, ``n_samples``, ``mean_sample``; the image
       geometry columns stay NULL)
-    - JPEG / MP4 magic → honest ``NotImplementedError`` (their codecs
-      need PIL/libav, absent from this container)
+    - image + JPEG magic / video + MP4 magic → honest
+      ``NotImplementedError`` (their codecs need PIL/libav, absent
+      from this container)
     - anything else → the deterministic STUB fake (vectorized over
-      the batch), keyed on content bytes, clearly marked
+      the batch), keyed on content bytes, clearly marked — this is
+      the implementation of record for the stub path
+      (:func:`_fake_decode` survives only as its scalar contract)
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -448,23 +516,24 @@ def decode_media(df: DataFrame) -> DataFrame:
             mean_sample = np.full(n, np.nan)
             stub_idx = []
             for i, p in enumerate(payloads):
-                if p[:8] == PNG_MAGIC:
+                mt = mtypes[i]
+                if mt == "image" and p[:8] == PNG_MAGIC:
                     w, h, ch, flat = decode_png(p)
                     width[i], height[i], n_frames[i] = w, h, 1
                     arr = np.frombuffer(flat, dtype=np.uint8)
                     mean_luma[i] = float(arr.mean(dtype=np.float64)) / 255.0
-                elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                elif mt == "audio" and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
                     sr, ch, ns, samples = decode_wav(p)
                     sample_rate[i], n_samples[i], n_frames[i] = sr, ns, 1
                     mean_sample[i] = float(
                         np.asarray(samples, dtype=np.float64).mean()
                     )
-                elif p[:3] == b"\xff\xd8\xff":
+                elif mt == "image" and p[:3] == b"\xff\xd8\xff":
                     raise NotImplementedError(
                         "JPEG decode needs PIL (DCT/huffman codec) — "
                         "absent from this container; PNG decodes natively"
                     )
-                elif p[4:8] == b"ftyp":
+                elif mt == "video" and p[4:8] == b"ftyp":
                     raise NotImplementedError(
                         "MP4 decode needs libav/ffmpeg — absent from "
                         "this container; WAV decodes natively"
@@ -609,26 +678,145 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def phash64(payload_col: str = "payload") -> Column:
-    """64-bit perceptual-hash column for image near-dup detection.
+    """64-bit FALLBACK fingerprint column for payloads no stdlib codec
+    can decode (md5-derived, JVM-side, no Python).
 
-    STAND-IN: a real pHash is a DCT over the decoded, downscaled
-    grayscale image (image libs absent from this container — same
-    boundary as :func:`_fake_decode`); this derives the 64 bits from
-    md5 of the payload bytes, so the Spark-side *plumbing* — a LONG
-    fingerprint column feeding ``operators.dedup.
-    hamming_neardup_pairs(bits=64, max_hamming<=10)``, Manku-banded,
-    never all-pairs — is real and tested, and swapping in a true DCT
-    hash changes only this expression.  JVM-side (no Python).
-
-    Note the semantic difference from production: md5 of bytes gives
-    similar *hashes* only for identical payloads, a DCT hash gives
-    them for visually similar images; the downstream banding is
-    identical either way.
+    The REAL perceptual hash lives in :func:`compute_phash`: a 2-D
+    DCT over the decoded, 32x32-downscaled grayscale image — fully
+    implemented for PNG payloads via :func:`decode_png`.  This
+    md5 expression is only the clearly-labeled fallback for payloads
+    outside the decodable set (JPEG/MP4 stay env-blocked): it finds
+    *identical* payloads only, never visually-similar ones.  Its bit
+    layout matches the Python fallback in :func:`compute_phash`
+    bit-for-bit, so mixed pipelines agree on undecodable rows.
     """
     h = F.md5(F.col(payload_col))
     hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
     return (F.shiftleft(hi, 32).bitwiseOR(lo)).alias("phash")
+
+
+def _dct32() -> "object":
+    """Orthonormal 32-point DCT-II matrix (cached) — pure numpy, no
+    scipy: D = C @ block @ C.T is the separable 2-D transform."""
+    import numpy as np
+
+    global _DCT32_CACHE
+    try:
+        return _DCT32_CACHE
+    except NameError:
+        pass
+    n = 32
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    C = np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    C[0] *= np.sqrt(1.0 / n)
+    C[1:] *= np.sqrt(2.0 / n)
+    _DCT32_CACHE = C
+    return C
+
+
+def _area_pool_32(gray: "object") -> "object":
+    """Exact area-average downscale of a 2-D float array to 32x32 via
+    an integral image — deterministic for any input geometry (no
+    interpolation kernel choices)."""
+    import numpy as np
+
+    h, w = gray.shape
+    ii = np.zeros((h + 1, w + 1))
+    ii[1:, 1:] = gray.cumsum(0).cumsum(1)
+    ye = np.linspace(0, h, 33).round().astype(int)
+    xe = np.linspace(0, w, 33).round().astype(int)
+    y0, y1 = ye[:-1][:, None], ye[1:][:, None]
+    x0, x1 = xe[:-1][None, :], xe[1:][None, :]
+    area = (y1 - y0) * (x1 - x0)
+    s = ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+    return s / np.maximum(area, 1)
+
+
+def phash64_png(payload: bytes) -> int:
+    """REAL 64-bit perceptual hash of a PNG payload (classic pHash,
+    Zauner 2010): decode → rec601 grayscale → exact 32x32
+    area-average downscale → 2-D DCT-II → 8x8 low-frequency block →
+    threshold each coefficient at the median of the 63 AC
+    coefficients.  One-pixel perturbations move single coefficients
+    slightly, so near-identical images land within Hamming ~0-3;
+    structurally different images differ in ~half the bits.  Pure
+    numpy (the DCT is two 32x32 matmuls); signed int64 for Spark's
+    LONG.
+    """
+    import numpy as np
+
+    w, h, ch, flat = decode_png(payload)
+    a = np.frombuffer(flat, dtype=np.uint8).astype(np.float64)
+    if ch == 3:
+        a = a.reshape(h, w, 3)
+        gray = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    else:
+        gray = a.reshape(h, w)
+    C = _dct32()
+    d = C @ _area_pool_32(gray) @ C.T
+    low = d[:8, :8].ravel()
+    med = float(np.median(low[1:]))  # AC median; DC would drown it
+    bits = (low > med).astype(np.uint64)
+    v = int((bits << np.arange(64, dtype=np.uint64)).sum())
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _phash64_fallback(payload: bytes) -> int:
+    """md5-derived fallback for undecodable payloads — bit-identical
+    to the JVM :func:`phash64` expression."""
+    import hashlib
+
+    v = int(hashlib.md5(payload).hexdigest()[:16], 16)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# phash_kind: 'dct' when the payload decoded and the DCT hash was
+# computed, 'md5' for the fallback — downstream policy can split on it
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+        StructField("phash_kind", StringType()),
+    ]
+)
+
+
+def compute_phash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Perceptual-hash column via Arrow-batched ``mapInPandas``:
+    PNG payloads get the REAL DCT hash (:func:`phash64_png`),
+    anything undecodable gets the clearly-labeled md5 fallback
+    (identical bits to the JVM :func:`phash64` expression), with
+    ``phash_kind`` ∈ {'dct', 'md5'} recording which.
+
+    Output: (media_id, phash LONG, phash_kind) — feeds
+    ``operators.dedup.hamming_neardup_pairs(bits=64)`` unchanged.
+    """
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            hashes = np.empty(len(ids), dtype=np.int64)
+            kinds = []
+            for i, p in enumerate(pdf[payload_col]):
+                b = bytes(p) if p is not None else b""
+                if b[:8] == PNG_MAGIC:
+                    hashes[i] = phash64_png(b)
+                    kinds.append("dct")
+                else:
+                    hashes[i] = _phash64_fallback(b)
+                    kinds.append("md5")
+            yield pd.DataFrame(
+                {"media_id": ids, "phash": hashes, "phash_kind": kinds}
+            )
+
+    out = df.select(F.col(id_col).alias("media_id"), F.col(payload_col))
+    return out.mapInPandas(hash_batches, PHASH_SCHEMA)
 
 
 def phash_neardup_pairs(
@@ -639,10 +827,17 @@ def phash_neardup_pairs(
 ) -> DataFrame:
     """Image near-dup candidate pairs by perceptual-hash Hamming
     distance — the standard image-dedup pipeline stage (pHash →
-    pigeonhole bands → exact Hamming verify)."""
+    pigeonhole bands → exact Hamming verify).  PNG payloads hash with
+    the real DCT pHash; undecodable payloads fall back to the md5
+    fingerprint (exact-dup detection only) — see
+    :func:`compute_phash`."""
     from .dedup import hamming_neardup_pairs
 
-    hashed = df.select(F.col(id_col), phash64(payload_col).alias("phash"))
+    hashed = (
+        compute_phash(df, payload_col, id_col)
+        .withColumnRenamed("media_id", id_col)
+        .select(id_col, "phash")
+    )
     return hamming_neardup_pairs(
         hashed, "phash", id_col, bits=64, max_hamming=max_hamming
     )

@@ -1034,6 +1034,59 @@ def x_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_multimodal_phash",
+    "REAL DCT perceptual hash under the driver hash gate "
+    "(operators/multimodal.py phash64_png → compute_phash → "
+    "hamming_neardup_pairs): 30 planted 64x64 grayscale PNGs "
+    "(seeded low-frequency fields, np.kron-upsampled 8x8 noise) each "
+    "paired with a one-pixel-perturbed twin.  The full image-dedup "
+    "pipeline runs — stdlib PNG decode, exact area-average downscale "
+    "to 32x32, 2-D DCT-II (two numpy matmuls), median-threshold to "
+    "64 bits, Manku pigeonhole banding, exact Hamming verify ≤ 3 — "
+    "and the oracle pins the planted pair structure: every twin must "
+    "land within Hamming 3 of its original (measured ≤ 2) and no "
+    "cross-image pair may collide (measured min cross Hamming 20), "
+    "so the codec, pooling, DCT, thresholding and banding join are "
+    "ALL load-bearing for the hash.  Undecodable payloads fall back "
+    "to the md5 fingerprint, exercised in tests, not here.",
+    """
+SELECT CAST(i AS BIGINT) AS id_a, CAST(i + 1000 AS BIGINT) AS id_b
+FROM (SELECT unnest(generate_series(0, 29)) AS i)
+""",
+    tags=("M4", "multimodal"),
+)
+def x_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        phash_neardup_pairs,
+    )
+
+    rows = []
+    for mid in range(30):
+        rs = np.random.RandomState(mid)
+        base = rs.randint(0, 256, size=(8, 8)).astype(np.uint8)
+        img = np.kron(base, np.ones((8, 8), dtype=np.uint8))
+        rows.append(
+            (mid, encode_png(img.tobytes(), 64, 64, 1), "image",
+             f"planted://phash/{mid}")
+        )
+        tw = img.copy()
+        tw[mid % 64, (3 * mid) % 64] ^= 0x10
+        rows.append(
+            (1000 + mid, encode_png(tw.tobytes(), 64, 64, 1), "image",
+             f"planted://phash/twin/{mid}")
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = phash_neardup_pairs(media, max_hamming=3)
+    return pairs.select(
+        F.col("media_id_1").alias("id_a"), F.col("media_id_2").alias("id_b")
+    )
+
+
+@_q(
     "x_multimodal_feature_extract",
     "Multimodal feature-extract stage: payload → fixed-dim embedding "
     "via Arrow-batched mapInPandas (stub encoder — byte histogram; "

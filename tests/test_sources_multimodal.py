@@ -510,3 +510,151 @@ def test_wav_stereo_interleaved_roundtrip():
     s = [((13 * i) % 2001) - 1000 for i in range(40)]  # 20 frames x 2ch
     sr, ch, n, got = decode_wav(encode_wav_pcm16(s, 16000, channels=2))
     assert (sr, ch, n) == (16000, 2, 40) and got == s
+
+
+# --- real DCT pHash (round 8) ----------------------------------------------
+
+
+def _planted_phash_images():
+    import numpy as np
+
+    plants = {}
+    for mid in range(30):
+        rs = np.random.RandomState(mid)
+        base = rs.randint(0, 256, size=(8, 8)).astype(np.uint8)
+        img = np.kron(base, np.ones((8, 8), dtype=np.uint8))
+        tw = img.copy()
+        tw[mid % 64, (3 * mid) % 64] ^= 0x10
+        plants[mid] = (img, tw)
+    return plants
+
+
+def test_phash_dct_twin_within_3_distinct_beyond_20():
+    """The perceptual-hash contract the x_multimodal_phash gate pins:
+    a one-pixel perturbation stays within Hamming 3 of the original;
+    structurally distinct images land beyond Hamming 20 (so the
+    max_hamming=3 banding can never pair them)."""
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        encode_png,
+        phash64_png,
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    hashes = {}
+    for mid, (img, tw) in _planted_phash_images().items():
+        hashes[mid] = phash64_png(encode_png(img.tobytes(), 64, 64, 1))
+        hashes[1000 + mid] = phash64_png(encode_png(tw.tobytes(), 64, 64, 1))
+    twin = [ham(hashes[m], hashes[1000 + m]) for m in range(30)]
+    assert max(twin) <= 3
+    cross = [
+        min(
+            ham(hashes[i], hashes[j]),
+            ham(hashes[i], hashes[1000 + j]),
+            ham(hashes[1000 + i], hashes[j]),
+            ham(hashes[1000 + i], hashes[1000 + j]),
+        )
+        for i in range(30)
+        for j in range(i + 1, 30)
+    ]
+    assert min(cross) >= 20  # measured exactly 20 on one pair
+
+
+def test_phash_rgb_path_and_fallback_matches_jvm(spark):
+    """RGB PNGs hash through the rec601 grayscale path; undecodable
+    payloads take the md5 fallback whose bits must equal the JVM
+    phash64 expression exactly (mixed pipelines agree row-for-row)."""
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        compute_phash,
+        encode_png,
+        phash64,
+        phash64_png,
+    )
+
+    rgb = bytes(((5 * i + 3) % 256) for i in range(16 * 12 * 3))
+    png = encode_png(rgb, 16, 12, 3)
+    raw = b"not an image, just bytes \x00\x01\x02"
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(raw))], "media_id LONG, payload BINARY"
+    )
+    got = {r["media_id"]: r for r in compute_phash(df).collect()}
+    assert got[1]["phash_kind"] == "dct"
+    assert got[1]["phash"] == phash64_png(png)
+    assert got[2]["phash_kind"] == "md5"
+    jvm = df.where("media_id = 2").select(phash64("payload")).collect()[0]["phash"]
+    assert got[2]["phash"] == jvm
+
+
+def test_phash_neardup_pairs_uses_dct_for_png(spark):
+    """End-to-end: a PNG and its one-pixel twin pair up through the
+    Manku banding even though their payload BYTES differ (the md5
+    stand-in of earlier rounds could never find this pair)."""
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        encode_png,
+        phash_neardup_pairs,
+    )
+
+    plants = _planted_phash_images()
+    img, tw = plants[7]
+    rows = [
+        (1, bytearray(encode_png(img.tobytes(), 64, 64, 1))),
+        (2, bytearray(encode_png(tw.tobytes(), 64, 64, 1))),
+        (3, bytearray(encode_png(plants[9][0].tobytes(), 64, 64, 1))),
+    ]
+    df = spark.createDataFrame(rows, "media_id INT, payload BINARY")
+    pairs = phash_neardup_pairs(df, max_hamming=3).collect()
+    assert [(r["media_id_1"], r["media_id_2"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["hamming"] <= 3
+
+
+def test_decode_media_declared_type_gates_magic(spark):
+    """ADVICE r7: content that happens to carry a codec's magic bytes
+    must not route through that codec unless the DECLARED media_type
+    matches — a 'video' payload with RIFF/WAVE bytes and an 'image'
+    payload with 'ftyp' at offset 4 both fall back to the stub."""
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        encode_wav_pcm16,
+    )
+
+    wav_bytes = encode_wav_pcm16([1, 2, 3, 4], 8000)
+    fake_mp4_text = b"\x00\x00\x00\x18ftyp looks like a box but is text"
+    rows = [
+        (1, bytearray(wav_bytes), "video", "x"),
+        (2, bytearray(fake_mp4_text), "image", "x"),
+        (3, bytearray(b"\xff\xd8\xff jpeg magic in audio"), "audio", "x"),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload", "media_type", "source_uri"])
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    for mid, payload in ((1, wav_bytes), (2, fake_mp4_text)):
+        h = sum(payload[:64])
+        assert got[mid]["width"] == 64 + h % 1024  # stub law, no codec
+    assert got[3]["sample_rate"] is None  # no WAV decode on audio+JPEG bytes
+
+
+def test_truncated_png_wav_raise_clean_valueerror():
+    """ADVICE r7: truncated chunk bodies surface as ValueError (the
+    validation error class), never struct.error/zlib.error."""
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        decode_png,
+        decode_wav,
+        encode_png,
+        encode_wav_pcm16,
+    )
+
+    png = encode_png(bytes(12), 4, 3, 1)
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_png(png[:20])
+    wav = encode_wav_pcm16([5, 6, 7], 8000)
+    with pytest.raises(ValueError, match="truncated WAV"):
+        decode_wav(wav[:30])  # cuts inside the fmt chunk body
+    # fmt chunk declared shorter than the 16-byte PCM header
+    import struct
+
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="truncated WAV fmt"):
+        decode_wav(short_fmt)

@@ -144,6 +144,13 @@ cliffs = {
     if n in base and t > max(3.0 * base[n], 2.0)
 }
 assert not cliffs, f"sf1 sweep cliff vs {prior[-1]}: {cliffs}"
+# queries with no anchor entry (added/renamed since the anchor) are
+# not gated this round — surface them so un-anchored coverage is
+# visible instead of silently passing (ADVICE r7)
+unanchored = sorted(n for n in got if n not in base)
+if unanchored:
+    print(f"sf1 sweep WARNING: {len(unanchored)} queries have no anchor "
+          f"in {prior[-1]} (new/renamed this round, ungated): {unanchored}")
 print(f"sf1 sweep ok: {len(got)} queries, no query >3x its {prior[-1]} anchor")
 EOF
 

@@ -34,6 +34,9 @@ def main() -> int:
     out_path = None
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args):
+            print("usage: sweep_all.py [sf_dir] [top_n] [--out FILE]")
+            return 2
         out_path = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
