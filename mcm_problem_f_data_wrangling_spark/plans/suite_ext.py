@@ -2507,9 +2507,16 @@ def s11_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "s08_tumbling_window_rollup",
-    "Batch mirror of the Structured Streaming tumbling-window rollup "
-    "(streaming variant with watermark lives in streaming/monthly_rollup "
-    "and is exercised in tests — SURVEY.md §2.8 extension).",
+    "LIVE Structured Streaming execution #2 under the driver hash "
+    "gate (streaming/rollup.py; SURVEY.md §2.8 extension): the events "
+    "parquet replays as a stream (availableNow trigger), the "
+    "watermarked tumbling 1-day window aggregation runs on the REAL "
+    "streaming engine into a complete-mode memory sink, and the final "
+    "snapshot is compared against the plain batch aggregate as "
+    "oracle.  The count is order-free and the sum is decimal-exact "
+    "(associative), so the result is bit-identical however the "
+    "micro-batch planner splits the files — the convergence law the "
+    "gate pins.  Same awaitTermination timeout guard as s30.",
     f"""
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        CAST(COUNT(*) AS BIGINT) AS n, {DSUM('value')} AS total
@@ -2518,11 +2525,37 @@ FROM events GROUP BY 1, 2
     tags=("M2", "streaming"),
 )
 def s08_tumbling_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), dsum("value").alias("total"))
-        .select(F.col("w.start").cast("date").alias("day"), "event_type", "n", "total")
+    import uuid
+
+    from ..streaming.rollup import run_to_memory_sink, tumbling_rollup_agg
+
+    # schema discovery via the tolerant batch reader (events.ts has
+    # shipped as TIMESTAMP(NANOS) and as NTZ-micros across testdata
+    # regenerations); the stream applies the same nanos fix-up
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # glob form handles both the driver's flat-file layout and the
+    # Spark-written directory layout in benchdata/sf1 (s30 precedent)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{sf_dir}/events.parquet*")
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # NTZ timestamps window on the wall clock (matches the oracle's
+    # date_trunc under any session tz) but reject withWatermark —
+    # complete mode needs no watermark, so skip it there
+    wm = "2 days" if dict(stream.dtypes).get("ts") == "timestamp" else None
+    agg = tumbling_rollup_agg(stream, "ts", "event_type", "1 day", wm)
+    sink = f"s08_rollup_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(agg, sink)
+    # complete-mode memory sink holds the full final snapshot —
+    # O(#days x #event_types) rows, a driver-literal pull
+    rows = spark.sql(f"SELECT day, event_type, n, total FROM {sink}").collect()
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(
+        rows, "day date, event_type string, n bigint, total double"
     )
 
 

@@ -34,19 +34,62 @@ def streaming_tumbling_rollup(
 
     Returns the unstarted streaming DataFrame; callers attach a sink
     (tests use ``format("memory")`` + ``trigger(availableNow=True)``).
+
+    The sum is decimal-exact (cast to ``DECIMAL(18,6)`` before
+    aggregating, back to double after) for the same reason as the
+    batch suite (plans/base.py): decimal addition is associative, so
+    the result is bit-identical to the batch mirror no matter how the
+    micro-batch planner splits the input — which is exactly what the
+    live driver gate compares against.
     """
     stream = spark.readStream.schema(schema).parquet(source_dir)
+    return tumbling_rollup_agg(stream, ts_col, key_col, window_size, watermark)
+
+
+def tumbling_rollup_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_size: str = "1 day",
+    watermark: "str | None" = "2 days",
+) -> DataFrame:
+    """The rollup aggregation on an already-opened stream (callers
+    that need schema fix-ups — e.g. nanos-as-long timestamps — open
+    the stream themselves and pass it here).
+
+    ``watermark=None`` skips the watermark: Spark's event-time
+    watermark requires TIMESTAMP and rejects TIMESTAMP_NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), while windowing on NTZ is
+    both supported and the PORTABLE choice — buckets follow the
+    wall-clock day exactly like the batch oracle's date_trunc, under
+    any session timezone.  Complete-mode sinks never evict state, so
+    the watermark is semantics-free there anyway; append-mode callers
+    on TIMESTAMP streams keep it.
+    """
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
     return (
-        stream.withWatermark(ts_col, watermark)
+        stream
         .groupBy(F.window(F.col(ts_col), window_size).alias("w"), F.col(key_col))
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
         .select(F.col("w.start").cast("date").alias("day"), key_col, "n", "total")
     )
 
 
-def run_to_memory_sink(stream_df: DataFrame, query_name: str) -> None:
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, timeout_sec: float = 300.0
+) -> None:
     """Drain all available input into an in-memory table (batch-parity
-    execution of the stream), blocking until complete."""
+    execution of the stream), blocking until complete.
+
+    ``awaitTermination`` returns False on timeout — a timed-out run
+    has PARTIAL aggregates in the sink, which would surface as an
+    opaque hash mismatch downstream; fail loudly instead (same guard
+    as the s30 live gate).
+    """
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -54,4 +97,11 @@ def run_to_memory_sink(stream_df: DataFrame, query_name: str) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"streaming query {query_name} did not drain within "
+                f"{timeout_sec} s — partial state would corrupt the rollup"
+            )
+    finally:
+        q.stop()
