@@ -235,6 +235,51 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_cap: int | None = None,
+    engine: str = "auto",
+) -> DataFrame:
+    """SemDeDup with engine routing — the production entry point
+    (mirrors :func:`knn_join`'s ``engine='auto'``).
+
+    ``engine='auto'`` reads the corpus size (ONE count; the cell
+    count is ``len(centroids)``) and routes on
+    :func:`choose_knn_engine` — the crossover is the same shape as
+    the kNN join's because the hot loop is the same per-cell pairwise
+    cosine pass: big cells → the BLAS Gram engine
+    (:func:`semantic_dedup_blas`, measured 52 s → 15 s at 100k
+    vectors / 256 cells), many small cells → the zero-Python HOF-join
+    engine.  Both engines implement the identical order-free survivor
+    rule and are row-identical by construction (pinned in tests), so
+    routing never changes results — only the physical plan.
+
+    ``cell_cap`` (hot-cell sub-sharding) applies to the SQL engine's
+    pair join; the BLAS engine bounds its working set with its
+    ``block`` parameter instead and ignores the cap.  Oracle-bearing
+    registry queries pass ``engine='sql'`` — fully deterministic
+    plan, no stats job.  The chosen engine is recorded on
+    ``semantic_dedup.last_engine`` for tests/telemetry.
+    """
+    if engine not in ("auto", "sql", "blas"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "auto":
+        engine = choose_knn_engine(df.count(), len(centroids))
+    semantic_dedup.last_engine = engine  # observable for tests/telemetry
+    if engine == "blas":
+        return semantic_dedup_blas(
+            df, centroids, threshold=threshold, vec_col=vec_col, id_col=id_col
+        )
+    return _semantic_dedup_sql(
+        df, centroids, threshold=threshold, vec_col=vec_col,
+        id_col=id_col, cell_cap=cell_cap,
+    )
+
+
+def _semantic_dedup_sql(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic

@@ -323,10 +323,14 @@ def x_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join is the expensive part and three invariants consume each set
     n_total = emb.count()
     kept_lo = (
-        semantic_dedup(emb, cents, threshold=0.5).select("vec_id").localCheckpoint()
+        semantic_dedup(emb, cents, threshold=0.5, engine="sql")
+        .select("vec_id")
+        .localCheckpoint()
     )
     kept_hi = (
-        semantic_dedup(emb, cents, threshold=0.6).select("vec_id").localCheckpoint()
+        semantic_dedup(emb, cents, threshold=0.6, engine="sql")
+        .select("vec_id")
+        .localCheckpoint()
     )
     n_lo = kept_lo.count()
     n_hi = kept_hi.count()
