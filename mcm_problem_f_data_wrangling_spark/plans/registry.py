@@ -28,81 +28,84 @@ _ALL = (
 # same window.  Every query keeps its oracle either way — the builder's
 # mirror (tools/check_parity.py) always runs ALL of them.
 _FRONT = [
-    # --- ROUND-7 window (first ~50 = driver budget).  Two blocks:
+    # --- ROUND-8 window (first ~50 = driver budget; 60 listed so a
+    # --- bigger budget keeps eating forward).  Three blocks:
     # --- (a) everything whose implementation changed THIS round —
-    # --- the new real-decode multimodal gate, the kNN/semdedup
-    # --- engines (NULL-cosine filter, cell-cap join-key refactor),
-    # --- the trainer-sampled ANN family (hash-membership sample),
-    # --- the star-contraction CC rewrite, and the s30 timeout guard;
-    # --- (b) the STALEST oracle gates (VERDICT r6 task 3): the
-    # --- relational core last carried a driver hash in r1 — p05-p14,
-    # --- w01-w15 singles, f01-f14 families, a03-a08, j04-j08,
-    # --- u02-u05 — topped up with the oldest r2 rows.  No-oracle
-    # --- queries are EXCLUDED from the window (they'd burn slots on
-    # --- permanent `err: no_oracle` rows).  Every query keeps its
-    # --- oracle either way — the builder's mirror
-    # --- (tools/check_parity.py) always runs ALL.
+    # --- the new DCT-pHash gate, the rewritten PNG decoder behind
+    # --- the decode gates, the adjacency-intersection triangle
+    # --- engine, the LIVE-streaming s08, and the auto-routed
+    # --- semantic_dedup entry;
+    # --- (b) the stalest external gates: every row whose last driver
+    # --- hash is from round 2 (VERDICT r7 task 1), including the two
+    # --- by-design rows-only entries x3/x4 — rows-only is their only
+    # --- external signal, so it rotates too;
+    # --- (c) the oldest 30 of the round-3 block (suite order); the
+    # --- remaining 16 r3 rows go in the r9 window.  Every query
+    # --- keeps its oracle either way — the builder's mirror
+    # --- (tools/check_parity.py) always runs ALL of them.
     "flagship_career_collapse",   # driver smoke target stays first
     # --- (a) changed this round: must re-gate on current impl ---
-    "x_multimodal_decode",        # NEW: real PNG/WAV decode, planted oracle
-    "x_multimodal_frame_pipeline",  # decode schema gained audio columns
-    "x_sim_knn_join",             # NULL-cosine filter + join-key refactor
-    "x_embed_semdedup",           # cell-cap branch in semantic_dedup
-    "x_sim_search_pq",            # hash-membership trainer sample
-    "x_sim_search_ivfpq",
-    "x_sim_ivfpq_incremental",
-    "x_ann_recall_gate",
-    "x_dedup_clusters_cc",        # CC rewritten: large-star/small-star
-    "s30_streaming_running_totals",  # awaitTermination timeout guard
-    # --- (b) stalest gates: last driver hash in round 1 ---
-    "p05_monthly_regex_filter",
-    "p06_in_list_filter",
-    "p07_seasonal_equality",
-    "p08_exact_or_prefix_codes",
-    "p09_naics_mask",
-    "p10_ci_contains_search",
-    "p11_distinct_pairs",
-    "p12_null_fill_join",
-    "p14_json_props_extract",
-    "a03_value_counts",
-    "a04_dedupe_collapse",
-    "a05_minmax_summary",
-    "a07_first_nonnull",
-    "f01_06_date_synthesis",
-    "f07_cast_coerce_null",
-    "f09_14_scalar_math",
-    "j04_weight_attach",
-    "j05_two_aggregate_join",
-    "j06_exog_month_end_join",
-    "j08_semi_anti_join",
-    "u02_intersect_active_users",
-    "u03_except_all_multiset",
-    "u04_rollup_hierarchy",
-    "u05_cube_order_matrix",
-    "w01_pct_change",
-    "w03_rolling_std",
-    "w05_rolling_median",
-    "w06_differences",
-    "w07_index_rebase",
-    "w08_cumulative_sum",
-    "w09_tail_window",
-    "w10_multikey_sort_projection",
-    "w11_top_n",
-    "w12_month_grid_gapfill",
-    "w13_future_month_index",
-    "w14_pivot_event_matrix",
-    "w15_ntile_price_quartiles",
-    # --- stalest r2 rows top up the window ---
-    "a08_nested_array_agg",
-    "q02_min_cost_supplier",
-    "q09_product_profit",
-    "q11_important_stock",
-    "q18_large_volume_customers",
-    "q20_potential_promo_suppliers",
-    "q21_waiting_orders",
-    "s08_tumbling_window_rollup",
+    "x_multimodal_phash",         # NEW: real DCT pHash, planted pairs
+    "x_multimodal_decode",        # un-filter vectorized + trunc guards
+    "x_multimodal_frame_pipeline",  # decode dispatch gated on media_type
+    "x_graph_triangles",          # adjacency-intersection rewrite
+    "s08_tumbling_window_rollup",  # now a LIVE writeStream execution (r2)
+    "x_embed_semdedup",           # semantic_dedup engine routing entry
+    # --- (b) last driver hash in round 2 ---
+    "x_embed_neardup_pairs",
+    "x3_aic_grid_fit",            # rows-only by design (no oracle)
+    "x4_diagnostics",             # rows-only by design (no oracle)
     "s09_sessionize_batch",
+    "s15_scd2_history",
     "s13_retention_cohorts",
+    "s16_cdc_apply",
+    "x_embed_class_stats",
+    "w35_backtest_drift",
+    "q18_large_volume_customers",
+    "q09_product_profit",
+    "q21_waiting_orders",
+    "q11_important_stock",
+    "q20_potential_promo_suppliers",
+    "x_sim_hard_negatives",
+    "x_embed_centroid_eval",
+    "x_dup_span_detection",
+    "x_corpus_shuffle_shards",
+    "x_hybrid_rrf_fusion",
+    "x_quality_mad_outliers",
+    "src01_tsv_ingest_normalize",
+    "src02_csv_date_parse_scan",
+    "src03_whitespace_tsv_scan",
+    # --- (c) oldest round-3 rows (suite order) ---
+    "x_lang_id",
+    "x_token_corpus_stats",
+    "x_pack_sequences",
+    "x_e2e_training_corpus",
+    "x_quality_filter_funnel",
+    "x_decontaminate_ngram_overlap",
+    "x_asof_attribution_join",
+    "x_range_join_purchase_window",
+    "x_text_pii_redact",
+    "x_skew_salted_group_sum",
+    "sql_flagship_via_spark_sql",
+    "s10_session_window_native",
+    "s14_rolling_wau",
+    "s12_event_funnel",
+    "s11_rollup_cascade",
+    "s17_interval_merge",
+    "w16_time_range_rolling",
+    "w17_ewma_smooth",
+    "u06_unpivot_melt",
+    "w18_rank_family",
+    "s18_incremental_rollup",
+    "w19_outlier_zscore",
+    "w20_mad_outliers",
+    "w22_ols_trend",
+    "w21_sliding_window_rollup",
+    "a10_group_mode",
+    "q03_shipping_priority",
+    "a09_share_of_total",
+    "w31_theil_sen_trend",
+    "a11_basket_lift",
 ]
 
 # The external driver verifies roughly this many registry-order
