@@ -3,8 +3,8 @@ star): image/audio/video as opaque ``binary`` columns with typed
 metadata.
 
 The Spark-side plumbing — schema, batching, partition sizing, UDF
-signatures — is real and tested.  The decode stage is REAL for the two
-formats the Python stdlib can decode with zero dependencies:
+signatures — is real and tested.  The decode stage is REAL for the
+three formats a pure-stdlib(+numpy) codec can handle:
 
 - **PNG** (``zlib``): chunk walk with CRC verification, IHDR parse,
   IDAT inflate, full scanline un-filtering (None/Sub/Up/Average/Paeth)
@@ -12,13 +12,17 @@ formats the Python stdlib can decode with zero dependencies:
   :func:`decode_png`.
 - **WAV** (``struct``): RIFF chunk walk, fmt parse, 16-bit PCM sample
   extraction — :func:`decode_wav`.
+- **JPEG** (baseline sequential DCT, ``operators.jpeg``): Huffman
+  entropy decode, dequantization, 8x8 IDCT, YCbCr→RGB, 4:2:0
+  upsampling, restart markers — :func:`..jpeg.decode_jpeg`.
+  Progressive/arithmetic JPEG raises ``NotImplementedError``.
 
-Formats whose codecs genuinely need external libraries (JPEG needs a
-DCT/huffman implementation = PIL; MP4/H.264 needs libav) fail fast
-with an honest ``NotImplementedError``; any other payload falls back
-to the clearly-marked deterministic STUB (a fake keyed on content
-bytes) so the pipeline shape (decode → feature-extract →
-resize/frame-sample) stays exercisable end-to-end on arbitrary bytes.
+The one format whose codec genuinely needs an external library
+(MP4/H.264 needs libav) fails fast with an honest
+``NotImplementedError``; any other payload falls back to the
+clearly-marked deterministic STUB (a fake keyed on content bytes) so
+the pipeline shape (decode → feature-extract → resize/frame-sample)
+stays exercisable end-to-end on arbitrary bytes.
 
 Design for scale:
 - media rows are *heavy*; ``media_repartition_hint`` sizes partitions
@@ -480,12 +484,14 @@ def decode_media(df: DataFrame) -> DataFrame:
 
     - image + PNG signature → :func:`decode_png` (REAL stdlib decode:
       width, height, mean over all decoded samples as ``mean_luma``)
+    - image + JPEG magic → :func:`..jpeg.decode_jpeg` (REAL baseline
+      sequential decode — operators/jpeg.py; same output contract as
+      PNG)
     - audio + RIFF/WAVE → :func:`decode_wav` (REAL stdlib decode:
       ``sample_rate``, ``n_samples``, ``mean_sample``; the image
       geometry columns stay NULL)
-    - image + JPEG magic / video + MP4 magic → honest
-      ``NotImplementedError`` (their codecs need PIL/libav, absent
-      from this container)
+    - video + MP4 magic → honest ``NotImplementedError`` (H.264
+      needs libav, absent from this container)
     - anything else → the deterministic STUB fake (vectorized over
       the batch), keyed on content bytes, clearly marked — this is
       the implementation of record for the stub path
@@ -529,10 +535,12 @@ def decode_media(df: DataFrame) -> DataFrame:
                         np.asarray(samples, dtype=np.float64).mean()
                     )
                 elif mt == "image" and p[:3] == b"\xff\xd8\xff":
-                    raise NotImplementedError(
-                        "JPEG decode needs PIL (DCT/huffman codec) — "
-                        "absent from this container; PNG decodes natively"
-                    )
+                    from .jpeg import decode_jpeg
+
+                    w, h, ch, flat = decode_jpeg(p)
+                    width[i], height[i], n_frames[i] = w, h, 1
+                    arr = np.frombuffer(flat, dtype=np.uint8)
+                    mean_luma[i] = float(arr.mean(dtype=np.float64)) / 255.0
                 elif mt == "video" and p[4:8] == b"ftyp":
                     raise NotImplementedError(
                         "MP4 decode needs libav/ffmpeg — absent from "
@@ -683,12 +691,13 @@ def phash64(payload_col: str = "payload") -> Column:
 
     The REAL perceptual hash lives in :func:`compute_phash`: a 2-D
     DCT over the decoded, 32x32-downscaled grayscale image — fully
-    implemented for PNG payloads via :func:`decode_png`.  This
-    md5 expression is only the clearly-labeled fallback for payloads
-    outside the decodable set (JPEG/MP4 stay env-blocked): it finds
-    *identical* payloads only, never visually-similar ones.  Its bit
-    layout matches the Python fallback in :func:`compute_phash`
-    bit-for-bit, so mixed pipelines agree on undecodable rows.
+    implemented for PNG (:func:`decode_png`) and baseline JPEG
+    (``operators.jpeg``).  This md5 expression is only the
+    clearly-labeled fallback for payloads outside the decodable set
+    (MP4 stays env-blocked): it finds *identical* payloads only,
+    never visually-similar ones.  Its bit layout matches the Python
+    fallback in :func:`compute_phash` bit-for-bit, so mixed pipelines
+    agree on undecodable rows.
     """
     h = F.md5(F.col(payload_col))
     hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
@@ -745,9 +754,23 @@ def phash64_png(payload: bytes) -> int:
     numpy (the DCT is two 32x32 matmuls); signed int64 for Spark's
     LONG.
     """
+    return _phash64_decoded(decode_png(payload))
+
+
+def phash64_jpeg(payload: bytes) -> int:
+    """:func:`phash64_png` over a baseline JPEG payload
+    (``operators.jpeg.decode_jpeg``) — same downscale/DCT/threshold,
+    so PNG and JPEG encodings of the SAME image land within a few
+    bits of each other (cross-format near-dup detection)."""
+    from .jpeg import decode_jpeg
+
+    return _phash64_decoded(decode_jpeg(payload))
+
+
+def _phash64_decoded(decoded: "tuple[int, int, int, bytes]") -> int:
     import numpy as np
 
-    w, h, ch, flat = decode_png(payload)
+    w, h, ch, flat = decoded
     a = np.frombuffer(flat, dtype=np.uint8).astype(np.float64)
     if ch == 3:
         a = a.reshape(h, w, 3)
@@ -787,10 +810,11 @@ def compute_phash(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
     """Perceptual-hash column via Arrow-batched ``mapInPandas``:
-    PNG payloads get the REAL DCT hash (:func:`phash64_png`),
-    anything undecodable gets the clearly-labeled md5 fallback
-    (identical bits to the JVM :func:`phash64` expression), with
-    ``phash_kind`` ∈ {'dct', 'md5'} recording which.
+    PNG and baseline-JPEG payloads get the REAL DCT hash
+    (:func:`phash64_png` / :func:`phash64_jpeg`), anything
+    undecodable gets the clearly-labeled md5 fallback (identical bits
+    to the JVM :func:`phash64` expression), with ``phash_kind`` ∈
+    {'dct', 'md5'} recording which.
 
     Output: (media_id, phash LONG, phash_kind) — feeds
     ``operators.dedup.hamming_neardup_pairs(bits=64)`` unchanged.
@@ -807,6 +831,9 @@ def compute_phash(
                 b = bytes(p) if p is not None else b""
                 if b[:8] == PNG_MAGIC:
                     hashes[i] = phash64_png(b)
+                    kinds.append("dct")
+                elif b[:3] == b"\xff\xd8\xff":
+                    hashes[i] = phash64_jpeg(b)
                     kinds.append("dct")
                 else:
                     hashes[i] = _phash64_fallback(b)
@@ -827,9 +854,9 @@ def phash_neardup_pairs(
 ) -> DataFrame:
     """Image near-dup candidate pairs by perceptual-hash Hamming
     distance — the standard image-dedup pipeline stage (pHash →
-    pigeonhole bands → exact Hamming verify).  PNG payloads hash with
-    the real DCT pHash; undecodable payloads fall back to the md5
-    fingerprint (exact-dup detection only) — see
+    pigeonhole bands → exact Hamming verify).  PNG and baseline-JPEG
+    payloads hash with the real DCT pHash; undecodable payloads fall
+    back to the md5 fingerprint (exact-dup detection only) — see
     :func:`compute_phash`."""
     from .dedup import hamming_neardup_pairs
 

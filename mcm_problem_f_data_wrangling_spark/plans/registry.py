@@ -39,13 +39,14 @@ _FRONT = [
     # --- hash is from round 2 (VERDICT r7 task 1), including the two
     # --- by-design rows-only entries x3/x4 — rows-only is their only
     # --- external signal, so it rotates too;
-    # --- (c) the oldest 30 of the round-3 block (suite order); the
-    # --- remaining 16 r3 rows go in the r9 window.  Every query
+    # --- (c) the oldest 29 of the round-3 block (suite order); the
+    # --- remaining 17 r3 rows go in the r9 window.  Every query
     # --- keeps its oracle either way — the builder's mirror
     # --- (tools/check_parity.py) always runs ALL of them.
     "flagship_career_collapse",   # driver smoke target stays first
     # --- (a) changed this round: must re-gate on current impl ---
     "x_multimodal_phash",         # NEW: real DCT pHash, planted pairs
+    "x_multimodal_jpeg",          # NEW: real baseline-JPEG decode gate
     "x_multimodal_decode",        # un-filter vectorized + trunc guards
     "x_multimodal_frame_pipeline",  # decode dispatch gated on media_type
     "x_graph_triangles",          # adjacency-intersection rewrite
@@ -105,7 +106,6 @@ _FRONT = [
     "q03_shipping_priority",
     "a09_share_of_total",
     "w31_theil_sen_trend",
-    "a11_basket_lift",
 ]
 
 # The external driver verifies roughly this many registry-order

@@ -1034,6 +1034,77 @@ def x_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_multimodal_jpeg",
+    "REAL baseline-JPEG decode under the full-value hash gate "
+    "(operators/jpeg.py — pure stdlib+numpy Huffman entropy decode, "
+    "dequantization, zigzag, 8x8 IDCT, level shift, YCbCr→RGB, 4:2:0 "
+    "upsampling, restart markers; encoder twin plants the fixtures): "
+    "60 planted 16x24 images whose 8x8 blocks are CONSTANT values "
+    "128 + 2k from an integer formula of (id, block).  A constant "
+    "block quantizes to a lone DC coefficient, so with Annex-K "
+    "q00=16 the decoded block is exactly 128 + 2k — an integer "
+    "formula DuckDB recomputes independent of the codec.  Offsets "
+    "are kept EVEN so the quantizer's floor(x/16+0.5) sits a full "
+    "half-step from its boundary: the float DCT carries ±ulp noise, "
+    "and an odd offset would park the true value exactly ON the "
+    "boundary where 1 ulp flips the rounded coefficient (measured: "
+    "7/60 plants flipped before this constraint).  Four "
+    "encoder variants cycle by id so one oracle covers them all: "
+    "plain grayscale, grayscale with DRI/RST markers (DC prediction "
+    "resets), RGB 4:4:4 and RGB 4:2:0 (gray-valued, so the YCbCr "
+    "transform is exact and chroma decodes to constant 128).  AC "
+    "coefficient paths, lossy round-trip bounds, and error paths are "
+    "pytest-covered (a nonzero-AC hash gate would put cross-engine "
+    "cos() ulps under a 0.5-rounding boundary — excluded by design).",
+    """
+WITH ids AS (SELECT unnest(generate_series(0, 59)) AS id),
+blocks AS (
+  SELECT id, bi, bj
+  FROM ids,
+       (SELECT unnest(generate_series(0, 2)) AS bi),
+       (SELECT unnest(generate_series(0, 1)) AS bj)
+),
+px AS (
+  SELECT id, 128 + 2 * ((id * 7 + bi * 13 + bj * 29) % 48) AS pix
+  FROM blocks
+)
+SELECT CAST(id AS BIGINT) AS media_id, 'image' AS media_type,
+       CAST(16 AS INT) AS width, CAST(24 AS INT) AS height,
+       CAST(1 AS INT) AS n_frames, AVG(pix) / 255.0 AS mean_luma
+FROM px GROUP BY id
+""",
+    tags=("M4", "multimodal"),
+)
+def x_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.jpeg import encode_jpeg_gray, encode_jpeg_rgb
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    w, h = 16, 24
+    rows = []
+    for mid in range(60):
+        img = np.zeros((h, w), dtype=np.uint8)
+        for bi in range(3):
+            for bj in range(2):
+                v = 128 + 2 * ((mid * 7 + bi * 13 + bj * 29) % 48)
+                img[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8] = v
+        variant = mid % 4
+        if variant == 0:
+            payload = encode_jpeg_gray(img.tobytes(), w, h)
+        elif variant == 1:
+            payload = encode_jpeg_gray(img.tobytes(), w, h, restart_interval=2)
+        else:
+            rgb = np.repeat(img[:, :, None], 3, axis=2)
+            payload = encode_jpeg_rgb(rgb.tobytes(), w, h, subsample=(variant == 3))
+        rows.append((mid, payload, "image", f"planted://jpeg/{variant}/{mid}"))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return decode_media(media).select(
+        "media_id", "media_type", "width", "height", "n_frames", "mean_luma"
+    )
+
+
+@_q(
     "x_multimodal_phash",
     "REAL DCT perceptual hash under the driver hash gate "
     "(operators/multimodal.py phash64_png → compute_phash → "

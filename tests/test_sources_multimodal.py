@@ -443,15 +443,31 @@ def test_decode_media_real_png_wav_and_stub_in_one_batch(spark):
     assert stub["width"] == 64 + h % 1024 and stub["n_frames"] == 1 + h % 300
 
 
-def test_decode_media_jpeg_mp4_fail_fast(spark):
-    """JPEG/MP4 payloads raise the honest env-blocked error instead of
-    silently stubbing (their codecs need PIL/libav)."""
+def test_decode_media_jpeg_real_mp4_fail_fast(spark):
+    """JPEG now decodes for real through operators/jpeg.py (round 8);
+    a corrupt JPEG surfaces its clean decode error; MP4 keeps the
+    honest env-blocked error (H.264 needs libav)."""
+    import numpy as np
+
+    from mcm_problem_f_data_wrangling_spark.operators.jpeg import (
+        encode_jpeg_gray,
+    )
+
+    img = np.full((16, 16), 200, dtype=np.uint8)
     jpeg = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg_gray(img.tobytes(), 16, 16)), "image", "x")],
+        ["media_id", "payload", "media_type", "source_uri"],
+    )
+    got = decode_media(jpeg).collect()[0]
+    assert (got["width"], got["height"], got["n_frames"]) == (16, 16, 1)
+    # constant 200 → DC-only → decoded constant 128 + 2*36 = 200
+    assert got["mean_luma"] == pytest.approx(200 / 255.0)
+    corrupt = spark.createDataFrame(
         [(1, b"\xff\xd8\xff\xe0" + b"j" * 40, "image", "x")],
         ["media_id", "payload", "media_type", "source_uri"],
     )
     with pytest.raises(Exception, match="JPEG"):
-        decode_media(jpeg).collect()
+        decode_media(corrupt).collect()
     mp4 = spark.createDataFrame(
         [(1, b"\x00\x00\x00\x18ftypmp42" + b"m" * 40, "video", "x")],
         ["media_id", "payload", "media_type", "source_uri"],

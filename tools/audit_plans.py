@@ -43,6 +43,7 @@ PYTHON_OK = {
     "x4_diagnostics_gate",  # same applyInPandas core, planted series
     "x5_monte_carlo_fan",
     "x_multimodal_decode",
+    "x_multimodal_jpeg",   # baseline-JPEG decode runs in mapInPandas
     "x_multimodal_phash",  # DCT pHash runs in mapInPandas
     "x_multimodal_feature_extract",
     "x_bpe_token_stats",
