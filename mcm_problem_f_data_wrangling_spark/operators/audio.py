@@ -1,0 +1,198 @@
+"""Audio spectral analysis over decoded WAV payloads.
+
+Engine extension (the reference has no audio path — its multimodal
+analogue is the opaque-binary contract in ``operators/multimodal.py``):
+a large-scale training-data pipeline needs audio *content* signals,
+not just byte-level metadata — near-duplicate detection must survive
+re-encoding at a different amplitude/gain, which byte hashes (md5,
+:func:`..multimodal.phash64` fallback) cannot.
+
+The pipeline here is the honest baseline of an audio-fingerprinting
+stack (Shazam-style constellation maps are the production upgrade;
+the dominant-band sequence is the deterministic, oracle-checkable
+core both share):
+
+- :func:`spectral_frames` — decode → mono → non-overlapping frames →
+  vectorized ``np.fft.rfft`` → per-frame band energies → dominant
+  band.  One Arrow-batched ``mapInPandas`` crossing; everything
+  downstream is JVM-side.
+- :func:`audio_fingerprint` — per-payload 64-bit fingerprint over the
+  dominant-band sequence (``xxhash64`` of the canonical sequence
+  string, computed JVM-side; the raw sequence is retained for exact
+  verify so a hash collision can never produce a false pair).
+- :func:`audio_neardup_pairs` — equi-join on the 8-byte fingerprint
+  (never all-pairs) + exact sequence verify: finds payloads with the
+  same spectral content even when their PCM bytes differ (gain
+  change, re-synthesis).
+
+Scale: the FFT stage streams one Arrow batch at a time (a partition
+of large payloads never materializes fully in Python); frames are a
+single ``(n_frames, frame_len)`` numpy matrix per payload so the FFT
+is one vectorized call.  The pairs join shuffles 8-byte keys.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("dom_band", IntegerType()),
+        StructField("band_energy_frac", DoubleType()),
+    ]
+)
+
+
+def spectral_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame_len: int = 256,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Framed FFT band analysis of WAV payloads via ``mapInPandas``.
+
+    Per payload: :func:`..multimodal.decode_wav` → channel-mean mono →
+    non-overlapping frames of ``frame_len`` samples (hop =
+    ``frame_len``; a trailing partial frame is dropped) → power
+    spectrum ``|rfft|^2`` → bins ``1..frame_len/2`` (DC excluded —
+    PCM offset is content-free) split into ``n_bands`` equal slices →
+    per frame the argmax band (first band wins ties, so an all-zero
+    frame deterministically reports band 0 with
+    ``band_energy_frac = 0.0``).
+
+    Output: ``(media_id, frame_idx, dom_band, band_energy_frac)``
+    with ``band_energy_frac`` = dominant band energy / total energy
+    (float — a confidence signal, keep it OUT of cross-engine value
+    hashes).
+    """
+    if frame_len < 2 or frame_len % 2:
+        raise ValueError("frame_len must be an even integer >= 2")
+    if n_bands < 1 or (frame_len // 2) % n_bands:
+        raise ValueError(
+            f"n_bands={n_bands} must divide frame_len/2={frame_len // 2} evenly"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .multimodal import decode_wav
+
+        for pdf in it:
+            ids: list[int] = []
+            fidx: list[int] = []
+            dom: list[int] = []
+            frac: list[float] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                _, ch, _, samples = decode_wav(b)
+                sig = np.asarray(samples, dtype=np.float64)
+                if ch > 1:
+                    sig = sig[: (len(sig) // ch) * ch].reshape(-1, ch).mean(axis=1)
+                nf = len(sig) // frame_len
+                if nf == 0:
+                    continue
+                frames = sig[: nf * frame_len].reshape(nf, frame_len)
+                spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                bins = spec[:, 1 : frame_len // 2 + 1]
+                bands = bins.reshape(nf, n_bands, -1).sum(axis=2)
+                d = bands.argmax(axis=1)
+                tot = bands.sum(axis=1)
+                f = bands[np.arange(nf), d] / np.where(tot > 0.0, tot, 1.0)
+                ids.extend([int(mid)] * nf)
+                fidx.extend(range(nf))
+                dom.extend(int(x) for x in d)
+                frac.extend(float(x) for x in f)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "dom_band": pd.Series(dom, dtype="int32"),
+                    "band_energy_frac": pd.Series(frac, dtype="float64"),
+                }
+            )
+
+    out = df.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+    return out.mapInPandas(batches, SPECTRAL_SCHEMA)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame_len: int = 256,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Per-payload spectral fingerprint: ``(media_id, fingerprint
+    LONG, band_seq STRING, n_frames INT)``.
+
+    ``band_seq`` is the dominant-band sequence in frame order joined
+    with ','; ``fingerprint = xxhash64(band_seq)`` is the compact
+    8-byte shuffle key.  Both are computed JVM-side from the
+    :func:`spectral_frames` output — the only Python crossing is the
+    FFT stage itself.
+    """
+    frames = spectral_frames(df, payload_col, id_col, frame_len, n_bands)
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("frame_idx"), F.col("dom_band")))
+            ),
+            lambda s: s["dom_band"].cast("string"),
+        ),
+        ",",
+    )
+    return frames.groupBy("media_id").agg(
+        seq.alias("band_seq"), F.count("*").cast("int").alias("n_frames")
+    ).select(
+        "media_id",
+        F.xxhash64("band_seq").alias("fingerprint"),
+        "band_seq",
+        "n_frames",
+    )
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame_len: int = 256,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Audio near-duplicate pairs by exact spectral-fingerprint match:
+    payloads whose dominant-band sequences are identical, even when
+    the PCM bytes differ (gain change, re-synthesis at a different
+    amplitude).  Equi-join on the 8-byte fingerprint — never
+    all-pairs — then exact ``band_seq`` verify so an ``xxhash64``
+    collision cannot fabricate a pair.
+
+    Output: ``(id_a, id_b, n_frames)`` with ``id_a < id_b``.
+    """
+    fps = audio_fingerprint(df, payload_col, id_col, frame_len, n_bands)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, on="fingerprint")
+        .where(
+            (F.col("a.media_id") < F.col("b.media_id"))
+            & (F.col("a.band_seq") == F.col("b.band_seq"))
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.n_frames").alias("n_frames"),
+        )
+    )

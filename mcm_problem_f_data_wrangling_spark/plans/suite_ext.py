@@ -1158,6 +1158,106 @@ def x_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_audio_spectral_fingerprint",
+    "REAL audio spectral analysis under the full-value hash gate "
+    "(operators/audio.py spectral_frames): 40 planted WAV payloads, "
+    "each six 512-sample segments of a pure cosine at bin "
+    "k = 16*b + 8 of a 256-point frame (the exact center of band b, "
+    "b = (id*5 + 3*seg) % 8), int16-quantized at amplitude 950.  The "
+    "pipeline — stdlib RIFF/PCM decode, framing, vectorized "
+    "np.fft.rfft power spectrum, DC-excluded 8-band split, per-frame "
+    "argmax — must recover EXACTLY the planted band formula, which "
+    "the DuckDB oracle recomputes as integer arithmetic independent "
+    "of the FFT: dom_band = (id*5 + 3*(frame//2)) % 8 for all 12 "
+    "frames of all 40 payloads.  A bin-center integer-cycle tone has "
+    "zero spectral leakage, so decode, mono fold, framing, FFT and "
+    "band split are ALL load-bearing for the hash (the float "
+    "band_energy_frac confidence stays out of it, folded to the "
+    "concentrated >= 0.99 law instead).",
+    """
+WITH ids AS (SELECT unnest(generate_series(0, 39)) AS id),
+frames AS (SELECT id, unnest(generate_series(0, 11)) AS f FROM ids)
+SELECT CAST(id AS BIGINT) AS media_id, CAST(f AS INT) AS frame_idx,
+       CAST((id * 5 + 3 * (f // 2)) % 8 AS INT) AS dom_band,
+       TRUE AS concentrated
+FROM frames
+""",
+    tags=("M4", "multimodal"),
+)
+def x_audio_spectral_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.audio import spectral_frames
+    from ..operators.multimodal import MEDIA_SCHEMA, encode_wav_pcm16
+
+    rows = []
+    u = np.arange(512)
+    for mid in range(40):
+        samples: list[int] = []
+        for seg in range(6):
+            k = 16 * ((mid * 5 + 3 * seg) % 8) + 8
+            tone = np.round(950.0 * np.cos(2.0 * np.pi * k * u / 256.0))
+            samples.extend(int(x) for x in tone)
+        rows.append(
+            (mid, encode_wav_pcm16(samples, 8000), "audio",
+             f"planted://tone/{mid}")
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return spectral_frames(media).select(
+        "media_id",
+        "frame_idx",
+        "dom_band",
+        (F.col("band_energy_frac") >= 0.99).alias("concentrated"),
+    )
+
+
+@_q(
+    "x_audio_fingerprint_match",
+    "Audio near-duplicate pairs by spectral fingerprint "
+    "(operators/audio.py audio_fingerprint → audio_neardup_pairs): "
+    "24 planted WAV payloads in 8 groups of 3 (g = id % 8) that "
+    "share the dominant-band sequence b = (7g + 3*seg) % 8 but "
+    "differ BYTE-WISE — each id synthesizes its tones at its own "
+    "amplitude 700 + 7*id, so md5/byte-hash matching finds nothing "
+    "and only the FFT-derived fingerprint (xxhash64 over the "
+    "band sequence, equi-joined then exact-sequence verified) can "
+    "pair them.  Group sequences are pairwise distinct by "
+    "construction (7g mod 8 is a bijection on g), so the oracle pins "
+    "the exact pair set: all (a, b), a < b, a ≡ b (mod 8) — 24 "
+    "pairs, gain-invariance and no false positives both load-bearing "
+    "for the hash.",
+    """
+WITH ids AS (SELECT unnest(generate_series(0, 23)) AS id)
+SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+       CAST(12 AS INT) AS n_frames
+FROM ids a JOIN ids b ON a.id % 8 = b.id % 8 AND a.id < b.id
+""",
+    tags=("M4", "multimodal"),
+)
+def x_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.audio import audio_neardup_pairs
+    from ..operators.multimodal import MEDIA_SCHEMA, encode_wav_pcm16
+
+    rows = []
+    u = np.arange(512)
+    for mid in range(24):
+        amp = 700.0 + 7.0 * mid
+        samples: list[int] = []
+        for seg in range(6):
+            k = 16 * (((mid % 8) * 7 + 3 * seg) % 8) + 8
+            tone = np.round(amp * np.cos(2.0 * np.pi * k * u / 256.0))
+            samples.extend(int(x) for x in tone)
+        rows.append(
+            (mid, encode_wav_pcm16(samples, 8000), "audio",
+             f"planted://tone-gain/{mid}")
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return audio_neardup_pairs(media)
+
+
+@_q(
     "x_multimodal_feature_extract",
     "Multimodal feature-extract stage: payload → fixed-dim embedding "
     "via Arrow-batched mapInPandas (stub encoder — byte histogram; "

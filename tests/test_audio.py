@@ -1,0 +1,116 @@
+"""Audio spectral analysis (operators/audio.py): framed FFT band
+extraction, fingerprints, and gain-invariant near-dup pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mcm_problem_f_data_wrangling_spark.operators.audio import (
+    audio_fingerprint,
+    audio_neardup_pairs,
+    spectral_frames,
+)
+from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    encode_wav_pcm16,
+)
+
+
+def _tone_payload(bands: list[int], amp: float = 900.0, seg_len: int = 512,
+                  frame_len: int = 256, channels: int = 1) -> bytes:
+    """One segment per entry in ``bands``: a pure cosine at the center
+    bin of that band (k = 16*b + 8 for frame_len=256 / 8 bands)."""
+    u = np.arange(seg_len)
+    samples: list[int] = []
+    for b in bands:
+        k = (frame_len // 16) * b + frame_len // 32
+        tone = np.round(amp * np.cos(2.0 * np.pi * k * u / frame_len))
+        if channels == 1:
+            samples.extend(int(x) for x in tone)
+        else:
+            for x in tone:
+                samples.extend([int(x)] * channels)
+    return encode_wav_pcm16(samples, 8000, channels)
+
+
+def test_spectral_frames_recovers_planted_bands(spark):
+    media = spark.createDataFrame(
+        [(0, _tone_payload([2, 5, 7]), "audio", "t://0")], MEDIA_SCHEMA
+    )
+    rows = spectral_frames(media).orderBy("frame_idx").collect()
+    assert [r.dom_band for r in rows] == [2, 2, 5, 5, 7, 7]
+    assert all(r.band_energy_frac > 0.999 for r in rows)
+    assert [r.frame_idx for r in rows] == list(range(6))
+
+
+def test_spectral_frames_stereo_folds_to_mono(spark):
+    mono = _tone_payload([3, 1], channels=1)
+    stereo = _tone_payload([3, 1], channels=2)
+    media = spark.createDataFrame(
+        [(0, mono, "audio", "t://m"), (1, stereo, "audio", "t://s")],
+        MEDIA_SCHEMA,
+    )
+    rows = spectral_frames(media).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append((r.frame_idx, r.dom_band))
+    assert sorted(by_id[0]) == sorted(by_id[1])
+
+
+def test_spectral_frames_zero_signal_is_deterministic(spark):
+    media = spark.createDataFrame(
+        [(0, encode_wav_pcm16([0] * 512, 8000), "audio", "t://z")],
+        MEDIA_SCHEMA,
+    )
+    rows = spectral_frames(media).orderBy("frame_idx").collect()
+    assert [(r.dom_band, r.band_energy_frac) for r in rows] == [(0, 0.0), (0, 0.0)]
+
+
+def test_spectral_frames_short_payload_yields_no_frames(spark):
+    media = spark.createDataFrame(
+        [(0, encode_wav_pcm16([5] * 100, 8000), "audio", "t://short")],
+        MEDIA_SCHEMA,
+    )
+    assert spectral_frames(media).count() == 0
+
+
+def test_spectral_frames_validates_params(spark):
+    media = spark.createDataFrame(
+        [(0, encode_wav_pcm16([0] * 256, 8000), "audio", "t://v")], MEDIA_SCHEMA
+    )
+    with pytest.raises(ValueError):
+        spectral_frames(media, frame_len=255)
+    with pytest.raises(ValueError):
+        spectral_frames(media, n_bands=7)
+
+
+def test_fingerprint_gain_invariant_bytes_differ(spark):
+    loud = _tone_payload([4, 0, 6], amp=990.0)
+    quiet = _tone_payload([4, 0, 6], amp=450.0)
+    other = _tone_payload([4, 0, 5], amp=990.0)
+    assert loud != quiet  # byte-level dedup would never pair these
+    media = spark.createDataFrame(
+        [(0, loud, "audio", "t://l"), (1, quiet, "audio", "t://q"),
+         (2, other, "audio", "t://o")],
+        MEDIA_SCHEMA,
+    )
+    fps = {r.media_id: (r.fingerprint, r.band_seq, r.n_frames)
+           for r in audio_fingerprint(media).collect()}
+    assert fps[0] == fps[1]
+    assert fps[0][1] == "4,4,0,0,6,6"
+    assert fps[0] != fps[2]
+
+    pairs = audio_neardup_pairs(media).collect()
+    assert [(p.id_a, p.id_b, p.n_frames) for p in pairs] == [(0, 1, 6)]
+
+
+def test_truncated_wav_raises_clean_error(spark):
+    good = _tone_payload([1])
+    media = spark.createDataFrame(
+        [(0, good[:40], "audio", "t://trunc")], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception) as ei:
+        spectral_frames(media).collect()
+    msg = str(ei.value)
+    assert "ValueError" in msg and "WAV" in msg  # clean error class, not struct.error

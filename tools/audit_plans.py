@@ -45,6 +45,8 @@ PYTHON_OK = {
     "x_multimodal_decode",
     "x_multimodal_jpeg",   # baseline-JPEG decode runs in mapInPandas
     "x_multimodal_phash",  # DCT pHash runs in mapInPandas
+    "x_audio_spectral_fingerprint",  # FFT stage runs in mapInPandas
+    "x_audio_fingerprint_match",     # FFT stage runs in mapInPandas
     "x_multimodal_feature_extract",
     "x_bpe_token_stats",
     "s30_streaming_running_totals",  # applyInPandasWithState stream
