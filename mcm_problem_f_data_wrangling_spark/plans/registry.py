@@ -53,6 +53,7 @@ _FRONT = [
     "x_multimodal_frame_pipeline",  # decode dispatch gated on media_type
     "x_graph_triangles",          # adjacency-intersection rewrite
     "s08_tumbling_window_rollup",  # now a LIVE writeStream execution (r2)
+    "s31_streaming_session_windows",  # NEW: LIVE session-window merge gate
     "x_embed_semdedup",           # semantic_dedup engine routing entry
     # --- (b) last driver hash in round 2 ---
     "x_embed_neardup_pairs",

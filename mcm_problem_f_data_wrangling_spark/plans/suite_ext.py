@@ -2731,6 +2731,83 @@ def s08_tumbling_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "s31_streaming_session_windows",
+    "LIVE Structured Streaming execution #3 under the driver hash "
+    "gate: native session_window sessionization on the REAL "
+    "streaming engine (the streaming twin of the s10 batch mirror). "
+    "The events parquet replays as a stream (availableNow trigger), "
+    "Spark's session-window STATE STORE merges 6-hour-gap sessions "
+    "across micro-batch boundaries, and the complete-mode memory "
+    "sink holds the final merged snapshot.  The count is order-free "
+    "and the sum decimal-exact, so the snapshot is bit-identical "
+    "however the micro-batch planner splits the files — session "
+    "MERGING across batches is the semantics under test, which the "
+    "tumbling-window gate (s08) never exercises.  Oracle = the same "
+    "integer-microsecond gap replay s10 uses.  Complete mode is the "
+    "gate's snapshot device: production would run update mode with a "
+    "watermark into a real sink; the driver pull is O(#sessions), "
+    "same class as the batch result itself.  Timeout guard as s30.",
+    f"""
+WITH flagged AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts)
+                   >= CAST(21600000000 AS BIGINT)
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), sids AS (
+  SELECT key, ts, value,
+         SUM(brk) OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT key, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events, {DSUM('value')} AS total_value
+FROM sids GROUP BY key, sid
+""",
+    tags=("M2", "streaming"),
+)
+def s31_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming.rollup import run_to_memory_sink
+
+    # schema discovery via the tolerant batch reader; the stream
+    # applies the same nanos fix-up (s08 precedent — events.ts has
+    # shipped as TIMESTAMP(NANOS) and as NTZ-micros)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{sf_dir}/events.parquet*")
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        stream.groupBy(
+            F.col("user_id").cast("string").alias("key"),
+            F.session_window("ts", "6 hours").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "key",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = f"s31_sessions_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(agg, sink)
+    rows = spark.sql(
+        f"SELECT key, session_start, n_events, total_value FROM {sink}"
+    ).collect()
+    spark.catalog.dropTempView(sink)
+    # schema follows the stream's ts flavor (NTZ-micros today, tz'd
+    # timestamp under the nanos layout) — reuse the agg's own schema
+    return spark.createDataFrame(rows, agg.schema)
+
+
+@_q(
     "s30_streaming_running_totals",
     "LIVE Structured Streaming execution under the driver hash gate "
     "(streaming/running.py running_totals_stream, GroupState engine): "

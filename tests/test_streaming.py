@@ -536,3 +536,48 @@ def test_transform_with_state_running_totals_matches_batch(
     for r in emitted:  # memory sink appends in batch order
         last[r["key"]] = (r["cnt"], r["total"])
     assert last == want
+
+
+def test_session_window_stream_merges_across_microbatches(spark, tmp_path_factory):
+    """Native session_window on the streaming engine must merge
+    sessions that SPAN micro-batch boundaries (maxFilesPerTrigger=1
+    forces one file per batch; file 2 continues file 1's sessions
+    within the 1-hour gap) and match the batch result exactly."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path_factory.mktemp("session_stream"))
+    # user 1: 10:00, 10:30 (file A), 10:50 (file B)  -> ONE session
+    # user 2: 10:00 (file A), 13:00 (file B)         -> TWO sessions
+    file_a = [(1, "2024-03-01 10:00:00", 1.0), (1, "2024-03-01 10:30:00", 2.0),
+              (2, "2024-03-01 10:00:00", 5.0)]
+    file_b = [(1, "2024-03-01 10:50:00", 4.0), (2, "2024-03-01 13:00:00", 8.0)]
+    for i, rows in enumerate([file_a, file_b]):
+        spark.createDataFrame(rows, ["user_id", "ts_s", "value"]).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.mode("append").parquet(path)
+
+    batch = spark.read.parquet(path)
+
+    def sessions(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .select("user_id", F.col("w.start").alias("start"), "n", "total")
+        )
+
+    expected = {(r.user_id, str(r.start)): (r.n, r.total)
+                for r in sessions(batch).collect()}
+    assert len(expected) == 3  # 1 merged + 2 split
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    from mcm_problem_f_data_wrangling_spark.streaming.rollup import run_to_memory_sink
+
+    run_to_memory_sink(sessions(stream), "session_merge_test")
+    got = {(r.user_id, str(r.start)): (r.n, r.total)
+           for r in spark.sql("SELECT * FROM session_merge_test").collect()}
+    spark.catalog.dropTempView("session_merge_test")
+    assert got == expected
