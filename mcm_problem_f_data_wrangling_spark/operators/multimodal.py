@@ -490,8 +490,11 @@ def decode_media(df: DataFrame) -> DataFrame:
     - audio + RIFF/WAVE → :func:`decode_wav` (REAL stdlib decode:
       ``sample_rate``, ``n_samples``, ``mean_sample``; the image
       geometry columns stay NULL)
-    - video + MP4 magic → honest ``NotImplementedError`` (H.264
-      needs libav, absent from this container)
+    - video + MP4 magic → REAL container-metadata parse
+      (:func:`..mp4.parse_mp4_metadata`: ISO BMFF box walk fills
+      width/height/n_frames from tkhd + stts); the SAMPLE DATA stays
+      honestly env-blocked — H.264 decode needs libav, absent from
+      this container — so ``mean_luma`` is NULL for video
     - anything else → the deterministic STUB fake (vectorized over
       the batch), keyed on content bytes, clearly marked — this is
       the implementation of record for the stub path
@@ -542,10 +545,14 @@ def decode_media(df: DataFrame) -> DataFrame:
                     arr = np.frombuffer(flat, dtype=np.uint8)
                     mean_luma[i] = float(arr.mean(dtype=np.float64)) / 255.0
                 elif mt == "video" and p[4:8] == b"ftyp":
-                    raise NotImplementedError(
-                        "MP4 decode needs libav/ffmpeg — absent from "
-                        "this container; WAV decodes natively"
-                    )
+                    # REAL container-metadata parse (operators/mp4.py,
+                    # ISO BMFF box walk); the SAMPLE DATA stays
+                    # env-blocked — H.264 decode needs libav/ffmpeg,
+                    # absent here — so mean_luma stays NULL for video
+                    from .mp4 import parse_mp4_metadata
+
+                    w, h, nf, _dur, _ts = parse_mp4_metadata(p)
+                    width[i], height[i], n_frames[i] = w, h, nf
                 else:
                     stub_idx.append(i)
             if stub_idx:

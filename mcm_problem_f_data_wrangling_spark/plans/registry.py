@@ -47,6 +47,7 @@ _FRONT = [
     # --- (a) changed this round: must re-gate on current impl ---
     "x_multimodal_phash",         # NEW: real DCT pHash, planted pairs
     "x_multimodal_jpeg",          # NEW: real baseline-JPEG decode gate
+    "x_multimodal_mp4_metadata",  # NEW: real ISO BMFF box-walk gate
     "x_audio_spectral_fingerprint",  # NEW: FFT band analysis gate
     "x_audio_fingerprint_match",  # NEW: gain-invariant audio near-dup
     "x_multimodal_decode",        # un-filter vectorized + trunc guards

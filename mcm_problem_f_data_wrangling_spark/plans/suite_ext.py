@@ -1158,6 +1158,49 @@ def x_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_multimodal_mp4_metadata",
+    "REAL MP4 container-metadata parse under the full-value hash "
+    "gate (operators/mp4.py — pure-stdlib ISO BMFF box walk: "
+    "ftyp/moov/mvhd/trak/tkhd/mdia/minf/stbl/stts, v0/v1 headers, "
+    "16.16 fixed-point geometry): 40 planted spec-shaped MP4s whose "
+    "metadata follows integer formulas of id, written by the encoder "
+    "twin (stub 'stub' sample entry + filler mdat — the SAMPLE DATA "
+    "is honestly env-blocked, H.264 needs libav; the metadata layer "
+    "is what a pipeline filters/partitions on before frame decode). "
+    "The DuckDB oracle recomputes width/height/n_frames/duration/"
+    "timescale from the formulas alone, so the box walk, size "
+    "arithmetic, fixed-point shift and stts sample-count sum are all "
+    "load-bearing for the hash.",
+    """
+WITH ids AS (SELECT unnest(generate_series(0, 39)) AS id)
+SELECT CAST(id AS BIGINT) AS media_id,
+       CAST(16 * (2 + id % 9) AS INT) AS width,
+       CAST(16 * (1 + (3 * id) % 7) AS INT) AS height,
+       CAST(24 + (id * 11) % 96 AS INT) AS n_frames,
+       CAST(25 * (24 + (id * 11) % 96) AS BIGINT) AS duration,
+       CAST(600 AS INT) AS timescale
+FROM ids
+""",
+    tags=("M4", "multimodal"),
+)
+def x_multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mp4 import encode_mp4_stub_video, extract_mp4_metadata
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    rows = []
+    for mid in range(40):
+        w = 16 * (2 + mid % 9)
+        h = 16 * (1 + (3 * mid) % 7)
+        nf = 24 + (mid * 11) % 96
+        rows.append(
+            (mid, encode_mp4_stub_video(w, h, nf, 600, 25), "video",
+             f"planted://mp4/{mid}")
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return extract_mp4_metadata(media)
+
+
+@_q(
     "x_audio_spectral_fingerprint",
     "REAL audio spectral analysis under the full-value hash gate "
     "(operators/audio.py spectral_frames): 40 planted WAV payloads, "

@@ -445,8 +445,10 @@ def test_decode_media_real_png_wav_and_stub_in_one_batch(spark):
 
 def test_decode_media_jpeg_real_mp4_fail_fast(spark):
     """JPEG now decodes for real through operators/jpeg.py (round 8);
-    a corrupt JPEG surfaces its clean decode error; MP4 keeps the
-    honest env-blocked error (H.264 needs libav)."""
+    a corrupt JPEG surfaces its clean decode error; a valid MP4 fills
+    REAL container geometry (operators/mp4.py) with mean_luma NULL
+    (sample decode stays env-blocked — H.264 needs libav); a corrupt
+    MP4 surfaces the same clean ValueError class."""
     import numpy as np
 
     from mcm_problem_f_data_wrangling_spark.operators.jpeg import (
@@ -468,12 +470,23 @@ def test_decode_media_jpeg_real_mp4_fail_fast(spark):
     )
     with pytest.raises(Exception, match="JPEG"):
         decode_media(corrupt).collect()
+    from mcm_problem_f_data_wrangling_spark.operators.mp4 import (
+        encode_mp4_stub_video,
+    )
+
     mp4 = spark.createDataFrame(
+        [(1, bytearray(encode_mp4_stub_video(320, 240, 48)), "video", "x")],
+        ["media_id", "payload", "media_type", "source_uri"],
+    )
+    got = decode_media(mp4).collect()[0]
+    assert (got["width"], got["height"], got["n_frames"]) == (320, 240, 48)
+    assert got["mean_luma"] is None  # sample decode is env-blocked
+    bad_mp4 = spark.createDataFrame(
         [(1, b"\x00\x00\x00\x18ftypmp42" + b"m" * 40, "video", "x")],
         ["media_id", "payload", "media_type", "source_uri"],
     )
     with pytest.raises(Exception, match="MP4"):
-        decode_media(mp4).collect()
+        decode_media(bad_mp4).collect()
 
 
 def test_png_palette_roundtrip_and_guards():

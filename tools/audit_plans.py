@@ -45,6 +45,7 @@ PYTHON_OK = {
     "x_multimodal_decode",
     "x_multimodal_jpeg",   # baseline-JPEG decode runs in mapInPandas
     "x_multimodal_phash",  # DCT pHash runs in mapInPandas
+    "x_multimodal_mp4_metadata",  # box-walk parse runs in mapInPandas
     "x_audio_spectral_fingerprint",  # FFT stage runs in mapInPandas
     "x_audio_fingerprint_match",     # FFT stage runs in mapInPandas
     "x_multimodal_feature_extract",
