@@ -50,6 +50,7 @@ _FRONT = [
     "x_multimodal_mp4_metadata",  # NEW: real ISO BMFF box-walk gate
     "x_audio_spectral_fingerprint",  # NEW: FFT band analysis gate
     "x_audio_fingerprint_match",  # NEW: gain-invariant audio near-dup
+    "x_media_dedup_clusters",     # NEW: multimodal pairs -> CC composition
     "x_multimodal_decode",        # un-filter vectorized + trunc guards
     "x_multimodal_frame_pipeline",  # decode dispatch gated on media_type
     "x_graph_triangles",          # adjacency-intersection rewrite

@@ -1301,6 +1301,101 @@ def x_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_media_dedup_clusters",
+    "End-to-end MULTIMODAL dedup: image pHash near-dup pairs "
+    "(decode → DCT pHash → Manku banding → Hamming ≤ 3) and audio "
+    "spectral-fingerprint pairs (decode → framed FFT → band-sequence "
+    "match) feed ONE connected-components pass over the union edge "
+    "set, with MP4 singletons supplied as isolated vertices — the "
+    "composition a production media corpus runs, where duplicate "
+    "evidence from different modalities must resolve into one "
+    "transitive cluster labeling.  Plants: 12 seeded PNGs + "
+    "one-pixel twins (ids i / 1000+i), 8 gain-twin WAV pairs (ids "
+    "2000+g / 2008+g), 4 MP4 singletons (3000..3003).  The DuckDB "
+    "oracle recomputes the exact cluster structure from the plant "
+    "formulas — decode, pHash, FFT, banding and the CC contraction "
+    "are all load-bearing; is_kept pins the min-id survivor rule.",
+    """
+WITH img AS (
+  SELECT i AS media_id, i AS cluster_id FROM (SELECT unnest(generate_series(0, 11)) AS i)
+  UNION ALL
+  SELECT i + 1000, i FROM (SELECT unnest(generate_series(0, 11)) AS i)
+),
+aud AS (
+  SELECT 2000 + g AS media_id, 2000 + g AS cluster_id
+  FROM (SELECT unnest(generate_series(0, 7)) AS g)
+  UNION ALL
+  SELECT 2008 + g, 2000 + g FROM (SELECT unnest(generate_series(0, 7)) AS g)
+),
+vid AS (
+  SELECT 3000 + v AS media_id, 3000 + v AS cluster_id
+  FROM (SELECT unnest(generate_series(0, 3)) AS v)
+),
+uni AS (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(media_id = cluster_id AS INT) AS is_kept
+FROM uni
+""",
+    tags=("M4", "multimodal", "graph"),
+)
+def x_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.audio import audio_neardup_pairs
+    from ..operators.graph import connected_components
+    from ..operators.mp4 import encode_mp4_stub_video
+    from ..operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        encode_wav_pcm16,
+        phash_neardup_pairs,
+    )
+
+    rows = []
+    for mid in range(12):  # images + one-pixel twins (x_multimodal_phash plant)
+        rs = np.random.RandomState(mid)
+        base = rs.randint(0, 256, size=(8, 8)).astype(np.uint8)
+        img = np.kron(base, np.ones((8, 8), dtype=np.uint8))
+        rows.append((mid, encode_png(img.tobytes(), 64, 64, 1), "image",
+                     f"planted://img/{mid}"))
+        tw = img.copy()
+        tw[mid % 64, (3 * mid) % 64] ^= 0x10
+        rows.append((1000 + mid, encode_png(tw.tobytes(), 64, 64, 1), "image",
+                     f"planted://img/twin/{mid}"))
+    u = np.arange(512)
+    for mid in range(2000, 2016):  # audio gain twins (8 groups x 2)
+        amp = 650.0 + 3.0 * (mid - 2000)
+        samples: list[int] = []
+        for seg in range(6):
+            k = 16 * (((mid % 8) * 7 + 3 * seg) % 8) + 8
+            tone = np.round(amp * np.cos(2.0 * np.pi * k * u / 256.0))
+            samples.extend(int(x) for x in tone)
+        rows.append((mid, encode_wav_pcm16(samples, 8000), "audio",
+                     f"planted://aud/{mid}"))
+    for v in range(4):  # MP4 singletons — isolated vertices
+        rows.append((3000 + v, encode_mp4_stub_video(160, 90, 8 + v), "video",
+                     f"planted://vid/{v}"))
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    img_pairs = phash_neardup_pairs(
+        media.where(F.col("media_type") == "image"), max_hamming=3
+    ).select(F.col("media_id_1").alias("src"), F.col("media_id_2").alias("dst"))
+    aud_pairs = audio_neardup_pairs(
+        media.where(F.col("media_type") == "audio")
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    nodes = media.select(F.col("media_id").alias("node"))
+    comp = connected_components(
+        img_pairs.unionByName(aud_pairs), nodes=nodes
+    )
+    return comp.select(
+        F.col("node").alias("media_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).cast("int").alias("is_kept"),
+    )
+
+
+@_q(
     "x_multimodal_feature_extract",
     "Multimodal feature-extract stage: payload → fixed-dim embedding "
     "via Arrow-batched mapInPandas (stub encoder — byte histogram; "
