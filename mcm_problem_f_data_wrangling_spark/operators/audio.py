@@ -171,17 +171,39 @@ def audio_neardup_pairs(
     id_col: str = "media_id",
     frame_len: int = 256,
     n_bands: int = 8,
+    mode: str = "pairs",
 ) -> DataFrame:
     """Audio near-duplicate pairs by exact spectral-fingerprint match:
     payloads whose dominant-band sequences are identical, even when
     the PCM bytes differ (gain change, re-synthesis at a different
-    amplitude).  Equi-join on the 8-byte fingerprint — never
-    all-pairs — then exact ``band_seq`` verify so an ``xxhash64``
-    collision cannot fabricate a pair.
+    amplitude).  Equi-join on the 8-byte fingerprint, exact
+    ``band_seq`` verify so an ``xxhash64`` collision cannot fabricate
+    a pair.
+
+    ``mode='pairs'`` (default) emits every matching pair — what a
+    near-dup AUDIT reports.  A degenerate corpus (one fingerprint
+    class of m payloads) emits C(m,2) rows; the scale smoke measured
+    25M pairs from 8 planted classes of 2500.  ``mode='star'`` emits
+    only (min-id member → other member) per class — O(m) rows, the
+    connectivity-preserving edge set CLUSTERING needs (identical
+    connected components, same trick as ``duplicate_clusters``'
+    star edges) — use it when the pairs feed a components pass.
 
     Output: ``(id_a, id_b, n_frames)`` with ``id_a < id_b``.
     """
+    if mode not in ("pairs", "star"):
+        raise ValueError(f"unknown mode {mode!r}")
     fps = audio_fingerprint(df, payload_col, id_col, frame_len, n_bands)
+    if mode == "star":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("fingerprint", "band_seq")
+        starred = fps.withColumn("root", F.min("media_id").over(w))
+        return starred.where(F.col("media_id") != F.col("root")).select(
+            F.col("root").alias("id_a"),
+            F.col("media_id").alias("id_b"),
+            "n_frames",
+        )
     a = fps.alias("a")
     b = fps.alias("b")
     return (

@@ -1382,7 +1382,7 @@ def x_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         media.where(F.col("media_type") == "image"), max_hamming=3
     ).select(F.col("media_id_1").alias("src"), F.col("media_id_2").alias("dst"))
     aud_pairs = audio_neardup_pairs(
-        media.where(F.col("media_type") == "audio")
+        media.where(F.col("media_type") == "audio"), mode="star"
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     nodes = media.select(F.col("media_id").alias("node"))
     comp = connected_components(

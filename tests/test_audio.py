@@ -114,3 +114,22 @@ def test_truncated_wav_raises_clean_error(spark):
         spectral_frames(media).collect()
     msg = str(ei.value)
     assert "ValueError" in msg and "WAV" in msg  # clean error class, not struct.error
+
+
+def test_star_mode_preserves_components_linearly(spark):
+    """mode='star' must emit O(m) edges per fingerprint class with
+    the same connected components as all-pairs mode."""
+    payloads = [_tone_payload([2, 6], amp=400.0 + 13 * i) for i in range(4)]
+    other = _tone_payload([5, 5], amp=800.0)
+    media = spark.createDataFrame(
+        [(i, p, "audio", f"t://{i}") for i, p in enumerate(payloads)]
+        + [(9, other, "audio", "t://9")],
+        MEDIA_SCHEMA,
+    )
+    pairs = {(r.id_a, r.id_b) for r in audio_neardup_pairs(media).collect()}
+    star = {(r.id_a, r.id_b) for r in
+            audio_neardup_pairs(media, mode="star").collect()}
+    assert pairs == {(a, b) for a in range(4) for b in range(a + 1, 4)}  # C(4,2)
+    assert star == {(0, 1), (0, 2), (0, 3)}  # min-id star, O(m)
+    with pytest.raises(ValueError):
+        audio_neardup_pairs(media, mode="clique")
