@@ -1,0 +1,106 @@
+"""URL canonicalization for web-corpus curation — pure JVM-side
+column expressions (no UDF), mirrored exactly in DuckDB SQL.
+
+A crawl stores the same page under many spellings: scheme/host case,
+``www.`` prefixes, default ports, tracking query parameters
+(``utm_*``/``gclid``/``fbclid``), fragments, and trailing slashes.
+Canonical-URL dedup is the cheapest dedup stage a pipeline runs —
+before any content hash — and at 100 TB it is one ``regexp_replace``
+chain inside whole-stage codegen plus one groupBy on the canonical
+string.
+
+Portability contract (same as the PII patterns in ``textfn``): every
+regex must behave identically under Java regex (Spark) and RE2
+(DuckDB) — no lookarounds, no backreferences, and NO capture-group
+references in replacement strings (Java spells them ``$1``, RE2
+``\\1`` — so replacements here are all literal).  The query sentinel
+trick ('&' appended before parameter removal, stripped after) exists
+precisely to avoid a capture-ref replacement.
+
+Canonical form produced:
+
+- scheme and host lowercased (path/query case preserved — paths are
+  case-sensitive per RFC 3986)
+- leading ``www.`` stripped from the host
+- default ports ``:80``/``:443`` stripped
+- fragment dropped
+- ``utm_*``, ``gclid``, ``fbclid`` query parameters dropped; an
+  emptied query loses its ``?``
+- trailing ``/`` stripped from the path (so ``http://a.com/`` and
+  ``http://a.com`` collide — documented choice)
+
+Inputs that don't look like ``scheme://host...`` pass through
+unchanged (NULL-safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_REST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)"
+_TRACKING_RE = "&(utm_[a-z]+|gclid|fbclid)=[^&]*"
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of a URL column (see module docstring)."""
+    u = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(u, _HOST_RE, 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, ":(80|443)$", "")
+    rest = F.regexp_extract(u, _REST_RE, 1)  # path[?query], fragment gone
+    path = F.regexp_extract(rest, "^([^?]*)", 1)
+    path = F.regexp_replace(path, "/$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    # '&' sentinels on BOTH ends: every parameter then STARTS with
+    # '&', so tracking params drop with a LITERAL replacement (no
+    # $1/\1 dialect split) and the pattern can never match inside a
+    # value (e.g. q=headgclid=5 — no '&' precedes the name there)
+    query = F.when(
+        query == "", F.lit("")
+    ).otherwise(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.concat(F.lit("&"), query, F.lit("&")), _TRACKING_RE, ""
+            ),
+            "^&|&$",
+            "",
+        )
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+    return F.when(scheme == "", u).otherwise(canon)
+
+
+def CANONICAL_URL_SQL(expr: str) -> str:
+    """The DuckDB mirror of :func:`canonical_url` — identical regex
+    chain, identical sentinel trick, for oracle queries."""
+    scheme = f"lower(regexp_extract({expr}, '{_SCHEME_RE}', 1))"
+    host0 = f"lower(regexp_extract({expr}, '{_HOST_RE}', 1))"
+    host = (
+        f"regexp_replace(regexp_replace({host0}, '^www\\.', ''), "
+        f"':(80|443)$', '')"
+    )
+    rest = f"regexp_extract({expr}, '{_REST_RE}', 1)"
+    path = f"regexp_replace(regexp_extract({rest}, '^([^?]*)', 1), '/$', '')"
+    query0 = f"regexp_extract({rest}, '\\?(.*)$', 1)"
+    # DuckDB regexp_replace is first-match-only without 'g'; Spark's
+    # is always global — 'g' everywhere a pattern can hit twice
+    query = (
+        f"CASE WHEN {query0} = '' THEN '' ELSE "
+        f"regexp_replace(regexp_replace('&' || {query0} || '&', "
+        f"'{_TRACKING_RE}', '', 'g'), '^&|&$', '', 'g') END"
+    )
+    return (
+        f"CASE WHEN {scheme} = '' THEN {expr} ELSE "
+        f"{scheme} || '://' || {host} || {path} || "
+        f"(CASE WHEN ({query}) = '' THEN '' ELSE '?' || ({query}) END) END"
+    )

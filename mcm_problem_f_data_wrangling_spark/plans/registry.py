@@ -51,6 +51,7 @@ _FRONT = [
     "x_audio_spectral_fingerprint",  # NEW: FFT band analysis gate
     "x_audio_fingerprint_match",  # NEW: gain-invariant audio near-dup
     "x_media_dedup_clusters",     # NEW: multimodal pairs -> CC composition
+    "x_url_canonical_dedup",      # NEW: zero-UDF URL canonicalization
     "x_multimodal_decode",        # un-filter vectorized + trunc guards
     "x_multimodal_frame_pipeline",  # decode dispatch gated on media_type
     "x_graph_triangles",          # adjacency-intersection rewrite

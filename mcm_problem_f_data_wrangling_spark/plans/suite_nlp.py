@@ -1741,3 +1741,118 @@ def x_quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+def _URL_RAW_SQL() -> str:
+    """DuckDB twin of the planted raw-URL construction in
+    x_url_canonical_dedup (same string per doc_id in both engines)."""
+    b50 = "CAST(doc_id % 50 AS VARCHAR)"
+    b200 = "CAST(doc_id % 200 AS VARCHAR)"
+    return f"""
+CASE doc_id % 6
+  WHEN 0 THEN 'http://example' || {b50} || '.com/page/' || {b200}
+  WHEN 1 THEN 'HTTP://WWW.EXAMPLE' || {b50} || '.COM/page/' || {b200}
+  WHEN 2 THEN 'http://example' || {b50} || '.com:80/page/' || {b200}
+  WHEN 3 THEN 'http://example' || {b50} || '.com/page/' || {b200} || '?utm_source=x&utm_campaign=y'
+  WHEN 4 THEN 'http://example' || {b50} || '.com/page/' || {b200} || '?gclid=zzz#frag'
+  ELSE 'http://example' || {b50} || '.com/page/' || {b200} || '/'
+END
+""".strip()
+
+
+_URL_QUERY_DOC = (
+    "URL canonicalization dedup (functions/urlfn.py canonical_url — "
+    "pure JVM regexp chain, zero UDF): every doc gets a planted raw "
+    "URL in one of six spellings of the same page (host/scheme case "
+    "+ www., :80 default port, utm_*/gclid tracking params, "
+    "fragment, trailing slash), and the canonical-URL groupBy must "
+    "collapse all six while preserving path case.  The DuckDB oracle "
+    "rebuilds the SAME raw strings and applies the IDENTICAL "
+    "Java/RE2-portable regex chain (CANONICAL_URL_SQL — literal "
+    "replacements only, '&' sentinels instead of capture refs), so "
+    "scheme/host extraction, port/www stripping, tracking-param "
+    "removal and fragment/slash handling are all load-bearing for "
+    "the value hash.  At 100 TB this is one codegen projection plus "
+    "one groupBy on the canonical string — the cheapest dedup stage "
+    "a web pipeline runs, before any content hash."
+)
+
+
+def _url_oracle_sql() -> str:
+    from ..functions.urlfn import CANONICAL_URL_SQL
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_URL_RAW_SQL()} AS url FROM documents
+),
+canon AS (
+  SELECT doc_id, {CANONICAL_URL_SQL('url')} AS curl FROM raw
+)
+SELECT curl AS canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+FROM canon GROUP BY 1
+"""
+
+
+@_q(
+    "x_url_canonical_dedup",
+    _URL_QUERY_DOC,
+    None,  # sql injected below (needs the shared regex constants)
+    tags=("N1", "dedup", "curation"),
+)
+def x_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.urlfn import canonical_url
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    b50 = F.col("doc_id") % 50
+    b200 = F.col("doc_id") % 200
+    base = lambda host, tail: F.concat(  # noqa: E731
+        F.lit(f"http://{host}"), b50.cast("string"),
+        F.lit(".com"), F.lit(tail), b200.cast("string"),
+    )
+    raw = docs.withColumn(
+        "url",
+        F.when(F.col("doc_id") % 6 == 0, base("example", "/page/"))
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(
+                F.lit("HTTP://WWW.EXAMPLE"), b50.cast("string"),
+                F.lit(".COM/page/"), b200.cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(
+                F.lit("http://example"), b50.cast("string"),
+                F.lit(".com:80/page/"), b200.cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(base("example", "/page/"),
+                     F.lit("?utm_source=x&utm_campaign=y")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 4,
+            F.concat(base("example", "/page/"), F.lit("?gclid=zzz#frag")),
+        )
+        .otherwise(F.concat(base("example", "/page/"), F.lit("/"))),
+    )
+    return (
+        raw.withColumn("curl", canonical_url("url"))
+        .groupBy(F.col("curl").alias("canonical_url"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+# inject the oracle (the decorator already registered the Query object;
+# rebuild it with sql= the generated mirror)
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+for _i, _qq in enumerate(QUERIES):
+    if _qq.name == "x_url_canonical_dedup":
+        QUERIES[_i] = _dc_replace(_qq, sql=_url_oracle_sql())

@@ -1,0 +1,63 @@
+"""URL canonicalization (functions/urlfn.py) — Spark column chain
+and its DuckDB mirror must agree character-for-character."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mcm_problem_f_data_wrangling_spark.functions.urlfn import (
+    CANONICAL_URL_SQL,
+    canonical_url,
+)
+
+CASES = [
+    ("http://example.com/page/1", "http://example.com/page/1"),
+    ("HTTP://WWW.EXAMPLE.COM/Page/1", "http://example.com/Page/1"),  # path case kept
+    ("http://example.com:80/page/1", "http://example.com/page/1"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("https://example.com:8443/a", "https://example.com:8443/a"),  # non-default kept
+    ("http://example.com/page/1?utm_source=x&utm_campaign=y", "http://example.com/page/1"),
+    ("http://example.com/page/1?a=1&gclid=z&b=2", "http://example.com/page/1?a=1&b=2"),
+    ("http://example.com/page/1?gclid=z#frag", "http://example.com/page/1"),
+    ("http://example.com/page/1/", "http://example.com/page/1"),
+    ("http://example.com/", "http://example.com"),
+    # 'gclid=' INSIDE a value must not trigger removal (no preceding &)
+    ("http://example.com/x?q=headgclid=5", "http://example.com/x?q=headgclid=5"),
+    ("http://example.com/x?fbclid=1&utm_a=2", "http://example.com/x"),
+    ("not a url at all", "not a url at all"),  # passthrough
+    ("", ""),
+]
+
+
+def test_canonical_url_spark(spark):
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(CASES)], ["i", "url"])
+    got = {r.i: r.c for r in df.select("i", canonical_url("url").alias("c")).collect()}
+    for i, (u, want) in enumerate(CASES):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+def test_canonical_url_duckdb_mirror_agrees():
+    con = duckdb.connect()
+    for u, want in CASES:
+        (got,) = con.execute(
+            f"SELECT {CANONICAL_URL_SQL('url')} FROM (SELECT ? AS url)", [u]
+        ).fetchone()
+        assert got == want, f"{u!r}: duckdb {got!r} != {want!r}"
+
+
+def test_null_is_null(spark):
+    df = spark.createDataFrame([(1, None)], "i int, url string")
+    assert df.select(canonical_url("url").alias("c")).collect()[0].c is None
+    con = duckdb.connect()
+    (got,) = con.execute(
+        f"SELECT {CANONICAL_URL_SQL('CAST(NULL AS VARCHAR)')}"
+    ).fetchone()
+    assert got is None
+
+
+def test_plan_stays_jvm_side(spark):
+    df = spark.createDataFrame([(1, "http://a.com/x")], ["i", "url"])
+    plan = df.select(canonical_url("url"))._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
