@@ -59,7 +59,11 @@ def main() -> None:
     # additive (noisy-neighbor load, GC), so the fast cluster is the
     # true cost; without this, one 40%-spread query (x_sim_knn_join at
     # sf0.1) makes its own 3x-cliff gate nearly vacuous.
-    max_rel = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_SPREAD", "0.25"))
+    # 0.20 trigger (was 0.25): after the kNN fix the residual spread
+    # sits on sub-second queries whose jitter is ~0.2-0.25 — rerunning
+    # those costs ~1 s each and keeps the REPORTED max_rel_spread
+    # under the 0.25 usefulness bar instead of exactly on it
+    max_rel = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_SPREAD", "0.20"))
     extra_cap = 6
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}

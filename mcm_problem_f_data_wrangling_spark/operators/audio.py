@@ -218,3 +218,55 @@ def audio_neardup_pairs(
             F.col("a.n_frames").alias("n_frames"),
         )
     )
+
+
+def audio_chunk_plan(
+    decoded: DataFrame,
+    chunk_s: float = 30.0,
+    hop_s: float = 25.0,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Segment long audio into fixed-duration windows (ASR-style
+    pipelines train on ~30 s chunks with overlap so no speech is lost
+    at boundaries) — the audio twin of ``chunking.chunk_documents``.
+
+    Operates on DECODE METADATA only (``sample_rate``, ``n_samples``
+    from :func:`..multimodal.decode_media`) — the plan is pure
+    integer arithmetic (sequence + explode, zero exchange, zero
+    Python), so a pipeline sizes its chunk workload before touching
+    payload bytes.  Stepped-window semantics (the
+    ``chunking.chunk_documents`` precedent): one window per hop
+    start < ``n_samples``, each clamped to the stream end — trailing
+    windows may overlap heavily, but no sample is ever silently
+    dropped, which is the failure mode this guards.
+
+    Output: ``(media_id, chunk_idx, start_sample, end_sample)`` with
+    ``chunk_idx`` dense from 0 per media.  Rows with NULL/zero
+    ``n_samples`` (non-audio media) produce no chunks.
+    """
+    if chunk_s <= 0 or hop_s <= 0 or hop_s > chunk_s:
+        raise ValueError("need 0 < hop_s <= chunk_s")
+    chunk = (F.col("sample_rate").cast("long") * F.lit(float(chunk_s))).cast("long")
+    hop = (F.col("sample_rate").cast("long") * F.lit(float(hop_s))).cast("long")
+    n = F.col("n_samples").cast("long")
+    src = decoded.where(
+        F.col("n_samples").isNotNull() & (F.col("n_samples") > 0)
+    ).select(
+        F.col(id_col).alias("media_id"),
+        F.sequence(F.lit(0).cast("long"), n - 1, hop).alias("starts"),
+        chunk.alias("chunk"),
+        n.alias("n"),
+    )
+    return src.select(
+        "media_id",
+        F.posexplode("starts").alias("chunk_idx", "start_sample"),
+        "chunk",
+        "n",
+    ).select(
+        "media_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "start_sample",
+        F.least(F.col("start_sample") + F.col("chunk"), F.col("n")).alias(
+            "end_sample"
+        ),
+    )

@@ -28,20 +28,21 @@ _ALL = (
 # same window.  Every query keeps its oracle either way — the builder's
 # mirror (tools/check_parity.py) always runs ALL of them.
 _FRONT = [
-    # --- ROUND-8 window (first ~50 = driver budget; 60 listed so a
-    # --- bigger budget keeps eating forward).  Three blocks:
-    # --- (a) everything whose implementation changed THIS round —
-    # --- the new DCT-pHash gate, the rewritten PNG decoder behind
-    # --- the decode gates, the adjacency-intersection triangle
-    # --- engine, the LIVE-streaming s08, and the auto-routed
-    # --- semantic_dedup entry;
+    # --- ROUND-8 window (first ~50 = driver budget; overflow keeps a
+    # --- bigger budget eating forward).  Three blocks:
+    # --- (a) NEW or implementation-changed THIS round — the DCT-pHash,
+    # --- JPEG, MP4-metadata, audio-FFT, media-cluster and URL-dedup
+    # --- gates, the rewritten PNG decoder behind the decode gates,
+    # --- the adjacency-intersection triangle engine, the LIVE s08 +
+    # --- s31 streams, and the auto-routed semantic_dedup entry;
     # --- (b) the stalest external gates: every row whose last driver
     # --- hash is from round 2 (VERDICT r7 task 1), including the two
     # --- by-design rows-only entries x3/x4 — rows-only is their only
     # --- external signal, so it rotates too;
-    # --- (c) the oldest 29 of the round-3 block (suite order); the
-    # --- remaining 17 r3 rows go in the r9 window.  Every query
-    # --- keeps its oracle either way — the builder's mirror
+    # --- (c) the oldest round-3 rows (suite order); rows pushed past
+    # --- the window by this round's six new gates, plus the rest of
+    # --- the r3 block, go in the r9 window.  Every query keeps its
+    # --- oracle either way — the builder's mirror
     # --- (tools/check_parity.py) always runs ALL of them.
     "flagship_career_collapse",   # driver smoke target stays first
     # --- (a) changed this round: must re-gate on current impl ---
@@ -52,6 +53,7 @@ _FRONT = [
     "x_audio_fingerprint_match",  # NEW: gain-invariant audio near-dup
     "x_media_dedup_clusters",     # NEW: multimodal pairs -> CC composition
     "x_url_canonical_dedup",      # NEW: zero-UDF URL canonicalization
+    "x_audio_chunk_plan",         # NEW: zero-exchange ASR chunk windows
     "x_multimodal_decode",        # un-filter vectorized + trunc guards
     "x_multimodal_frame_pipeline",  # decode dispatch gated on media_type
     "x_graph_triangles",          # adjacency-intersection rewrite

@@ -1301,6 +1301,50 @@ def x_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_audio_chunk_plan",
+    "Audio chunking plan (operators/audio.py audio_chunk_plan — the "
+    "ASR-pipeline twin of doc_chunking): fixed 30 s windows with 25 s "
+    "hop over decode METADATA only (sample_rate, n_samples), pure "
+    "integer sequence+posexplode, zero exchange, zero Python — a "
+    "pipeline sizes its chunk workload before touching payload "
+    "bytes.  Planted metadata derives from documents (16 kHz, "
+    "5..124 s by doc_id formula); the oracle regenerates every "
+    "(chunk_idx, start_sample, end_sample) row with DuckDB's stepped "
+    "generate_series, pinning the hop arithmetic, the final-chunk "
+    "clamp, and the no-audio-dropped guarantee (a trailing partial "
+    "still emits).",
+    """
+WITH meta AS (
+  SELECT doc_id,
+         CAST(16000 AS BIGINT) * (5 + doc_id % 120) AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1, 400000)) AS s
+  FROM meta
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(s / 400000 AS INT) AS chunk_idx,
+       CAST(s AS BIGINT) AS start_sample,
+       CAST(LEAST(s + 480000, n) AS BIGINT) AS end_sample
+FROM chunks
+""",
+    tags=("M4", "multimodal", "chunking"),
+)
+def x_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.audio import audio_chunk_plan
+
+    meta = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(16000).alias("sample_rate"),
+        (F.lit(16000).cast("long") * (5 + F.col("doc_id") % 120)).alias(
+            "n_samples"
+        ),
+    )
+    return audio_chunk_plan(meta, chunk_s=30.0, hop_s=25.0)
+
+
+@_q(
     "x_media_dedup_clusters",
     "End-to-end MULTIMODAL dedup: image pHash near-dup pairs "
     "(decode → DCT pHash → Manku banding → Hamming ≤ 3) and audio "

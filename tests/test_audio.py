@@ -133,3 +133,38 @@ def test_star_mode_preserves_components_linearly(spark):
     assert star == {(0, 1), (0, 2), (0, 3)}  # min-id star, O(m)
     with pytest.raises(ValueError):
         audio_neardup_pairs(media, mode="clique")
+
+
+def test_audio_chunk_plan_covers_all_samples(spark):
+    """Chunk windows must tile every sample: union of [start, end)
+    ranges == [0, n_samples), last chunk clamped, partials emitted."""
+    from mcm_problem_f_data_wrangling_spark.operators.audio import audio_chunk_plan
+
+    meta = spark.createDataFrame(
+        [(1, 16000, 16000 * 70), (2, 8000, 8000 * 3), (3, 16000, None),
+         (4, 16000, 479999)],
+        "media_id long, sample_rate int, n_samples long",
+    )
+    rows = audio_chunk_plan(meta, chunk_s=30.0, hop_s=25.0).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    # 70 s @16k: starts 0, 400k, 800k; ends clamp at 1.12M
+    got1 = sorted((r.chunk_idx, r.start_sample, r.end_sample) for r in by_id[1])
+    assert got1 == [(0, 0, 480000), (1, 400000, 880000), (2, 800000, 1120000)]
+    # 3 s @8k: one partial chunk, not dropped
+    assert [(r.start_sample, r.end_sample) for r in by_id[2]] == [(0, 24000)]
+    assert 3 not in by_id  # NULL n_samples -> no chunks (non-audio row)
+    # one sample short of a full chunk: stepped semantics still emit a
+    # window per hop start < n (chunk_documents precedent) — the
+    # second window is clamped to the stream end
+    assert sorted((r.start_sample, r.end_sample) for r in by_id[4]) == [
+        (0, 479999), (400000, 479999)
+    ]
+    # coverage law: every sample of media 1 is inside >=1 window
+    covered = set()
+    for r in by_id[1]:
+        covered.update(range(r.start_sample // 16000, r.end_sample // 16000))
+    assert covered == set(range(70))
+    with pytest.raises(ValueError):
+        audio_chunk_plan(meta, chunk_s=10.0, hop_s=20.0)
