@@ -270,3 +270,76 @@ def audio_chunk_plan(
             "end_sample"
         ),
     )
+
+
+QUALITY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_clipped", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("silence_frames", IntegerType()),
+    ]
+)
+
+
+def audio_quality_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame_len: int = 256,
+    clip_level: int = 32767,
+    silence_level: int = 3,
+) -> DataFrame:
+    """Audio quality signals for corpus filtering — the audio twin of
+    the text quality metrics: clipped audio (samples pinned at the
+    int16 rail) and silence-dominated audio are the standard rejects
+    before ASR/audio-model training.
+
+    Integer outputs only (hash-stable cross-engine):
+    ``n_clipped`` counts samples with ``|s| >= clip_level``;
+    ``silence_frames`` counts frames whose max ``|s|`` is
+    ``<= silence_level`` (mono-folded, non-overlapping frames of
+    ``frame_len``, trailing partial dropped — same framing as
+    :func:`spectral_frames`).  One Arrow crossing, all numpy.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .multimodal import decode_wav
+
+        out = {k.name: [] for k in QUALITY_SCHEMA.fields}
+        for pdf in it:
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                _, ch, ns, samples = decode_wav(b)
+                sig = np.asarray(samples, dtype=np.float64)
+                clipped = int((np.abs(sig) >= clip_level).sum())
+                if ch > 1:
+                    sig = sig[: (len(sig) // ch) * ch].reshape(-1, ch).mean(axis=1)
+                nf = len(sig) // frame_len
+                silent = 0
+                if nf:
+                    fr = np.abs(sig[: nf * frame_len]).reshape(nf, frame_len)
+                    silent = int((fr.max(axis=1) <= silence_level).sum())
+                out["media_id"].append(int(mid))
+                out["n_samples"].append(ns)
+                out["n_clipped"].append(clipped)
+                out["n_frames"].append(nf)
+                out["silence_frames"].append(silent)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "n_clipped": pd.Series(out["n_clipped"], dtype="int64"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                    "silence_frames": pd.Series(out["silence_frames"], dtype="int32"),
+                }
+            )
+            out = {k.name: [] for k in QUALITY_SCHEMA.fields}
+
+    src = df.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    )
+    return src.mapInPandas(batches, QUALITY_SCHEMA)

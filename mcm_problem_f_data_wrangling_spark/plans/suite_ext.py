@@ -1301,6 +1301,61 @@ def x_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_audio_quality_stats",
+    "Audio quality signals for corpus filtering (operators/audio.py "
+    "audio_quality_stats — the audio twin of x_text_quality): "
+    "clipped-sample and silent-frame counts, the standard rejects "
+    "before ASR/audio-model training.  36 planted payloads mix "
+    "all-zero segments ((id+s)%3==0) with constant-tone segments "
+    "whose first id%5 samples are pinned at the int16 rail (32767), "
+    "so every output is an integer formula the DuckDB oracle "
+    "recomputes independent of the decoder: decode, mono framing, "
+    "clip threshold and silence threshold are all load-bearing for "
+    "the value hash.",
+    """
+WITH ids AS (SELECT unnest(generate_series(0, 35)) AS id),
+meta AS (SELECT id, 6 + id % 5 AS nseg FROM ids),
+segs AS (SELECT id, nseg, unnest(generate_series(0, nseg - 1)) AS s FROM meta),
+agg AS (
+  SELECT id, nseg,
+         SUM(CASE WHEN (id + s) % 3 = 0 THEN 1 ELSE 0 END) AS silent,
+         SUM(CASE WHEN (id + s) % 3 = 0 THEN 0 ELSE id % 5 END) AS clipped
+  FROM segs GROUP BY 1, 2
+)
+SELECT CAST(id AS BIGINT) AS media_id,
+       CAST(256 * nseg AS BIGINT) AS n_samples,
+       CAST(clipped AS BIGINT) AS n_clipped,
+       CAST(nseg AS INT) AS n_frames,
+       CAST(silent AS INT) AS silence_frames
+FROM agg
+""",
+    tags=("M4", "multimodal", "quality"),
+)
+def x_audio_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.audio import audio_quality_stats
+    from ..operators.multimodal import MEDIA_SCHEMA, encode_wav_pcm16
+
+    rows = []
+    for mid in range(36):
+        nseg = 6 + mid % 5
+        samples: list[int] = []
+        for s in range(nseg):
+            if (mid + s) % 3 == 0:
+                samples.extend([0] * 256)
+            else:
+                seg = [1000 + mid] * 256
+                for j in range(mid % 5):
+                    seg[j] = 32767
+                samples.extend(seg)
+        rows.append(
+            (mid, encode_wav_pcm16(samples, 16000), "audio",
+             f"planted://quality/{mid}")
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return audio_quality_stats(media)
+
+
+@_q(
     "x_audio_chunk_plan",
     "Audio chunking plan (operators/audio.py audio_chunk_plan — the "
     "ASR-pipeline twin of doc_chunking): fixed 30 s windows with 25 s "

@@ -168,3 +168,33 @@ def test_audio_chunk_plan_covers_all_samples(spark):
     assert covered == set(range(70))
     with pytest.raises(ValueError):
         audio_chunk_plan(meta, chunk_s=10.0, hop_s=20.0)
+
+
+def test_audio_quality_stats_counts(spark):
+    """Clipped samples and silent frames count exactly; stereo folds
+    before framing; clip counting sees RAW samples (pre-fold)."""
+    from mcm_problem_f_data_wrangling_spark.operators.audio import (
+        audio_quality_stats,
+    )
+
+    # 2 frames: one silent, one constant 500 with 3 clipped samples
+    mono = [0] * 256 + [500] * 253 + [32767] * 3
+    # stereo: L=-32768 R=+32768-ish -> folds to ~0 (silent frame!) but
+    # clip count uses raw interleaved samples
+    stereo = [-32767, 32767] * 256
+    media = spark.createDataFrame(
+        [(1, encode_wav_pcm16(mono, 8000), "audio", "q://1"),
+         (2, encode_wav_pcm16(stereo, 8000, channels=2), "audio", "q://2")],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in audio_quality_stats(media).collect()}
+    r1 = got[1]
+    assert (r1.n_samples, r1.n_clipped, r1.n_frames, r1.silence_frames) == (
+        512, 3, 2, 1)
+    r2 = got[2]
+    # 512 raw samples (256 stereo pairs -> ONE 256-sample mono frame),
+    # ALL clipped; the folded mono is exactly 0 so the frame reads
+    # silent: out-of-phase rail-to-rail content masquerades as silence
+    # after the fold, which is why clip detection runs pre-fold
+    assert (r2.n_samples, r2.n_clipped, r2.n_frames, r2.silence_frames) == (
+        512, 512, 1, 1)
