@@ -343,3 +343,65 @@ def audio_quality_stats(
         F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
     )
     return src.mapInPandas(batches, QUALITY_SCHEMA)
+
+
+def audio_shifted_neardup(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame_len: int = 256,
+    n_bands: int = 8,
+    gram: int = 4,
+    min_matches: int = 6,
+) -> DataFrame:
+    """Shift-tolerant audio near-dup: the same content starting at a
+    DIFFERENT point in the stream (clipped intro, prepended silence)
+    defeats the whole-sequence fingerprint; this matcher indexes
+    band-sequence g-grams instead and requires ``min_matches`` gram
+    hits at ONE CONSISTENT frame offset — the banded-candidates +
+    verify shape every LSH stage here uses, never all-pairs.
+
+    Plan: frames → JVM window ``lead`` builds each position's g-gram
+    string → equi-join on ``xxhash64(gram)`` (8-byte key) with exact
+    gram verify → group by (pair, offset) → count ≥ ``min_matches``.
+    A degenerate gram (one shared by m media) fans out like any LSH
+    band bucket; AQE skew-split applies to the equi-join.
+
+    Output: ``(id_a, id_b, offset, n_matches)`` with ``id_a < id_b``;
+    ``offset`` = a's frame index minus b's for the aligned content
+    (negative when b carries a prefix a lacks).
+    """
+    from pyspark.sql import Window
+
+    frames = spectral_frames(df, payload_col, id_col, frame_len, n_bands)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    parts = [F.col("dom_band").cast("string")] + [
+        F.lead("dom_band", j).over(w).cast("string") for j in range(1, gram)
+    ]
+    grams = (
+        frames.select(
+            "media_id",
+            "frame_idx",
+            F.concat_ws(",", *parts).alias("g"),
+            F.lead("dom_band", gram - 1).over(w).alias("_tail"),
+        )
+        .where(F.col("_tail").isNotNull())  # complete grams only
+        .drop("_tail")
+        .withColumn("gh", F.xxhash64("g"))
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    return (
+        a.join(b, on="gh")
+        .where(
+            (F.col("a.media_id") < F.col("b.media_id"))
+            & (F.col("a.g") == F.col("b.g"))
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            (F.col("a.frame_idx") - F.col("b.frame_idx")).alias("offset"),
+        )
+        .agg(F.count("*").cast("int").alias("n_matches"))
+        .where(F.col("n_matches") >= min_matches)
+    )

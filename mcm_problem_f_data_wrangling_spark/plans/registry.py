@@ -55,6 +55,7 @@ _FRONT = [
     "x_url_canonical_dedup",      # NEW: zero-UDF URL canonicalization
     "x_audio_chunk_plan",         # NEW: zero-exchange ASR chunk windows
     "x_audio_quality_stats",      # NEW: clip/silence corpus filter stats
+    "x_audio_shift_neardup",      # NEW: offset-consistent gram matching
     "x_multimodal_decode",        # un-filter vectorized + trunc guards
     "x_multimodal_frame_pipeline",  # decode dispatch gated on media_type
     "x_graph_triangles",          # adjacency-intersection rewrite

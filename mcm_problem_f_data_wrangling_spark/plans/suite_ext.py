@@ -1301,6 +1301,58 @@ def x_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_audio_shift_neardup",
+    "SHIFT-TOLERANT audio near-dup (operators/audio.py "
+    "audio_shifted_neardup): content starting at a different stream "
+    "position (clipped intro, prepended tone) defeats the "
+    "whole-sequence fingerprint, so this matcher indexes band g-grams "
+    "(JVM window-lead, xxhash64 keys) and requires >= 6 gram hits at "
+    "ONE consistent frame offset — LSH banding + verify, never "
+    "all-pairs.  Plants: 8 base tone sequences (band formula "
+    "(37i + 3s² + s) mod 8, design-checked so no cross pair reaches "
+    "6 consistent hits) each with a twin (id+100) carrying a 2-frame "
+    "prefix tone; every twin must surface at offset −2 with exactly "
+    "9 matching grams, which the DuckDB oracle pins as the full "
+    "integer output — decode, FFT, gram construction, offset "
+    "grouping and the threshold all load-bearing.",
+    """
+WITH ids AS (SELECT unnest(generate_series(0, 7)) AS i)
+SELECT CAST(i AS BIGINT) AS id_a, CAST(i + 100 AS BIGINT) AS id_b,
+       CAST(-2 AS INT) AS offset, CAST(9 AS INT) AS n_matches
+FROM ids
+""",
+    tags=("M4", "multimodal", "dedup"),
+)
+def x_audio_shift_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.audio import audio_shifted_neardup
+    from ..operators.multimodal import MEDIA_SCHEMA, encode_wav_pcm16
+
+    u = np.arange(256)
+
+    def tone(b: int, amp: float) -> list:
+        k = 16 * b + 8
+        return [int(x) for x in np.round(amp * np.cos(2.0 * np.pi * k * u / 256.0))]
+
+    rows = []
+    for i in range(8):
+        seq = [(i * 37 + 3 * s * s + s) % 8 for s in range(12)]
+        base: list[int] = []
+        for b in seq:
+            base.extend(tone(b, 900.0))
+        shifted = tone((i * 5 + 4) % 8, 700.0) * 2 + base
+        rows.append((i, encode_wav_pcm16(base, 8000), "audio",
+                     f"planted://shift/base/{i}"))
+        rows.append((100 + i, encode_wav_pcm16(shifted, 8000), "audio",
+                     f"planted://shift/twin/{i}"))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return audio_shifted_neardup(media).select(
+        "id_a", "id_b", F.col("offset").cast("int").alias("offset"), "n_matches"
+    )
+
+
+@_q(
     "x_audio_quality_stats",
     "Audio quality signals for corpus filtering (operators/audio.py "
     "audio_quality_stats — the audio twin of x_text_quality): "

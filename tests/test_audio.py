@@ -198,3 +198,22 @@ def test_audio_quality_stats_counts(spark):
     # after the fold, which is why clip detection runs pre-fold
     assert (r2.n_samples, r2.n_clipped, r2.n_frames, r2.silence_frames) == (
         512, 512, 1, 1)
+
+
+def test_shifted_neardup_finds_offset_pairs(spark):
+    """A 1-frame-shifted copy must match at the right offset; the
+    whole-sequence fingerprint must NOT (that's the gap this covers)."""
+    from mcm_problem_f_data_wrangling_spark.operators.audio import (
+        audio_shifted_neardup,
+    )
+
+    base = _tone_payload([1, 4, 2, 7, 3, 6, 0, 5], seg_len=256)
+    shifted = _tone_payload([5, 1, 4, 2, 7, 3, 6, 0, 5], seg_len=256)  # prefix
+    media = spark.createDataFrame(
+        [(0, base, "audio", "s://0"), (1, shifted, "audio", "s://1")],
+        MEDIA_SCHEMA,
+    )
+    fps = {r.media_id: r.fingerprint for r in audio_fingerprint(media).collect()}
+    assert fps[0] != fps[1]  # whole-sequence fingerprint misses this
+    got = audio_shifted_neardup(media, gram=4, min_matches=4).collect()
+    assert [(r.id_a, r.id_b, r.offset, r.n_matches) for r in got] == [(0, 1, -1, 5)]
