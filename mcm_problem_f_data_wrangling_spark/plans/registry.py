@@ -56,6 +56,7 @@ _FRONT = [
     "x_audio_chunk_plan",         # NEW: zero-exchange ASR chunk windows
     "x_audio_quality_stats",      # NEW: clip/silence corpus filter stats
     "x_audio_shift_neardup",      # NEW: offset-consistent gram matching
+    "x_video_frame_sample",       # NEW: MP4 metadata -> frame grid
     "x_multimodal_decode",        # un-filter vectorized + trunc guards
     "x_multimodal_frame_pipeline",  # decode dispatch gated on media_type
     "x_graph_triangles",          # adjacency-intersection rewrite

@@ -1301,6 +1301,45 @@ def x_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_video_frame_sample",
+    "REAL MP4 metadata driving the frame-sampling plan: planted "
+    "spec-shaped MP4s flow through decode_media (the ISO BMFF box "
+    "walk fills n_frames from stts — no longer the stub fake) into "
+    "frame_sample_plan's pure-JVM sequence+explode, so the sampled "
+    "(media_id, frame_idx) grid is an integer formula of the planted "
+    "frame counts that the DuckDB oracle regenerates with stepped "
+    "generate_series.  This is the pre-decode workload-sizing pass a "
+    "video pipeline runs: which frames to extract, known from "
+    "container metadata alone, before any env-blocked H.264 work.",
+    """
+WITH ids AS (SELECT unnest(generate_series(0, 29)) AS id),
+meta AS (SELECT id, 31 + (id * 13) % 200 AS nf FROM ids),
+fr AS (
+  SELECT id, unnest(generate_series(0, nf - 1, 30)) AS f FROM meta
+)
+SELECT CAST(id AS BIGINT) AS media_id, CAST(f AS INT) AS frame_idx
+FROM fr
+""",
+    tags=("M4", "multimodal"),
+)
+def x_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mp4 import encode_mp4_stub_video
+    from ..operators.multimodal import MEDIA_SCHEMA, frame_sample_plan
+
+    rows = []
+    for mid in range(30):
+        nf = 31 + (mid * 13) % 200
+        rows.append(
+            (mid, encode_mp4_stub_video(128, 72, nf, 600, 25), "video",
+             f"planted://framesample/{mid}")
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return frame_sample_plan(decode_media(media), every_n=30).select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
+
+
+@_q(
     "x_audio_shift_neardup",
     "SHIFT-TOLERANT audio near-dup (operators/audio.py "
     "audio_shifted_neardup): content starting at a different stream "

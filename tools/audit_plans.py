@@ -51,6 +51,7 @@ PYTHON_OK = {
     "x_media_dedup_clusters",        # pHash + FFT stages in mapInPandas
     "x_audio_quality_stats",         # decode stage in mapInPandas
     "x_audio_shift_neardup",         # FFT stage in mapInPandas
+    "x_video_frame_sample",          # decode stage in mapInPandas
     "x_multimodal_feature_extract",
     "x_bpe_token_stats",
     "s30_streaming_running_totals",  # applyInPandasWithState stream
