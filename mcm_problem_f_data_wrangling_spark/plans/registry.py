@@ -62,6 +62,7 @@ _FRONT = [
     "x_graph_triangles",          # adjacency-intersection rewrite
     "s08_tumbling_window_rollup",  # now a LIVE writeStream execution (r2)
     "s31_streaming_session_windows",  # NEW: LIVE session-window merge gate
+    "s32_streaming_dedup_ingest",  # NEW: LIVE state-store dedup gate
     "x_embed_semdedup",           # semantic_dedup engine routing entry
     # --- (b) last driver hash in round 2 ---
     "x_embed_neardup_pairs",

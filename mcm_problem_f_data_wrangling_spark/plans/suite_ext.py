@@ -3136,6 +3136,77 @@ def s31_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_q(
+    "s32_streaming_dedup_ingest",
+    "LIVE Structured Streaming execution #4: dedup-at-ingest on the "
+    "REAL streaming engine.  The documents parquet replays as a "
+    "stream UNIONED WITH ITSELF (every row arrives twice, the "
+    "duplicate possibly in a different micro-batch), and streaming "
+    "dropDuplicates' STATE STORE must drop the second copy wherever "
+    "the planner lands it — the at-least-once-delivery dedup every "
+    "ingest pipeline runs.  Output = the distinct row set, order-free "
+    "and split-invariant by construction; the sink projects "
+    "md5(text) AFTER the full-row state-store dedup so the text "
+    "content stays load-bearing for the value hash (a one-byte "
+    "divergence in any copy fails it) while the driver pull stays "
+    "O(rows), not O(corpus bytes).  availableNow + append-mode "
+    "memory sink; same awaitTermination timeout guard as s30/s31.",
+    """
+SELECT DISTINCT doc_id, md5(text) AS text_md5, lang, source,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+""",
+    tags=("M2", "streaming", "dedup"),
+)
+def s32_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    schema = table(spark, sf_dir, "documents").schema
+    # glob form: flat FILE in driver testdata, Spark directory in
+    # benchdata/sf1 (s30 precedent)
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{sf_dir}/documents.parquet*")
+        )
+
+    doubled = stream().unionByName(stream())
+    # project AFTER dropDuplicates: the state store keys on the FULL
+    # row (text included), the sink holds only the md5 digest
+    deduped = doubled.dropDuplicates().select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    sink = f"s32_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "s32 streaming query did not drain within 300 s — "
+                "a partial sink would under-count the distinct set"
+            )
+    finally:
+        q.stop()
+    rows = spark.sql(
+        f"SELECT doc_id, text_md5, lang, source, n_chars FROM {sink}"
+    ).collect()
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(
+        rows, "doc_id long, text_md5 string, lang string, source string, "
+        "n_chars long"
+    )
+
+
+@_q(
     "s30_streaming_running_totals",
     "LIVE Structured Streaming execution under the driver hash gate "
     "(streaming/running.py running_totals_stream, GroupState engine): "
