@@ -77,7 +77,9 @@ def spectral_frames(
     Output: ``(media_id, frame_idx, dom_band, band_energy_frac)``
     with ``band_energy_frac`` = dominant band energy / total energy
     (float — a confidence signal, keep it OUT of cross-engine value
-    hashes).
+    hashes).  NULL payloads emit no frames (like a stream shorter
+    than one frame); truncated/corrupt NON-null payloads fail fast
+    in ``decode_wav``.
     """
     if frame_len < 2 or frame_len % 2:
         raise ValueError("frame_len must be an even integer >= 2")
@@ -97,8 +99,12 @@ def spectral_frames(
             dom: list[int] = []
             frac: list[float] = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(p) if p is not None else b""
-                _, ch, _, samples = decode_wav(b)
+                if p is None:
+                    # NULL payload → no frames (tolerated, like a
+                    # too-short stream); truncated/corrupt NON-null
+                    # payloads still fail fast inside decode_wav
+                    continue
+                _, ch, _, samples = decode_wav(bytes(p))
                 sig = np.asarray(samples, dtype=np.float64)
                 if ch > 1:
                     sig = sig[: (len(sig) // ch) * ch].reshape(-1, ch).mean(axis=1)
@@ -242,7 +248,8 @@ def audio_chunk_plan(
 
     Output: ``(media_id, chunk_idx, start_sample, end_sample)`` with
     ``chunk_idx`` dense from 0 per media.  Rows with NULL/zero
-    ``n_samples`` (non-audio media) produce no chunks.
+    ``n_samples`` OR NULL/zero ``sample_rate`` (non-audio media,
+    corrupt headers) produce no chunks.
     """
     if chunk_s <= 0 or hop_s <= 0 or hop_s > chunk_s:
         raise ValueError("need 0 < hop_s <= chunk_s")
@@ -250,7 +257,12 @@ def audio_chunk_plan(
     hop = (F.col("sample_rate").cast("long") * F.lit(float(hop_s))).cast("long")
     n = F.col("n_samples").cast("long")
     src = decoded.where(
-        F.col("n_samples").isNotNull() & (F.col("n_samples") > 0)
+        F.col("n_samples").isNotNull()
+        & (F.col("n_samples") > 0)
+        # NULL/zero sample_rate would make the hop NULL/zero and blow
+        # up F.sequence at runtime with an opaque error (ADVICE r8)
+        & F.col("sample_rate").isNotNull()
+        & (F.col("sample_rate") > 0)
     ).select(
         F.col(id_col).alias("media_id"),
         F.sequence(F.lit(0).cast("long"), n - 1, hop).alias("starts"),
@@ -302,6 +314,8 @@ def audio_quality_stats(
     ``<= silence_level`` (mono-folded, non-overlapping frames of
     ``frame_len``, trailing partial dropped — same framing as
     :func:`spectral_frames`).  One Arrow crossing, all numpy.
+    NULL payloads emit no stats row; corrupt non-null payloads fail
+    fast in ``decode_wav``.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -312,8 +326,11 @@ def audio_quality_stats(
         out = {k.name: [] for k in QUALITY_SCHEMA.fields}
         for pdf in it:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(p) if p is not None else b""
-                _, ch, ns, samples = decode_wav(b)
+                if p is None:
+                    # NULL payload → no stats row (skip, don't fail);
+                    # corrupt non-null payloads still fail fast
+                    continue
+                _, ch, ns, samples = decode_wav(bytes(p))
                 sig = np.asarray(samples, dtype=np.float64)
                 clipped = int((np.abs(sig) >= clip_level).sum())
                 if ch > 1:

@@ -217,3 +217,36 @@ def test_shifted_neardup_finds_offset_pairs(spark):
     assert fps[0] != fps[1]  # whole-sequence fingerprint misses this
     got = audio_shifted_neardup(media, gram=4, min_matches=4).collect()
     assert [(r.id_a, r.id_b, r.offset, r.n_matches) for r in got] == [(0, 1, -1, 5)]
+
+
+def test_null_payload_rows_are_skipped_not_fatal(spark):
+    """A NULL payload row must not fail the stage (ADVICE r8): the
+    None guard means tolerance — spectral_frames emits no frames and
+    audio_quality_stats emits no stats row; the good row survives."""
+    from mcm_problem_f_data_wrangling_spark.operators.audio import (
+        audio_quality_stats,
+    )
+
+    good = _tone_payload([2, 5])
+    media = spark.createDataFrame(
+        [(0, good, "audio", "t://0"), (1, None, "audio", "t://null")],
+        MEDIA_SCHEMA,
+    )
+    frames = spectral_frames(media).collect()
+    assert {r.media_id for r in frames} == {0}
+    stats = audio_quality_stats(media).collect()
+    assert {r.media_id for r in stats} == {0}
+
+
+def test_chunk_plan_null_or_zero_sample_rate_yields_no_chunks(spark):
+    """NULL/zero sample_rate would make the hop NULL/zero and blow up
+    F.sequence with an opaque runtime error (ADVICE r8) — those rows
+    must be filtered like NULL n_samples, not crash the plan."""
+    from mcm_problem_f_data_wrangling_spark.operators.audio import audio_chunk_plan
+
+    meta = spark.createDataFrame(
+        [(1, 16000, 16000 * 70), (2, None, 48000), (3, 0, 48000)],
+        "media_id long, sample_rate int, n_samples long",
+    )
+    rows = audio_chunk_plan(meta, chunk_s=30.0, hop_s=25.0).collect()
+    assert {r.media_id for r in rows} == {1}
