@@ -123,10 +123,13 @@ if os.environ.get("SPARK_GRAFT_SKIP_SF1_SWEEP"):
 prior = sorted(glob.glob("SWEEP_SF1_r*.json"))
 out = "/tmp/sweep_sf1_gate.json"
 env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "16g"))
-r = subprocess.run(
-    [sys.executable, "tools/sweep_all.py", "benchdata/sf1", "10", "--out", out],
-    env=env, capture_output=True, text=True,
-)
+cmd = [sys.executable, "tools/sweep_all.py", "benchdata/sf1", "10", "--out", out]
+if prior:
+    # retry-on-cliff: suspects re-run twice in the warm session and the
+    # artifact records their median — warmup noise (3-10x with registry
+    # order, r8 judge finding) doesn't reproduce; real regressions do
+    cmd += ["--anchor", prior[-1]]
+r = subprocess.run(cmd, env=env, capture_output=True, text=True)
 if r.returncode:
     sys.stderr.write(r.stdout[-3000:] + r.stderr[-3000:])
     raise SystemExit("sf1 sweep had failures")
@@ -136,17 +139,20 @@ if not prior:
           "anchor yet — commit one this round)")
     sys.exit(0)
 base = json.load(open(prior[-1]))["queries"]
-# 3x vs the committed anchor, with a 10 s absolute floor: this gate
-# exists for the DOMINATORS (10-60 s sweep entries) — below 10 s a
-# single-run sweep time is dominated by cold parquet-footer/codegen
-# warmup that varies 3-10x with registry ORDER (measured r8:
-# x_multimodal_feature_extract anchor 2.63 s, sweep 8.1 s, quiet
-# warm steady-state 0.6 s), so a sub-10 s reading carries no
-# regression signal the 3x multiplier can use
+# two-tier rule vs the committed anchor (judge finding r8 — the flat
+# 10 s floor un-gated every sub-3 s query's 3x regression):
+#   tier A: 3x with a 10 s floor — the DOMINATORS (10-60 s entries)
+#   tier B: 6x with a 2 s floor — mid-range anchors keep coverage
+# Safe to tighten because suspects are now median-of-3 (retry-on-cliff
+# in sweep_all.py --anchor): single-run warmup noise (3-10x with
+# registry order; r8 measured x_multimodal_feature_extract anchor
+# 2.63 s, sweep 8.1 s, warm steady-state 0.6 s) no longer reaches
+# this comparison — only reproducible walls do.
 cliffs = {
     n: (base[n], round(t, 1))
     for n, t in got.items()
-    if n in base and t > max(3.0 * base[n], 10.0)
+    if n in base
+    and (t > max(3.0 * base[n], 10.0) or t > max(6.0 * base[n], 2.0))
 }
 assert not cliffs, f"sf1 sweep cliff vs {prior[-1]}: {cliffs}"
 # queries with no anchor entry (added/renamed since the anchor) are

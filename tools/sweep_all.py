@@ -13,7 +13,20 @@ artifact (committed as ``SWEEP_SF1_r{N}.json`` each round — the
 regression anchor pre_snapshot_gate.sh gate 6 compares against, so the
 heavy non-headline queries are machine-gated, not narrative-gated).
 
-Usage: python tools/sweep_all.py [sf_dir] [top_n] [--out PATH]
+With ``--anchor PATH`` (a previously committed sweep artifact) any
+query whose single-run wall trips the two-tier cliff rule vs its
+anchor — ``t > max(3*anchor, 10 s)`` OR ``t > max(6*anchor, 2 s)`` —
+is RE-RUN twice and its artifact entry becomes the median of the
+three runs.  Rationale (r8 judge finding): the sweep is single-run,
+and cold parquet-footer/codegen warmup varies 3-10x with registry
+ORDER, so r8 recorded three 2.4-3x "regressions" on unchanged code.
+Warmup noise does not reproduce on an immediate re-run in the same
+warm session; a real plan regression does — so the median keeps the
+gate's signal while killing its order-dependent false positives.
+Re-measured entries are listed under ``"remeasured"`` in the
+artifact so the anchor's provenance is auditable.
+
+Usage: python tools/sweep_all.py [sf_dir] [top_n] [--out PATH] [--anchor PATH]
 """
 
 from __future__ import annotations
@@ -31,14 +44,18 @@ from mcm_problem_f_data_wrangling_spark.session import get_spark  # noqa: E402
 
 def main() -> int:
     args = list(sys.argv[1:])
-    out_path = None
-    if "--out" in args:
-        i = args.index("--out")
-        if i + 1 >= len(args):
-            print("usage: sweep_all.py [sf_dir] [top_n] [--out FILE]")
-            return 2
-        out_path = args[i + 1]
-        del args[i : i + 2]
+    out_path = anchor_path = None
+    for flag in ("--out", "--anchor"):
+        if flag in args:
+            i = args.index(flag)
+            if i + 1 >= len(args):
+                print("usage: sweep_all.py [sf_dir] [top_n] [--out FILE] [--anchor FILE]")
+                return 2
+            if flag == "--out":
+                out_path = args[i + 1]
+            else:
+                anchor_path = args[i + 1]
+            del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     top_n = int(args[1]) if len(args) > 1 else 15
     spark = get_spark("sweep_all")
@@ -61,6 +78,32 @@ def main() -> int:
                 flush=True,
             )
             traceback.print_exc(file=sys.stderr)
+    remeasured: dict[str, list[float]] = {}
+    if anchor_path:
+        base = json.load(open(anchor_path)).get("queries", {})
+        suspects = [
+            n
+            for n, t in times.items()
+            if n in base
+            and (t > max(3.0 * base[n], 10.0) or t > max(6.0 * base[n], 2.0))
+        ]
+        for name in suspects:
+            runs = [times[name]]
+            for _ in range(2):
+                t0 = time.time()
+                REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.time() - t0, 2))
+            times[name] = sorted(runs)[1]
+            remeasured[name] = runs
+            print(
+                json.dumps(
+                    {"query": name, "remeasured": runs, "median": times[name],
+                     "anchor": base[name]}
+                ),
+                flush=True,
+            )
     wall = round(time.time() - t_all, 1)
     if out_path:
         with open(out_path, "w") as f:
@@ -71,6 +114,7 @@ def main() -> int:
                     "wall_seconds": round(time.time() - t_all, 1),
                     "failures": failures,
                     "queries": times,
+                    **({"remeasured": remeasured} if remeasured else {}),
                 },
                 f,
                 indent=1,
