@@ -7,10 +7,16 @@ geometry, and the sample-table frame count — i.e. everything a
 training-data pipeline filters and partitions on (duration,
 resolution, frame count) before any expensive frame decode.
 
-What stays env-blocked, honestly: the SAMPLE DATA.  H.264/H.265
-entropy decode needs libav/ffmpeg, absent from this container, so
+Sample data: Motion-JPEG tracks (``jpeg``/``mjpa`` sample entries)
+are REALLY decoded — :func:`parse_mp4_samples` walks
+``stsc``/``stsz``/``stco``/``co64`` to each sample's byte range and
+``decode_media`` hands the samples to the baseline-JPEG decoder
+(``operators/jpeg.py``), so video ``mean_luma`` is real for that
+codec; the encoder twin is :func:`encode_mp4_mjpeg_video`.
+H.264/H.265 entropy decode stays honestly env-blocked (needs
+libav/ffmpeg, absent from this container) — for those,
 ``decode_media`` fills geometry from the container and leaves
-``mean_luma`` NULL for video.  The encoder twin
+``mean_luma`` NULL.  The ``stub`` encoder twin
 (:func:`encode_mp4_stub_video`) likewise writes a ``stub`` sample
 entry and deterministic filler in ``mdat`` — spec-shaped boxes with
 real metadata around fake samples; a real file would carry an
@@ -141,6 +147,93 @@ def encode_mp4_stub_video(
     return ftyp + mdat + moov
 
 
+def encode_mp4_mjpeg_video(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    timescale: int = 600,
+    frame_duration: int = 25,
+) -> bytes:
+    """MP4 whose samples are REAL JPEG payloads (Motion-JPEG).
+
+    Same genuine ISO BMFF box tree as :func:`encode_mp4_stub_video`,
+    but the sample entry is the QuickTime MJPEG fourcc ``jpeg`` and
+    every ``mdat`` sample is a complete baseline-JPEG image (one per
+    frame), so a demuxer that walks ``stsc``/``stsz``/``stco`` can
+    hand each sample straight to a JPEG decoder — which is exactly
+    what :func:`..multimodal.decode_media` does with
+    ``operators/jpeg.py``.  Variable frame sizes use the stsz
+    sample-size-0 + per-sample table form.
+    """
+    if not frames:
+        raise ValueError("MJPEG MP4 needs at least one frame")
+    n_frames = len(frames)
+    duration = n_frames * frame_duration
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(frames))
+    chunk_offset = len(ftyp) + 8  # mdat payload starts after its header
+
+    mvhd = _fullbox(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + _UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _fullbox(
+        b"tkhd", 0, 0x3,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _fullbox(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _fullbox(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"MJPEGVideoHandler\x00",
+    )
+    vmhd = _fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _fullbox(
+        b"dref", 0, 0, struct.pack(">I", 1) + _fullbox(b"url ", 0, 1, b"")
+    )
+    dinf = _box(b"dinf", dref)
+    sample_entry = _box(
+        b"jpeg",  # QuickTime Motion-JPEG visual sample entry
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 0x0018, -1),
+    )
+    stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _fullbox(
+        b"stts", 0, 0, struct.pack(">III", 1, n_frames, frame_duration)
+    )
+    stsc = _fullbox(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n_frames, 1))
+    stsz = _fullbox(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n_frames)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _fullbox(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
 def _walk(payload: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
     """Yield (fourcc, body_start, body_end) for each box in [start, end)."""
     pos = start
@@ -229,6 +322,120 @@ def parse_mp4_metadata(payload: bytes) -> tuple[int, int, int, int, int]:
         )
         n_frames += cnt
     return width, height, n_frames, duration, timescale
+
+
+def parse_mp4_codec_hint(payload: bytes) -> str:
+    """Codec fourcc of the first track's first ``stsd`` sample entry
+    (e.g. ``'avc1'``, ``'jpeg'``, ``'mjpa'``, ``'stub'``) — the cheap
+    probe ``decode_media`` uses to decide whether sample decode is
+    even possible before committing to the full sample-table walk."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (no ftyp box)")
+    moov_b, moov_e = _find(payload, 0, len(payload), b"moov")
+    trak_b, trak_e = _find(payload, moov_b, moov_e, b"trak")
+    mdia_b, mdia_e = _find(payload, trak_b, trak_e, b"mdia")
+    minf_b, minf_e = _find(payload, mdia_b, mdia_e, b"minf")
+    stbl_b, stbl_e = _find(payload, minf_b, minf_e, b"stbl")
+    stsd_b, stsd_e = _find(payload, stbl_b, stbl_e, b"stsd")
+    _, p = _fullbox_body(payload, stsd_b, stsd_e)
+    if p + 16 > stsd_e:
+        raise ValueError("truncated MP4 stsd")
+    return payload[p + 8 : p + 12].decode("latin1")
+
+
+def parse_mp4_samples(payload: bytes) -> tuple[str, list[bytes]]:
+    """→ ``(codec_fourcc, [sample_bytes, ...])`` for the first track.
+
+    The demuxer half of the MJPEG path: ``stsd`` names the codec of
+    the first sample entry; ``stsc`` (first_chunk, samples_per_chunk
+    runs, 1-based), ``stsz`` (fixed size or per-sample table) and
+    ``stco``/``co64`` (chunk offsets, 32/64-bit) expand to absolute
+    byte ranges, samples packed back-to-back within each chunk.
+    Pure box arithmetic — no sample decompression happens here.
+    Raises ``ValueError`` on structural corruption (sizes
+    inconsistent with the file length, missing boxes), the same
+    clean error class as the PNG/WAV/JPEG decoders.
+    """
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (no ftyp box)")
+    moov_b, moov_e = _find(payload, 0, len(payload), b"moov")
+    trak_b, trak_e = _find(payload, moov_b, moov_e, b"trak")
+    mdia_b, mdia_e = _find(payload, trak_b, trak_e, b"mdia")
+    minf_b, minf_e = _find(payload, mdia_b, mdia_e, b"minf")
+    stbl_b, stbl_e = _find(payload, minf_b, minf_e, b"stbl")
+
+    stsd_b, stsd_e = _find(payload, stbl_b, stbl_e, b"stsd")
+    _, p = _fullbox_body(payload, stsd_b, stsd_e)
+    if p + 16 > stsd_e:
+        raise ValueError("truncated MP4 stsd")
+    codec = payload[p + 8 : p + 12].decode("latin1")
+
+    stsz_b, stsz_e = _find(payload, stbl_b, stbl_e, b"stsz")
+    _, p = _fullbox_body(payload, stsz_b, stsz_e)
+    if p + 8 > stsz_e:
+        raise ValueError("truncated MP4 stsz")
+    fixed_size, sample_count = struct.unpack(">II", payload[p : p + 8])
+    if fixed_size:
+        sizes = [fixed_size] * sample_count
+    else:
+        if p + 8 + 4 * sample_count > stsz_e:
+            raise ValueError("truncated MP4 stsz table")
+        sizes = list(
+            struct.unpack(
+                f">{sample_count}I", payload[p + 8 : p + 8 + 4 * sample_count]
+            )
+        )
+
+    try:
+        stco_b, stco_e = _find(payload, stbl_b, stbl_e, b"stco")
+        off_fmt, off_len = ">I", 4
+    except ValueError:
+        stco_b, stco_e = _find(payload, stbl_b, stbl_e, b"co64")
+        off_fmt, off_len = ">Q", 8
+    _, p = _fullbox_body(payload, stco_b, stco_e)
+    if p + 4 > stco_e:
+        raise ValueError("truncated MP4 stco")
+    (n_chunks,) = struct.unpack(">I", payload[p : p + 4])
+    if p + 4 + off_len * n_chunks > stco_e:
+        raise ValueError("truncated MP4 stco table")
+    chunk_offsets = [
+        struct.unpack(off_fmt, payload[p + 4 + off_len * i : p + 4 + off_len * (i + 1)])[0]
+        for i in range(n_chunks)
+    ]
+
+    stsc_b, stsc_e = _find(payload, stbl_b, stbl_e, b"stsc")
+    _, p = _fullbox_body(payload, stsc_b, stsc_e)
+    if p + 4 > stsc_e:
+        raise ValueError("truncated MP4 stsc")
+    (n_runs,) = struct.unpack(">I", payload[p : p + 4])
+    if p + 4 + 12 * n_runs > stsc_e:
+        raise ValueError("truncated MP4 stsc table")
+    runs = [
+        struct.unpack(">III", payload[p + 4 + 12 * i : p + 16 + 12 * i])
+        for i in range(n_runs)
+    ]  # (first_chunk 1-based, samples_per_chunk, sample_desc_idx)
+    if not runs or runs[0][0] != 1:
+        raise ValueError("MP4 stsc must start at chunk 1")
+
+    samples: list[bytes] = []
+    si = 0
+    for ci, base_off in enumerate(chunk_offsets, start=1):
+        spc = next(r[1] for r in reversed(runs) if r[0] <= ci)
+        off = base_off
+        for _ in range(spc):
+            if si >= sample_count:
+                break
+            size = sizes[si]
+            if off + size > len(payload):
+                raise ValueError("MP4 sample range beyond end of file")
+            samples.append(payload[off : off + size])
+            off += size
+            si += 1
+    if si != sample_count:
+        raise ValueError(
+            f"MP4 sample table inconsistent: placed {si} of {sample_count}"
+        )
+    return codec, samples
 
 
 MP4_META_SCHEMA = StructType(

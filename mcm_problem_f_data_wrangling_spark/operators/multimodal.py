@@ -492,9 +492,14 @@ def decode_media(df: DataFrame) -> DataFrame:
       geometry columns stay NULL)
     - video + MP4 magic → REAL container-metadata parse
       (:func:`..mp4.parse_mp4_metadata`: ISO BMFF box walk fills
-      width/height/n_frames from tkhd + stts); the SAMPLE DATA stays
-      honestly env-blocked — H.264 decode needs libav, absent from
-      this container — so ``mean_luma`` is NULL for video
+      width/height/n_frames from tkhd + stts).  Motion-JPEG tracks
+      (``jpeg``/``mjpa`` sample entries) additionally get REAL
+      sample decode — :func:`..mp4.parse_mp4_samples` walks
+      stsc/stsz/stco to each sample's bytes, ``..jpeg.decode_jpeg``
+      decodes every frame, and ``mean_luma`` is the exact pixel mean
+      over all frames.  H.264 stays honestly env-blocked (needs
+      libav, absent from this container) — ``mean_luma`` NULL for
+      that codec only
     - anything else → the deterministic STUB fake (vectorized over
       the batch), keyed on content bytes, clearly marked — this is
       the implementation of record for the stub path
@@ -546,13 +551,30 @@ def decode_media(df: DataFrame) -> DataFrame:
                     mean_luma[i] = float(arr.mean(dtype=np.float64)) / 255.0
                 elif mt == "video" and p[4:8] == b"ftyp":
                     # REAL container-metadata parse (operators/mp4.py,
-                    # ISO BMFF box walk); the SAMPLE DATA stays
-                    # env-blocked — H.264 decode needs libav/ffmpeg,
-                    # absent here — so mean_luma stays NULL for video
-                    from .mp4 import parse_mp4_metadata
+                    # ISO BMFF box walk).  Motion-JPEG sample entries
+                    # (jpeg/mjpa) get REAL sample decode: walk
+                    # stsc/stsz/stco to each sample's bytes and run
+                    # the baseline-JPEG decoder — mean_luma is the
+                    # pixel mean over ALL frames.  H.264 stays
+                    # env-blocked (needs libav/ffmpeg, absent here),
+                    # so mean_luma stays NULL for that codec.
+                    from .mp4 import parse_mp4_codec_hint, parse_mp4_metadata
 
                     w, h, nf, _dur, _ts = parse_mp4_metadata(p)
                     width[i], height[i], n_frames[i] = w, h, nf
+                    if parse_mp4_codec_hint(p) in ("jpeg", "mjpa"):
+                        from .jpeg import decode_jpeg
+                        from .mp4 import parse_mp4_samples
+
+                        _, samples = parse_mp4_samples(p)
+                        tot, cnt = 0.0, 0
+                        for s in samples:
+                            _, _, _, flat = decode_jpeg(s)
+                            a = np.frombuffer(flat, dtype=np.uint8)
+                            tot += float(a.sum(dtype=np.float64))
+                            cnt += a.size
+                        if cnt:
+                            mean_luma[i] = tot / cnt / 255.0
                 else:
                     stub_idx.append(i)
             if stub_idx:

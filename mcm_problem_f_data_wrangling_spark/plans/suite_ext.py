@@ -1105,6 +1105,84 @@ def x_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_multimodal_mjpeg_decode",
+    "REAL video SAMPLE decode under the full-value hash gate — the "
+    "MJPEG-in-MP4 path (operators/mp4.py parse_mp4_samples walking "
+    "stsc/stsz/stco to each sample's byte range + operators/jpeg.py "
+    "baseline decode of every frame): 36 planted MP4s whose jpeg "
+    "sample entries hold 2-4 constant-block JPEG frames following "
+    "the same even-offset DC formula as x_multimodal_jpeg, so the "
+    "decoded pixels are exact integers DuckDB recomputes with no "
+    "codec.  mean_luma is the exact pixel mean over ALL frames and "
+    "is LOAD-BEARING for the hash — the container demux (variable "
+    "stsz table, chunk-offset arithmetic) and the per-frame Huffman/"
+    "IDCT decode both sit under it.  Three encoder variants cycle "
+    "by id (plain grayscale, grayscale with DRI/RST restart "
+    "markers, gray-valued RGB 4:4:4) so one oracle covers all "
+    "three entropy-decode paths.  H.264 sample decode stays "
+    "honestly env-blocked (NULL mean_luma) — this gate narrows the "
+    "video-NULL caveat to that codec.",
+    """
+WITH ids AS (SELECT unnest(generate_series(0, 35)) AS id),
+frames AS (
+  SELECT id, unnest(generate_series(0, 1 + id % 3)) AS f FROM ids
+),
+px AS (
+  SELECT id, 128 + 2 * ((id * 5 + f * 7 + bi * 13 + bj * 29) % 48) AS pix
+  FROM frames,
+       (SELECT unnest(generate_series(0, 1)) AS bi),
+       (SELECT unnest(generate_series(0, 1)) AS bj)
+)
+SELECT CAST(id AS BIGINT) AS media_id, 'video' AS media_type,
+       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(2 + id % 3 AS INT) AS n_frames, AVG(pix) / 255.0 AS mean_luma
+FROM px GROUP BY id
+""",
+    tags=("M4", "multimodal"),
+)
+def x_multimodal_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.jpeg import encode_jpeg_gray, encode_jpeg_rgb
+    from ..operators.mp4 import encode_mp4_mjpeg_video
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    w = h = 16
+    rows = []
+    for mid in range(36):
+        frames = []
+        for f in range(2 + mid % 3):
+            img = np.zeros((h, w), dtype=np.uint8)
+            for bi in range(2):
+                for bj in range(2):
+                    img[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8] = (
+                        128 + 2 * ((mid * 5 + f * 7 + bi * 13 + bj * 29) % 48)
+                    )
+            variant = mid % 3
+            if variant == 0:
+                frames.append(encode_jpeg_gray(img.tobytes(), w, h))
+            elif variant == 1:
+                frames.append(
+                    encode_jpeg_gray(img.tobytes(), w, h, restart_interval=1)
+                )
+            else:
+                rgb = np.repeat(img[:, :, None], 3, axis=2)
+                frames.append(encode_jpeg_rgb(rgb.tobytes(), w, h))
+        rows.append(
+            (
+                mid,
+                encode_mp4_mjpeg_video(frames, w, h),
+                "video",
+                f"planted://mjpeg/{mid % 3}/{mid}",
+            )
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return decode_media(media).select(
+        "media_id", "media_type", "width", "height", "n_frames", "mean_luma"
+    )
+
+
+@_q(
     "x_multimodal_phash",
     "REAL DCT perceptual hash under the driver hash gate "
     "(operators/multimodal.py phash64_png → compute_phash → "

@@ -104,3 +104,100 @@ def test_extract_mp4_metadata_stage(spark):
         r = got[i]
         assert (r.width, r.height, r.n_frames) == (160 + 16 * i, 90 + 9 * i, 10 + i)
         assert r.duration == (10 + i) * 25 and r.timescale == 600
+
+
+def _jpeg_frames(n: int, w: int = 16, h: int = 8, seed: int = 0):
+    """n constant-block baseline JPEGs (even offsets — exact decode)."""
+    import numpy as np
+
+    from mcm_problem_f_data_wrangling_spark.operators.jpeg import encode_jpeg_gray
+
+    frames, means = [], []
+    for f in range(n):
+        img = np.zeros((h, w), dtype=np.uint8)
+        for bi in range(h // 8):
+            for bj in range(w // 8):
+                img[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8] = (
+                    128 + 2 * ((seed * 5 + f * 7 + bi * 13 + bj * 29) % 48)
+                )
+        frames.append(encode_jpeg_gray(img.tobytes(), w, h))
+        means.append(img.mean(dtype="float64"))
+    return frames, means
+
+
+def test_mjpeg_sample_roundtrip():
+    """encode_mp4_mjpeg_video → parse_mp4_samples returns the exact
+    JPEG payloads in order, with the jpeg codec fourcc."""
+    from mcm_problem_f_data_wrangling_spark.operators.mp4 import (
+        encode_mp4_mjpeg_video,
+        parse_mp4_codec_hint,
+        parse_mp4_samples,
+    )
+
+    frames, _ = _jpeg_frames(5)
+    p = encode_mp4_mjpeg_video(frames, 16, 8)
+    assert parse_mp4_metadata(p) == (16, 8, 5, 5 * 25, 600)
+    assert parse_mp4_codec_hint(p) == "jpeg"
+    codec, got = parse_mp4_samples(p)
+    assert codec == "jpeg" and got == frames
+
+
+def test_stub_codec_hint_and_samples():
+    from mcm_problem_f_data_wrangling_spark.operators.mp4 import (
+        encode_mp4_stub_video,
+        parse_mp4_codec_hint,
+        parse_mp4_samples,
+    )
+
+    p = encode_mp4_stub_video(320, 240, 4)
+    assert parse_mp4_codec_hint(p) == "stub"
+    codec, samples = parse_mp4_samples(p)
+    assert codec == "stub" and len(samples) == 4
+    assert all(len(s) == 16 for s in samples)
+
+
+def test_mjpeg_sample_table_corruption_raises():
+    """A sample range past EOF must raise the clean ValueError class,
+    not an arbitrary slice/struct error."""
+    from mcm_problem_f_data_wrangling_spark.operators.mp4 import (
+        encode_mp4_mjpeg_video,
+        parse_mp4_samples,
+    )
+
+    frames, _ = _jpeg_frames(2)
+    p = bytearray(encode_mp4_mjpeg_video(frames, 16, 8))
+    i = p.find(b"stsz")
+    # inflate the first per-sample size entry (stsz fourcc + ver/flags
+    # + sample_size(4) + count(4) = 12 bytes to the table)
+    struct.pack_into(">I", p, i + 12, 10_000_000)
+    with pytest.raises(ValueError, match="MP4"):
+        parse_mp4_samples(bytes(p))
+
+
+def test_decode_media_fills_mjpeg_mean_luma(spark):
+    """The decode_media video branch must produce REAL mean_luma for
+    MJPEG MP4s (exact mean over all frames' pixels) and keep it NULL
+    for the stub codec (the env-blocked H.264 stand-in)."""
+    from mcm_problem_f_data_wrangling_spark.operators.mp4 import (
+        encode_mp4_mjpeg_video,
+        encode_mp4_stub_video,
+    )
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+
+    frames, means = _jpeg_frames(3, seed=2)
+    media = spark.createDataFrame(
+        [
+            (0, encode_mp4_mjpeg_video(frames, 16, 8), "video", "p://mjpeg"),
+            (1, encode_mp4_stub_video(320, 240, 7), "video", "p://stub"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in decode_media(media).collect()}
+    assert rows[0].n_frames == 3 and rows[0].width == 16
+    assert rows[0].mean_luma == pytest.approx(
+        sum(means) / len(means) / 255.0, abs=1e-12
+    )
+    assert rows[1].mean_luma is None  # honest NULL: no jpeg/mjpa track
