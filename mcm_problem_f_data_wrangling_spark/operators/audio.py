@@ -62,6 +62,7 @@ def spectral_frames(
     id_col: str = "media_id",
     frame_len: int = 256,
     n_bands: int = 8,
+    canonical_rate: int | None = None,
 ) -> DataFrame:
     """Framed FFT band analysis of WAV payloads via ``mapInPandas``.
 
@@ -80,6 +81,17 @@ def spectral_frames(
     hashes).  NULL payloads emit no frames (like a stream shorter
     than one frame); truncated/corrupt NON-null payloads fail fast
     in ``decode_wav``.
+
+    ``canonical_rate``: when set, every stream is linearly resampled
+    to this rate (``np.interp`` — stdlib-only, no polyphase
+    anti-alias filter, so content above the canonical Nyquist
+    aliases; a production path would low-pass first) BEFORE framing.
+    With it, a frame is a fixed TIME window (``frame_len/rate``
+    seconds) and each band a fixed absolute-frequency range, so
+    44.1 kHz and 48 kHz re-encodes of the same content produce the
+    same band sequence — without it they never match, because
+    sample-count framing makes both the window duration and the band
+    edges functions of the file's own rate.
     """
     if frame_len < 2 or frame_len % 2:
         raise ValueError("frame_len must be an even integer >= 2")
@@ -104,10 +116,19 @@ def spectral_frames(
                     # too-short stream); truncated/corrupt NON-null
                     # payloads still fail fast inside decode_wav
                     continue
-                _, ch, _, samples = decode_wav(bytes(p))
+                sr, ch, _, samples = decode_wav(bytes(p))
                 sig = np.asarray(samples, dtype=np.float64)
                 if ch > 1:
                     sig = sig[: (len(sig) // ch) * ch].reshape(-1, ch).mean(axis=1)
+                if canonical_rate and sr != canonical_rate and len(sig):
+                    n_out = int(round(len(sig) * canonical_rate / sr))
+                    if n_out <= 0:
+                        continue
+                    sig = np.interp(
+                        np.arange(n_out, dtype=np.float64) * (sr / canonical_rate),
+                        np.arange(len(sig), dtype=np.float64),
+                        sig,
+                    )
                 nf = len(sig) // frame_len
                 if nf == 0:
                     continue
@@ -141,6 +162,7 @@ def audio_fingerprint(
     id_col: str = "media_id",
     frame_len: int = 256,
     n_bands: int = 8,
+    canonical_rate: int | None = None,
 ) -> DataFrame:
     """Per-payload spectral fingerprint: ``(media_id, fingerprint
     LONG, band_seq STRING, n_frames INT)``.
@@ -150,8 +172,16 @@ def audio_fingerprint(
     8-byte shuffle key.  Both are computed JVM-side from the
     :func:`spectral_frames` output — the only Python crossing is the
     FFT stage itself.
+
+    ``canonical_rate``: resample every stream to this rate before
+    framing (see :func:`spectral_frames`) so re-encodes of the same
+    content at different sample rates fingerprint-match — a real
+    corpus dedups across 44.1 kHz/48 kHz re-encodes, which the
+    rate-native fingerprint provably misses.
     """
-    frames = spectral_frames(df, payload_col, id_col, frame_len, n_bands)
+    frames = spectral_frames(
+        df, payload_col, id_col, frame_len, n_bands, canonical_rate
+    )
     seq = F.array_join(
         F.transform(
             F.array_sort(
@@ -178,6 +208,7 @@ def audio_neardup_pairs(
     frame_len: int = 256,
     n_bands: int = 8,
     mode: str = "pairs",
+    canonical_rate: int | None = None,
 ) -> DataFrame:
     """Audio near-duplicate pairs by exact spectral-fingerprint match:
     payloads whose dominant-band sequences are identical, even when
@@ -199,7 +230,9 @@ def audio_neardup_pairs(
     """
     if mode not in ("pairs", "star"):
         raise ValueError(f"unknown mode {mode!r}")
-    fps = audio_fingerprint(df, payload_col, id_col, frame_len, n_bands)
+    fps = audio_fingerprint(
+        df, payload_col, id_col, frame_len, n_bands, canonical_rate
+    )
     if mode == "star":
         from pyspark.sql import Window
 

@@ -1379,6 +1379,59 @@ def x_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_audio_rate_invariant_match",
+    "Sample-rate-invariant audio near-dup (operators/audio.py "
+    "canonical_rate resampling inside the Arrow FFT stage): 8 "
+    "contents each planted TWICE — synthesized natively at 44.1 kHz "
+    "(id g) and at 48 kHz (id g+100), each id at its own amplitude — "
+    "as segments of pure cosines at canonical-grid band-center "
+    "frequencies f = (16b+8)*8000/256 Hz, b = (7g+3*seg) % 8.  The "
+    "rate-native fingerprint provably misses every such pair "
+    "(sample-count framing makes window duration and band edges "
+    "functions of the file's own rate — pytest-pinned), so the "
+    "linear resample to the 8 kHz canonical rate before framing is "
+    "THE load-bearing step: the oracle pins exactly the 8 "
+    "(g, g+100) re-encode pairs at 32 canonical frames each, no "
+    "cross-content false positives (7g mod 8 bijection keeps group "
+    "sequences pairwise distinct).  This is the dedup a real corpus "
+    "needs across re-encodes of the same recording.",
+    """
+SELECT CAST(g AS BIGINT) AS id_a, CAST(g + 100 AS BIGINT) AS id_b,
+       CAST(32 AS INT) AS n_frames
+FROM (SELECT unnest(generate_series(0, 7)) AS g)
+""",
+    tags=("M4", "multimodal"),
+)
+def x_audio_rate_invariant_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.audio import audio_neardup_pairs
+    from ..operators.multimodal import MEDIA_SCHEMA, encode_wav_pcm16
+
+    canonical, frame_len, seg_frames = 8000, 256, 8
+    rows = []
+    for g in range(8):  # 8 = n_bands: (7g mod 8) bijection needs g < 8,
+                        # or groups alias and cross-content pairs appear
+        for mid, sr in ((g, 44100), (g + 100, 48000)):
+            amp = 650.0 + 9.0 * mid
+            dur = seg_frames * frame_len / canonical
+            n = int(round(dur * sr))
+            t = np.arange(n) / sr
+            samples: list[int] = []
+            for seg in range(4):
+                b = (7 * g + 3 * seg) % 8
+                f = (16 * b + 8) * canonical / frame_len
+                tone = np.round(amp * np.cos(2.0 * np.pi * f * t))
+                samples.extend(int(x) for x in tone)
+            rows.append(
+                (mid, encode_wav_pcm16(samples, sr), "audio",
+                 f"planted://rate/{sr}/{mid}")
+            )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return audio_neardup_pairs(media, canonical_rate=canonical)
+
+
+@_q(
     "x_video_frame_sample",
     "REAL MP4 metadata driving the frame-sampling plan: planted "
     "spec-shaped MP4s flow through decode_media (the ISO BMFF box "

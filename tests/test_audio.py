@@ -250,3 +250,51 @@ def test_chunk_plan_null_or_zero_sample_rate_yields_no_chunks(spark):
     )
     rows = audio_chunk_plan(meta, chunk_s=30.0, hop_s=25.0).collect()
     assert {r.media_id for r in rows} == {1}
+
+
+def _tone_payload_at_rate(bands: list[int], sr: int, amp: float = 900.0,
+                          canonical: int = 8000, frame_len: int = 256,
+                          seg_frames: int = 8) -> bytes:
+    """Tone sequence at an arbitrary NATIVE rate: each segment lasts
+    seg_frames canonical frames (seg_frames*frame_len/canonical s) of
+    a pure cosine at the CENTER FREQUENCY of band b on the canonical
+    grid (f = (16b+8)*canonical/frame_len Hz) — the same analog
+    content whatever sr it is sampled at."""
+    dur = seg_frames * frame_len / canonical
+    n = int(round(dur * sr))
+    t = np.arange(n) / sr
+    samples: list[int] = []
+    for b in bands:
+        f = (frame_len // 16 * b + frame_len // 32) * canonical / frame_len
+        tone = np.round(amp * np.cos(2.0 * np.pi * f * t))
+        samples.extend(int(x) for x in tone)
+    return encode_wav_pcm16(samples, sr)
+
+
+def test_rate_invariant_fingerprint_matches_resampled_twin(spark):
+    """The same content at 44.1 kHz and 48 kHz: the rate-native
+    fingerprint PROVABLY misses the pair (sample-count framing makes
+    band edges a function of the file's own rate), and
+    canonical_rate resampling recovers it without pairing different
+    content."""
+    from mcm_problem_f_data_wrangling_spark.operators.audio import (
+        audio_neardup_pairs,
+    )
+
+    content = [2, 5, 1, 6]
+    other = [3, 3, 7, 0]
+    media = spark.createDataFrame(
+        [
+            (0, _tone_payload_at_rate(content, 44100), "audio", "r://44k"),
+            (1, _tone_payload_at_rate(content, 48000), "audio", "r://48k"),
+            (2, _tone_payload_at_rate(other, 44100), "audio", "r://other"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    # the gap this closes: rate-native fingerprints never match
+    fps = {r.media_id: r.fingerprint for r in audio_fingerprint(media).collect()}
+    assert fps[0] != fps[1]
+    # canonical-rate fingerprints pair the re-encodes, nothing else
+    got = {(r.id_a, r.id_b)
+           for r in audio_neardup_pairs(media, canonical_rate=8000).collect()}
+    assert got == {(0, 1)}
