@@ -3338,6 +3338,136 @@ def s32_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "s33_streaming_cusum_drift",
+    "LIVE Structured Streaming execution #5: online CUSUM drift "
+    "detection on the REAL streaming engine (streaming/drift.py "
+    "cusum_stream — applyInPandasWithState, per-key state exactly "
+    "(S+, S-)).  The events parquet replays availableNow with a "
+    "synthetic unique event-time (timestamp_micros(event_id) — "
+    "split-invariant total order, no ts-tie ambiguity), values are "
+    "scaled to integer CENTS JVM-side so every accumulator update "
+    "is exact float arithmetic (< 2^53) and the path-dependent "
+    "recursion S+_t = max(0, S+_{t-1} + d_t) matches its closed "
+    "form S+_t = C_t - min_j C_j bit-for-bit — which is what the "
+    "DuckDB oracle computes with two window functions.  "
+    "emit='final' keeps the memory sink at O(#keys) rows whatever "
+    "the stream length (the final state still depends on the ENTIRE "
+    "path), fixing the O(rows)-through-the-driver nit the s32 gate "
+    "carries.  mu0 = 50.00 per key (the baseline-known-upfront "
+    "online contract), h = 1000.00; same awaitTermination timeout "
+    "guard as s30-s32.",
+    """
+WITH src AS (
+  SELECT event_type AS key, event_id,
+         COALESCE(ROUND(value * 100), 0) - 5000 AS d
+  FROM events WHERE event_type IS NOT NULL
+),
+c AS (
+  SELECT key, event_id,
+         SUM(d) OVER (PARTITION BY key ORDER BY event_id) AS ct
+  FROM src
+),
+m AS (
+  SELECT key, event_id, ct,
+         LEAST(0, MIN(ct) OVER (PARTITION BY key ORDER BY event_id)) AS mn,
+         GREATEST(0, MAX(ct) OVER (PARTITION BY key ORDER BY event_id)) AS mx
+  FROM c
+),
+fin AS (
+  SELECT key, MAX({'eid': event_id, 'sp': ct - mn, 'sm': ct - mx}) AS w
+  FROM m GROUP BY key
+)
+SELECT key, CAST(w.eid AS BIGINT) AS last_event_id,
+       CAST(w.sp AS BIGINT) AS s_plus_cents,
+       CAST(w.sm AS BIGINT) AS s_minus_cents,
+       CAST(CASE WHEN w.sp > 100000 OR w.sm < -100000
+            THEN 1 ELSE 0 END AS INT) AS alarm
+FROM fin
+""",
+    tags=("M2", "streaming", "stateful"),
+)
+def s33_streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming.drift import cusum_stream
+
+    # schema discovery via the tolerant batch reader (s31 precedent);
+    # the synthetic event-id clock below sidesteps the ts nanos seam
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # two-pass baseline (the batch twin's contract): mu0 is fixed
+    # BEFORE monitoring starts — one O(#keys) driver literal
+    keys = [
+        r[0]
+        for r in spark.read.schema(raw_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{sf_dir}/events.parquet*")
+        .where(F.col("event_type").isNotNull())
+        .select("event_type")
+        .distinct()
+        .collect()
+    ]
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("recursiveFileLookup", "true")
+        # single micro-batch => cross-batch arrival order can't differ
+        # from the in-batch event-time sort (availableNow honors this)
+        .option("maxFilesPerTrigger", "100000")
+        .parquet(f"{sf_dir}/events.parquet*")
+    )
+    feed = stream.where(F.col("event_type").isNotNull()).select(
+        "event_type",
+        F.timestamp_micros(F.col("event_id")).alias("ts"),
+        F.round(F.col("value") * 100).alias("cents"),
+    )
+    out = cusum_stream(
+        feed,
+        {k: 5000.0 for k in keys},
+        h=100000.0,
+        key_col="event_type",
+        ts_col="ts",
+        value_col="cents",
+        emit="final",
+    )
+    sink = f"s33_cusum_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "s33 streaming query did not drain within 300 s — "
+                "partial state would corrupt the CUSUM accumulators"
+            )
+    finally:
+        q.stop()
+    # one row per key per micro-batch, appended in batch order; the
+    # LAST row per key is the converged state (s30 precedent) — an
+    # O(#keys) driver pull.  unix_micros inverts the synthetic clock
+    # exactly (TimestampType is an instant; no session-zone term).
+    last: dict = {}
+    for r in spark.sql(
+        f"SELECT key, unix_micros(ts) AS eid, s_plus, s_minus, alarm "
+        f"FROM {sink}"
+    ).collect():
+        last[r["key"]] = r
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(
+        [
+            (r["key"], int(r["eid"]), int(r["s_plus"]), int(r["s_minus"]),
+             int(r["alarm"]))
+            for r in last.values()
+        ],
+        "key string, last_event_id bigint, s_plus_cents bigint, "
+        "s_minus_cents bigint, alarm int",
+    )
+
+
+@_q(
     "s30_streaming_running_totals",
     "LIVE Structured Streaming execution under the driver hash gate "
     "(streaming/running.py running_totals_stream, GroupState engine): "

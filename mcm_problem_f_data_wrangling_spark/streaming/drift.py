@@ -108,10 +108,16 @@ def cusum_stream(
     is fixed before monitoring starts; keys absent from the map use
     0.0).  State per key is (S⁺, S⁻) — two doubles.  ``emit='all'``
     yields every scored row; ``emit='alarms'`` only threshold
-    crossings (the monitoring topic).  Rows sort by event time inside
-    each micro-batch; cross-batch order is the arrival order, as for
-    any online detector.
+    crossings (the monitoring topic); ``emit='final'`` only the LAST
+    scored row per key per micro-batch — O(#keys) sink rows whatever
+    the stream length, the form a memory-sink gate can hash at any
+    scale (the final S⁺/S⁻ still depend on the entire path: S⁺_n =
+    C_n − min_j C_j).  Rows sort by event time inside each
+    micro-batch; cross-batch order is the arrival order, as for any
+    online detector.
     """
+    if emit not in ("all", "alarms", "final"):
+        raise ValueError(f"unknown emit mode {emit!r}")
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -134,8 +140,10 @@ def cusum_stream(
             s_plus = max(0.0, s_plus + d)
             s_minus = min(0.0, s_minus + d)
             alarm = int(s_plus > h or s_minus < -h)
-            if emit == "all" or alarm:
+            if emit == "all" or emit == "final" or alarm:
                 out.append((k, ts, v, s_plus, s_minus, alarm))
+        if emit == "final" and out:
+            out = out[-1:]
         state.update((s_plus, s_minus))
         if out:
             yield pd.DataFrame(
