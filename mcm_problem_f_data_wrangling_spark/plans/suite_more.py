@@ -2319,3 +2319,63 @@ def w36_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("remainder"),
         )
     )
+
+
+@_q(
+    "w37_changepoint_detect",
+    "Mean-shift changepoint detection per event_type "
+    "(streaming/drift.py changepoint_mean_shift — the classic CUSUM "
+    "changepoint estimator, equivalently binary segmentation at "
+    "depth 1, the recursion step PELT builds on): cp = argmax_t "
+    "|n*C_t - t*C_n| over the event series ordered by event_id.  "
+    "Pure windows — ONE partitioned sort serves row_number + cumsum, "
+    "the full-frame count/total ride the same exchange, and the "
+    "argmax is a struct-max (no second sort, no applyInPandas).  "
+    "Values scale to integer cents so every quantity — running sums, "
+    "the scaled statistic, the tie-break — is exact 64-bit integer "
+    "arithmetic, identical cross-engine in any accumulation order; "
+    "side sums are emitted instead of means to keep the hash exact.  "
+    "Extends the w24/s27 CUSUM family (drift SCORING) with the "
+    "location question a monitoring pipeline asks next: WHERE did "
+    "the level shift happen.",
+    """
+WITH src AS (
+  SELECT event_type AS key, event_id,
+         CAST(COALESCE(ROUND(value * 100), 0) AS BIGINT) AS cents
+  FROM events WHERE event_type IS NOT NULL
+),
+scored AS (
+  SELECT key,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY event_id) AS t,
+         SUM(cents) OVER (PARTITION BY key ORDER BY event_id) AS ct,
+         COUNT(*) OVER (PARTITION BY key) AS n,
+         SUM(cents) OVER (PARTITION BY key) AS total
+  FROM src
+),
+best AS (
+  SELECT key, n, total,
+         MAX({'stat': ABS(n * ct - t * total), 'negt': -t, 'ct': ct}) AS w
+  FROM scored WHERE t < n GROUP BY key, n, total
+)
+SELECT key, CAST(-w.negt AS INT) AS cp_pos, CAST(n AS BIGINT) AS n_rows,
+       CAST(w.stat AS BIGINT) AS stat, CAST(w.ct AS BIGINT) AS pre_sum,
+       CAST(total - w.ct AS BIGINT) AS post_sum
+FROM best
+""",
+    tags=("M2", "window"),
+)
+def w37_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.drift import changepoint_mean_shift
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.coalesce(F.round(F.col("value") * 100), F.lit(0.0))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    return changepoint_mean_shift(ev, "event_type", ["event_id"], "cents")

@@ -73,6 +73,72 @@ def cusum_batch(
     )
 
 
+def changepoint_mean_shift(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col,
+) -> DataFrame:
+    """Single mean-shift changepoint per key — the classic CUSUM
+    changepoint ESTIMATOR (equivalently binary segmentation at depth
+    1, the recursion step PELT/BinSeg builds on): the change point is
+
+        cp = argmax_{1≤t<n} |n·C_t − t·C_n|     (C = running sum)
+
+    i.e. the position where the cumulative sum departs farthest from
+    the no-change diagonal.  Pure windows — one partitioned sort
+    serves row_number + cumsum, the full-frame n/total come from the
+    same exchange — no applyInPandas, no iteration.
+
+    EXACTNESS CONTRACT: pass an integer-valued ``value_col`` (e.g.
+    cents, ``F.round(col*100).cast("long")``) — every quantity
+    (C_t, n·C_t − t·C_n, the argmax) is then exact 64-bit integer
+    arithmetic, identical in any engine and any accumulation order.
+    Fits while n·|C_n| < 2^63 (~2×10⁹ rows of ~10⁹-cent sums); a
+    100 TB run casts the statistic to decimal instead.
+
+    Output per key: ``(key, cp_pos, n_rows, stat, pre_sum, post_sum)``
+    — ``cp_pos`` is the 1-based position of the LAST pre-change row
+    (ties → smallest position), ``pre_sum``/``post_sum`` the exact
+    value sums on each side (the caller derives means as sum/count;
+    emitting sums keeps the result hash-exact).  Keys with n < 2 rows
+    emit nothing (no interior split point exists).
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    v = value_col if not isinstance(value_col, str) else F.col(value_col)
+    scored = df.select(
+        F.col(key_col).alias("key"),
+        F.row_number().over(w).alias("t"),
+        F.sum(v).over(run).alias("ct"),
+        F.count(F.lit(1)).over(full).alias("n"),
+        F.sum(v).over(full).alias("total"),
+    ).where(F.col("t") < F.col("n"))
+    stat = F.abs(F.col("n") * F.col("ct") - F.col("t") * F.col("total"))
+    best = (
+        scored.select(
+            "key",
+            "n",
+            "total",
+            F.struct(
+                stat.alias("stat"), (-F.col("t")).alias("negt"),
+                F.col("ct").alias("ct"),
+            ).alias("cand"),
+        )
+        .groupBy("key", "n", "total")
+        .agg(F.max("cand").alias("w"))
+    )
+    return best.select(
+        "key",
+        (-F.col("w.negt")).cast("int").alias("cp_pos"),
+        F.col("n").alias("n_rows"),
+        F.col("w.stat").alias("stat"),
+        F.col("w.ct").alias("pre_sum"),
+        (F.col("total") - F.col("w.ct")).alias("post_sum"),
+    )
+
+
 _STATE_SCHEMA = StructType(
     [
         StructField("s_plus", DoubleType()),
