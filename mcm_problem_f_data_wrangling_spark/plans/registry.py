@@ -28,96 +28,84 @@ _ALL = (
 # same window.  Every query keeps its oracle either way — the builder's
 # mirror (tools/check_parity.py) always runs ALL of them.
 _FRONT = [
-    # --- ROUND-8 window (first ~50 = driver budget; overflow keeps a
-    # --- bigger budget eating forward).  Three blocks:
-    # --- (a) NEW or implementation-changed THIS round — the DCT-pHash,
-    # --- JPEG, MP4-metadata, audio-FFT, media-cluster and URL-dedup
-    # --- gates, the rewritten PNG decoder behind the decode gates,
-    # --- the adjacency-intersection triangle engine, the LIVE s08 +
-    # --- s31 streams, and the auto-routed semantic_dedup entry;
-    # --- (b) the stalest external gates: every row whose last driver
-    # --- hash is from round 2 (VERDICT r7 task 1), including the two
-    # --- by-design rows-only entries x3/x4 — rows-only is their only
-    # --- external signal, so it rotates too;
-    # --- (c) the oldest round-3 rows (suite order); rows pushed past
-    # --- the window by this round's six new gates, plus the rest of
-    # --- the r3 block, go in the r9 window.  Every query keeps its
-    # --- oracle either way — the builder's mirror
-    # --- (tools/check_parity.py) always runs ALL of them.
+    # --- ROUND-9 window (first ~50 = observed driver budget; overflow
+    # --- keeps a bigger budget eating forward).  Three blocks:
+    # --- (a) NEW or implementation-changed THIS round — the MJPEG
+    # --- sample-decode gate, the rate-invariant audio matcher, the
+    # --- LIVE s33 CUSUM stream, the w37 changepoint detector, the
+    # --- scheme-conditioned URL canonicalization, the NULL-guarded
+    # --- audio stages, and the CC engine touched by the r9 perf work;
+    # --- (b) the r9 rotation target (VERDICT r8 task #1): ALL 38
+    # --- queries whose last driver hash is from round 3 — the bulk of
+    # --- the TPC-H suite, the w16-w22/w31/w36 window family, the
+    # --- s10-s18 sessionization block, a09-a12, u06/u07 and the three
+    # --- x-extensions — so no registry query's external signal is
+    # --- older than r4 after this round;
+    # --- (c) overflow: the stalest round-4 rows in suite order.
+    # --- Every query keeps its oracle either way — the builder's
+    # --- mirror (tools/check_parity.py) always runs ALL of them.
     "flagship_career_collapse",   # driver smoke target stays first
-    # --- (a) changed this round: must re-gate on current impl ---
-    "x_multimodal_phash",         # NEW: real DCT pHash, planted pairs
-    "x_multimodal_jpeg",          # NEW: real baseline-JPEG decode gate
-    "x_multimodal_mp4_metadata",  # NEW: real ISO BMFF box-walk gate
-    "x_audio_spectral_fingerprint",  # NEW: FFT band analysis gate
-    "x_audio_fingerprint_match",  # NEW: gain-invariant audio near-dup
-    "x_media_dedup_clusters",     # NEW: multimodal pairs -> CC composition
-    "x_url_canonical_dedup",      # NEW: zero-UDF URL canonicalization
-    "x_audio_chunk_plan",         # NEW: zero-exchange ASR chunk windows
-    "x_audio_quality_stats",      # NEW: clip/silence corpus filter stats
-    "x_audio_shift_neardup",      # NEW: offset-consistent gram matching
-    "x_video_frame_sample",       # NEW: MP4 metadata -> frame grid
-    "x_multimodal_decode",        # un-filter vectorized + trunc guards
-    "x_multimodal_frame_pipeline",  # decode dispatch gated on media_type
-    "x_graph_triangles",          # adjacency-intersection rewrite
-    "s08_tumbling_window_rollup",  # now a LIVE writeStream execution (r2)
-    "s31_streaming_session_windows",  # NEW: LIVE session-window merge gate
-    "s32_streaming_dedup_ingest",  # NEW: LIVE state-store dedup gate
-    "x_embed_semdedup",           # semantic_dedup engine routing entry
-    # --- (b) last driver hash in round 2 ---
-    "x_embed_neardup_pairs",
-    "x3_aic_grid_fit",            # rows-only by design (no oracle)
-    "x4_diagnostics",             # rows-only by design (no oracle)
-    "s09_sessionize_batch",
-    "s15_scd2_history",
-    "s13_retention_cohorts",
-    "s16_cdc_apply",
-    "x_embed_class_stats",
-    "w35_backtest_drift",
-    "q18_large_volume_customers",
-    "q09_product_profit",
-    "q21_waiting_orders",
-    "q11_important_stock",
-    "q20_potential_promo_suppliers",
-    "x_sim_hard_negatives",
-    "x_embed_centroid_eval",
-    "x_dup_span_detection",
-    "x_corpus_shuffle_shards",
-    "x_hybrid_rrf_fusion",
-    "x_quality_mad_outliers",
-    "src01_tsv_ingest_normalize",
-    "src02_csv_date_parse_scan",
-    "src03_whitespace_tsv_scan",
-    # --- (c) oldest round-3 rows (suite order) ---
-    "x_lang_id",
-    "x_token_corpus_stats",
-    "x_pack_sequences",
-    "x_e2e_training_corpus",
-    "x_quality_filter_funnel",
-    "x_decontaminate_ngram_overlap",
-    "x_asof_attribution_join",
-    "x_range_join_purchase_window",
-    "x_text_pii_redact",
-    "x_skew_salted_group_sum",
+    # --- (a) new or changed this round: must gate on current impl ---
+    "x_multimodal_mjpeg_decode",  # NEW: real MJPEG sample decode
+    "x_audio_rate_invariant_match",  # NEW: canonical-rate resample
+    "s33_streaming_cusum_drift",  # NEW: LIVE CUSUM state-store gate
+    "w37_changepoint_detect",     # NEW: mean-shift changepoint
+    "x_url_canonical_dedup",      # scheme-conditioned port strip
+    "x_audio_spectral_fingerprint",  # NULL-payload guard
+    "x_audio_quality_stats",      # NULL-payload guard
+    "x_audio_chunk_plan",         # sample_rate guard
+    "x_audio_fingerprint_match",  # canonical_rate param threaded
+    "x_dedup_clusters_cc",        # r9 constant-factor work
+    # --- (b) last driver hash in round 3 (complete rotation) ---
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q10_returned_items",
+    "q12_priority_shipping_mix",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_mix",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_dormant_accounts",
     "sql_flagship_via_spark_sql",
     "s10_session_window_native",
-    "s14_rolling_wau",
-    "s12_event_funnel",
     "s11_rollup_cascade",
+    "s12_event_funnel",
+    "s14_rolling_wau",
     "s17_interval_merge",
+    "s18_incremental_rollup",
     "w16_time_range_rolling",
     "w17_ewma_smooth",
-    "u06_unpivot_melt",
     "w18_rank_family",
-    "s18_incremental_rollup",
     "w19_outlier_zscore",
     "w20_mad_outliers",
-    "w22_ols_trend",
     "w21_sliding_window_rollup",
-    "a10_group_mode",
-    "q03_shipping_priority",
-    "a09_share_of_total",
+    "w22_ols_trend",
     "w31_theil_sen_trend",
+    "w36_stl_decompose",
+    "a09_share_of_total",
+    "a10_group_mode",
+    "a11_basket_lift",
+    "a12_abc_pareto",
+    "u06_unpivot_melt",
+    "u07_grouping_sets",
+    "x_text_pii_redact",
+    "x_skew_salted_group_sum",
+    "x_quality_lr_score",
+    # --- (c) overflow: stalest round-4 rows (suite order) ---
+    "s19_snapshot_diff",
+    "s20_event_transitions",
+    "s21_id_gap_detection",
+    "s22_rapid_duplicate_events",
+    "s23_new_vs_returning",
+    "w23_interpolate_linear",
+    "w24_cusum_drift",
+    "w25_topk_per_group",
+    "w26_seasonal_adjust",
+    "w27_acf_lags",
 ]
 
 # The external driver verifies roughly this many registry-order
