@@ -625,12 +625,22 @@ def _prefix_filter_jaccard(tok: DataFrame, threshold: float) -> DataFrame:
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    # localCheckpoint (same discipline as the caller's tok table): the
+    # prefix table feeds BOTH sides of the candidate self-join, and the
+    # df-join + per-doc window behind it re-run per side otherwise —
+    # groupBy partial-agg exchanges don't canonicalize equal to join
+    # exchanges, so ReuseExchange cannot dedupe them (measured at sf1:
+    # x_dedup_clusters_cc 27.0 -> 14.6 s warm, x_dedup_ngram_jaccard
+    # ~13 -> ~10 s; x_dedup_jaccard_prefix pays ~1-2 s for the eager
+    # materialization of its larger trigram prefix — net strongly
+    # positive.  On a cluster, persist to DISK/DFS instead.)
     prefix = (
         tok.join(dfreq, "token")
         .join(cnt, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= prefix_len)
         .select("doc_id", "token", "n", "rn")
+        .localCheckpoint(eager=True)
     )
     # PPJoin positional filter (Xiao et al. WWW'08 §3.2): a true pair
     # with Jaccard >= t has overlap O >= alpha = ceil(t/(1+t)·(n1+n2));
