@@ -897,3 +897,152 @@ def phash_neardup_pairs(
     return hamming_neardup_pairs(
         hashed, "phash", id_col, bits=64, max_hamming=max_hamming
     )
+
+
+VIDEO_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("phash", LongType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def video_phash_frames(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Per-frame DCT pHash sequence for decodable videos — the video
+    twin of :func:`compute_phash`: MP4 payloads whose track codec is
+    Motion-JPEG (``jpeg``/``mjpa`` sample entries) are demuxed with
+    :func:`..mp4.parse_mp4_samples` and every frame runs the same
+    decode → 32x32 pool → DCT-II → median-threshold hash as still
+    images, inside ONE Arrow crossing.
+
+    Output: ``(media_id, frame_idx, phash, n_frames)``.  NULL
+    payloads and videos without a decodable codec (H.264 stays
+    env-blocked) emit no rows — a pipeline dedups what it can decode
+    and leaves the rest to container-metadata matching.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+        from .mp4 import parse_mp4_codec_hint, parse_mp4_samples
+
+        for pdf in it:
+            out = {k.name: [] for k in VIDEO_PHASH_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                if len(b) < 12 or b[4:8] != b"ftyp":
+                    continue
+                if parse_mp4_codec_hint(b) not in ("jpeg", "mjpa"):
+                    continue
+                _, samples = parse_mp4_samples(b)
+                for fi, s in enumerate(samples):
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(fi)
+                    out["phash"].append(_phash64_decoded(decode_jpeg(s)))
+                    out["n_frames"].append(len(samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "phash": pd.Series(out["phash"], dtype="int64"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    )
+    return src.mapInPandas(batches, VIDEO_PHASH_SCHEMA)
+
+
+def video_phash_neardup(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Video near-duplicate pairs by ALIGNED per-frame pHash: two
+    videos pair iff they have the same frame count and EVERY aligned
+    frame pair is within ``max_hamming`` pHash bits — re-encoded or
+    slightly-degraded copies of the same footage, which no container
+    metadata or byte hash can relate.
+
+    Scale shape: candidates come from FRAME 0 only — a true pair
+    must match on every frame, so pigeonhole banding (Manku: 4 bands
+    of 16 bits for Hamming <= 3) of the first frame's hash is a
+    complete candidate generator at 1/n_frames the banding volume —
+    then ONE equi-join per side aligns full sequences and a single
+    aggregate verifies ``max(hamming) <= max_hamming`` over all
+    frames with matched counts.  Never all-pairs.
+
+    Output: ``(id_a, id_b, n_frames, max_frame_hamming)``,
+    ``id_a < id_b``.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    # localCheckpoint: the frame-hash table feeds three branches (the
+    # band explode plus both sides of the alignment join) and Spark's
+    # ReuseExchange cannot unify a join exchange with an explode input,
+    # so without this the whole demux+JPEG-decode Arrow stage runs 3x
+    # (same discipline as dedup.py's PPJoin prefix table).
+    frames = video_phash_frames(df, payload_col, id_col).localCheckpoint(
+        eager=True
+    )
+    first = frames.where(F.col("frame_idx") == 0).select(
+        "media_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash", b * width).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = first.alias("a"), first.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+        )
+        .distinct()
+    )
+    fa = frames.select(
+        F.col("media_id").alias("id_a"),
+        F.col("frame_idx"),
+        F.col("phash").alias("ph_a"),
+        F.col("n_frames").alias("nf_a"),
+    )
+    fb = frames.select(
+        F.col("media_id").alias("id_b"),
+        F.col("frame_idx"),
+        F.col("phash").alias("ph_b"),
+        F.col("n_frames").alias("nf_b"),
+    )
+    aligned = cand.join(fa, "id_a").join(fb, ["id_b", "frame_idx"])
+    verdict = aligned.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.max("nf_a").alias("nf_a"),
+        F.max("nf_b").alias("nf_b"),
+        F.max(
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
+        ).alias("max_frame_hamming"),
+    )
+    return verdict.where(
+        (F.col("n_matched") == F.col("nf_a"))
+        & (F.col("nf_a") == F.col("nf_b"))
+        & (F.col("max_frame_hamming") <= max_hamming)
+    ).select(
+        "id_a", "id_b", F.col("nf_a").alias("n_frames"), "max_frame_hamming"
+    )

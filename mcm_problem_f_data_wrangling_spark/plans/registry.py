@@ -47,6 +47,7 @@ _FRONT = [
     "flagship_career_collapse",   # driver smoke target stays first
     # --- (a) new or changed this round: must gate on current impl ---
     "x_multimodal_mjpeg_decode",  # NEW: real MJPEG sample decode
+    "x_video_phash_neardup",      # NEW: per-frame pHash video dedup
     "x_audio_rate_invariant_match",  # NEW: canonical-rate resample
     "s33_streaming_cusum_drift",  # NEW: LIVE CUSUM state-store gate
     "w37_changepoint_detect",     # NEW: mean-shift changepoint

@@ -1183,6 +1183,92 @@ def x_multimodal_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_video_phash_neardup",
+    "Video-level perceptual near-dup under the full-value hash gate "
+    "(operators/multimodal.py video_phash_frames → "
+    "video_phash_neardup): per-frame DCT pHash over REAL demuxed+"
+    "decoded MJPEG MP4 frames (mp4.py parse_mp4_samples + jpeg.py "
+    "baseline decode, one Arrow crossing), then frame-0-only Manku "
+    "pigeonhole banding for candidates — complete because a true "
+    "pair must match on EVERY frame — and one aligned equi-join "
+    "verifying max per-frame Hamming <= 3 with equal frame counts. "
+    "Planted: 12 base videos (3-5 kron-noise frames), 12 twins with "
+    "one 8x8 cell brightened +16 per frame (measured per-frame "
+    "Hamming 0-2, 18 frames nonzero — the tolerance is load-"
+    "bearing), 4 decoys sharing frame 0 byte-for-byte but diverging "
+    "after (candidates by construction, rejected ONLY by the multi-"
+    "frame verify; measured later-frame Hamming >= 20), one "
+    "truncated copy rejected by the frame-count check, one NULL "
+    "payload and one stub-codec MP4 exercising the skip paths.  The "
+    "oracle pins the planted pair structure: exactly the 12 "
+    "(base, twin) pairs with their formula frame counts.",
+    """
+SELECT CAST(i AS BIGINT) AS id_a, CAST(i + 1000 AS BIGINT) AS id_b,
+       CAST(3 + i % 3 AS INT) AS n_frames
+FROM (SELECT unnest(generate_series(0, 11)) AS i)
+""",
+    tags=("M4", "multimodal"),
+)
+def x_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.jpeg import encode_jpeg_gray
+    from ..operators.mp4 import encode_mp4_mjpeg_video, encode_mp4_stub_video
+    from ..operators.multimodal import MEDIA_SCHEMA, video_phash_neardup
+
+    def kron_frame(seed: int) -> "np.ndarray":
+        rs = np.random.RandomState(seed)
+        b8 = rs.randint(0, 256, size=(8, 8)).astype(np.uint8)
+        return np.kron(b8, np.ones((8, 8), dtype=np.uint8))
+
+    def enc(img: "np.ndarray") -> bytes:
+        return encode_jpeg_gray(img.tobytes(), 64, 64)
+
+    rows = []
+    for mid in range(12):
+        nf = 3 + mid % 3
+        base, twin = [], []
+        for f in range(nf):
+            img = kron_frame(7000 + mid * 100 + f)
+            base.append(enc(img))
+            tw = img.astype(np.int16).copy()
+            ci, cj = (mid + f) % 8, (3 * mid + 5 * f) % 8
+            tw[ci * 8 : (ci + 1) * 8, cj * 8 : (cj + 1) * 8] += 16
+            twin.append(enc(np.clip(tw, 0, 255).astype(np.uint8)))
+        rows.append(
+            (mid, encode_mp4_mjpeg_video(base, 64, 64), "video",
+             f"planted://vphash/{mid}")
+        )
+        rows.append(
+            (1000 + mid, encode_mp4_mjpeg_video(twin, 64, 64), "video",
+             f"planted://vphash/twin/{mid}")
+        )
+        if mid < 4:
+            decoy = [base[0]] + [
+                enc(kron_frame(7000 + (mid + 500) * 100 + f))
+                for f in range(1, nf)
+            ]
+            rows.append(
+                (2000 + mid, encode_mp4_mjpeg_video(decoy, 64, 64), "video",
+                 f"planted://vphash/decoy/{mid}")
+            )
+    short = [enc(kron_frame(7000 + f)) for f in range(2)]
+    rows.append(
+        (3000, encode_mp4_mjpeg_video(short, 64, 64), "video",
+         "planted://vphash/short")
+    )
+    rows.append((3001, None, "video", "planted://vphash/null"))
+    rows.append(
+        (3002, encode_mp4_stub_video(64, 64, 3), "video",
+         "planted://vphash/stub-codec")
+    )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return video_phash_neardup(media, max_hamming=3).select(
+        "id_a", "id_b", "n_frames"
+    )
+
+
+@_q(
     "x_multimodal_phash",
     "REAL DCT perceptual hash under the driver hash gate "
     "(operators/multimodal.py phash64_png → compute_phash → "

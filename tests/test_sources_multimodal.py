@@ -687,3 +687,100 @@ def test_truncated_png_wav_raise_clean_valueerror():
     )
     with pytest.raises(ValueError, match="truncated WAV fmt"):
         decode_wav(short_fmt)
+
+
+def test_video_phash_frames_demux_decode_and_skips(spark):
+    """Per-frame pHash rows come only from decodable MJPEG MP4s: one
+    row per demuxed frame with the video's frame count attached;
+    NULL payloads, stub-codec MP4s and non-MP4 bytes emit nothing."""
+    import numpy as np
+
+    from mcm_problem_f_data_wrangling_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+    from mcm_problem_f_data_wrangling_spark.operators.mp4 import (
+        encode_mp4_mjpeg_video,
+        encode_mp4_stub_video,
+        parse_mp4_samples,
+    )
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        _phash64_decoded,
+        video_phash_frames,
+    )
+
+    def frame(seed):
+        rs = np.random.RandomState(seed)
+        img = np.kron(
+            rs.randint(0, 256, size=(8, 8)).astype(np.uint8),
+            np.ones((8, 8), dtype=np.uint8),
+        )
+        return encode_jpeg_gray(img.tobytes(), 64, 64)
+
+    vid = encode_mp4_mjpeg_video([frame(1), frame(2), frame(3)], 64, 64)
+    rows = [
+        (0, bytearray(vid)),
+        (1, None),
+        (2, bytearray(encode_mp4_stub_video(32, 32, 4))),
+        (3, bytearray(b"not an mp4 at all, just bytes")),
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = video_phash_frames(df).orderBy("frame_idx").collect()
+    assert [(r["media_id"], r["frame_idx"], r["n_frames"]) for r in got] == [
+        (0, 0, 3),
+        (0, 1, 3),
+        (0, 2, 3),
+    ]
+    # hashes equal the driver-side reference chain on the same samples
+    _, samples = parse_mp4_samples(vid)
+    want = [_phash64_decoded(decode_jpeg(s)) for s in samples]
+    assert [r["phash"] for r in got] == want
+
+
+def test_video_phash_neardup_aligned_verify(spark):
+    """The frame-0 banding generates candidates, but ONLY the multi-
+    frame verify decides: a twin (every frame within tolerance)
+    pairs; a decoy sharing frame 0 byte-for-byte but diverging after
+    is rejected; a truncated copy is rejected by the count check."""
+    import numpy as np
+
+    from mcm_problem_f_data_wrangling_spark.operators.jpeg import (
+        encode_jpeg_gray,
+    )
+    from mcm_problem_f_data_wrangling_spark.operators.mp4 import (
+        encode_mp4_mjpeg_video,
+    )
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        video_phash_neardup,
+    )
+
+    def img(seed):
+        rs = np.random.RandomState(seed)
+        return np.kron(
+            rs.randint(0, 256, size=(8, 8)).astype(np.uint8),
+            np.ones((8, 8), dtype=np.uint8),
+        )
+
+    def enc(a):
+        return encode_jpeg_gray(a.tobytes(), 64, 64)
+
+    base = [img(7000 + f) for f in range(3)]
+    twin = []
+    for f, a in enumerate(base):
+        t = a.astype(np.int16).copy()
+        t[0:8, (5 * f) % 8 * 8 : ((5 * f) % 8 + 1) * 8] += 16
+        twin.append(np.clip(t, 0, 255).astype(np.uint8))
+    rows = [
+        (0, bytearray(encode_mp4_mjpeg_video([enc(a) for a in base], 64, 64))),
+        (1, bytearray(encode_mp4_mjpeg_video([enc(a) for a in twin], 64, 64))),
+        # decoy: frame 0 identical, frames 1-2 unrelated noise
+        (2, bytearray(encode_mp4_mjpeg_video(
+            [enc(base[0]), enc(img(991)), enc(img(992))], 64, 64))),
+        # truncated copy: base frames 0-1 only
+        (3, bytearray(encode_mp4_mjpeg_video(
+            [enc(a) for a in base[:2]], 64, 64))),
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = video_phash_neardup(df, max_hamming=3).collect()
+    assert [(r["id_a"], r["id_b"], r["n_frames"]) for r in got] == [(0, 1, 3)]
+    assert got[0]["max_frame_hamming"] <= 3

@@ -52,6 +52,10 @@ PYTHON_OK = {
     "x_audio_quality_stats",         # decode stage in mapInPandas
     "x_audio_shift_neardup",         # FFT stage in mapInPandas
     "x_video_frame_sample",          # decode stage in mapInPandas
+    "x_multimodal_mjpeg_decode",     # demux + JPEG decode in mapInPandas
+    "x_audio_rate_invariant_match",  # resample + FFT in mapInPandas
+    "x_video_phash_neardup",         # frame pHash in mapInPandas
+    # (behind an eager localCheckpoint, so usually 0 in the audited plan)
     "x_multimodal_feature_extract",
     "x_bpe_token_stats",
     "s30_streaming_running_totals",  # applyInPandasWithState stream
