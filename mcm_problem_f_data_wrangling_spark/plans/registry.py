@@ -96,7 +96,12 @@ _FRONT = [
     "x_text_pii_redact",
     "x_skew_salted_group_sum",
     "x_quality_lr_score",
-    # --- (c) overflow: stalest round-4 rows (suite order) ---
+    # --- (c) overflow: new-this-round gates that must not displace a
+    # --- rotation target from the observed ~50 budget (they gate if
+    # --- the budget runs long; else they are parity-proven and rotate
+    # --- into the r10 window), then the stalest round-4 rows.
+    "x_decontam_bloom_prefilter",  # NEW: bloom-pruned exact decontam
+    "s34_streaming_interval_join",  # NEW: LIVE stream-stream join
     "s19_snapshot_diff",
     "s20_event_transitions",
     "s21_id_gap_detection",
@@ -105,8 +110,6 @@ _FRONT = [
     "w23_interpolate_linear",
     "w24_cusum_drift",
     "w25_topk_per_group",
-    "w26_seasonal_adjust",
-    "w27_acf_lags",
 ]
 
 # The external driver verifies roughly this many registry-order

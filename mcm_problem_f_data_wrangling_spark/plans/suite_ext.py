@@ -2199,6 +2199,52 @@ def x_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_q(
+    "x_decontam_bloom_prefilter",
+    "Bloom-PRUNED decontamination with EXACT output "
+    "(operators/decontam.py bloom_decontaminate): the scale path for "
+    "eval sets too big to broadcast raw — eval 8-gram hashes fold "
+    "into a 2^20-bit Bloom filter held as a 16K-row bit-word "
+    "DataFrame (one group-by bit_or, never collected), the train "
+    "side probes it with 4 MAP-SIDE broadcast joins on the word "
+    "index (Kirsch-Mitzenmacher double hashing, pure signed-64 "
+    "arithmetic under ANSI), and only the pruned pass-through "
+    "stream reaches the exact verify join.  No false negatives by "
+    "construction; false positives die in the verify — so the "
+    "oracle is the SAME exact SQL as x_decontaminate_ngram_overlap, "
+    "and a 256-bit FP-stressed twin of this plan is equality-tested "
+    "in pytest.  No train-side shuffle exists before the verify "
+    "join's already-pruned input.",
+    f"""
+WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(toks) >= 8
+           THEN list_transform(generate_series(1, len(toks) - 7),
+                               i -> array_to_string(toks[i:i+7], ' '))
+           ELSE [] END)) AS ng
+  FROM toks_t
+),
+hp AS (SELECT doc_id, {_H60('ng')} AS h FROM sh),
+ev AS (SELECT doc_id AS eval_id, h FROM hp WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, h FROM hp WHERE doc_id % 10 != 0)
+SELECT tr.doc_id,
+       CAST(COUNT(DISTINCT tr.h) AS BIGINT) AS n_shared_ngrams,
+       CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+FROM tr JOIN ev ON tr.h = ev.h
+GROUP BY tr.doc_id
+""",
+    tags=("M4", "decontam"),
+)
+def x_decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import bloom_decontaminate
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tr = docs.filter(F.col("doc_id") % 10 != 0)
+    return bloom_decontaminate(tr, ev, k=8)
+
+
+@_q(
     "x_dedup_clusters_cc",
     "Duplicate-CLUSTER resolution: exact-fingerprint star edges + "
     "prefix-filtered exact bigram-shingle Jaccard pairs (round-2: "
@@ -3550,6 +3596,117 @@ def s33_streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "key string, last_event_id bigint, s_plus_cents bigint, "
         "s_minus_cents bigint, alarm int",
+    )
+
+
+@_q(
+    "s34_streaming_interval_join",
+    "LIVE Structured Streaming execution #6 — the TWO-stream operator "
+    "class (streaming/dedup.py stream_stream_interval_join, until now "
+    "pytest-only): every earlier live gate is a one-stream "
+    "aggregation; this one replays the events parquet as two "
+    "INDEPENDENT streams (clicks, purchases) and correlates them "
+    "through the engine's symmetric state-store hash join — each "
+    "purchase within 30 minutes AFTER a click by the same user (the "
+    "attribution staple, expressed as the operator's lookback with "
+    "the roles swapped).  Both sides carry watermarks and the join "
+    "condition carries the mandatory event-time range, so each "
+    "side's rows buffer in keyed state until eviction; the replay "
+    "watermark (90 days > the 30-day span) guarantees no eviction, "
+    "making the drained append-mode sink EXACTLY the batch interval "
+    "join the DuckDB oracle computes.  In production the delay is "
+    "the correctness/latency knob and state is O(rows in the "
+    "horizon) per side.  availableNow + awaitTermination guard "
+    "(s30-s33 pattern); driver pull is the O(pairs) join result "
+    "itself.",
+    """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id, ROUND(p.value, 6) AS p_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+    tags=("M2", "streaming", "joins"),
+)
+def s34_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming.dedup import stream_stream_interval_join
+
+    raw_schema = table(spark, sf_dir, "events").schema
+
+    def stream(et: str, cols):
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{sf_dir}/events.parquet*")
+            .where(F.col("event_type") == et)
+            .select(*cols)
+        )
+
+    # NTZ -> instant cast: watermarks demand TimestampType, and the
+    # join is purely RELATIVE time (no ts column reaches the output),
+    # so the session-zone shift applies equally to both sides and
+    # cancels — zone-safe under any driver timezone.
+    clicks = stream(
+        "click",
+        [
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+        ],
+    )
+    purchases = stream(
+        "purchase",
+        [
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        ],
+    )
+    # "purchases within 30 min AFTER each click" = the operator's
+    # lookback with roles swapped: clicks within 30 min BEFORE each
+    # purchase produce the identical pair set.
+    joined = stream_stream_interval_join(
+        purchases,
+        clicks,
+        on=[("p_user", "user_id")],
+        left_ts="p_ts",
+        right_ts="ts",
+        lookback_seconds=1800.0,
+        watermark="90 days",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.round("p_value", 6).alias("p_value"),
+    )
+    sink = f"s34_ivj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                "s34 streaming query did not drain within 300 s — "
+                "a partial sink would drop matched pairs"
+            )
+    finally:
+        q.stop()
+    rows = spark.sql(
+        f"SELECT click_id, purchase_id, user_id, p_value FROM {sink}"
+    ).collect()
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(
+        rows,
+        "click_id long, purchase_id long, user_id long, p_value double",
     )
 
 

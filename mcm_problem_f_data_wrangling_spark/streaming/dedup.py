@@ -45,7 +45,7 @@ def dedup_stream(
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,
-    on: list[str],
+    on: list,
     left_ts: str,
     right_ts: str,
     lookback_seconds: float,
@@ -53,14 +53,19 @@ def stream_stream_interval_join(
 ) -> DataFrame:
     """Stream-stream inner join: right rows within ``lookback_seconds``
     BEFORE each left row, per key (e.g. attribute a click to the views
-    that preceded it while both are in flight).
+    that preceded it while both are in flight).  A look-FORWARD window
+    is the same operator with the roles swapped — "purchases within W
+    after each click" ≡ lookback(left=purchases, right=clicks).
 
     Both sides carry watermarks and the join condition time-bounds the
     match, so each side's buffered state is evicted once the other
     side's watermark passes ``lookback + watermark`` — without the
     time bound a stream-stream join buffers FOREVER (state = whole
     stream), which is the classic way this operator falls over in
-    production.  Caller supplies distinct column names across sides.
+    production.  Caller supplies distinct column names across sides;
+    each ``on`` entry is either a name present on both sides or a
+    ``(left_col, right_col)`` pair (pre-renamed sides keep the joined
+    row free of duplicate columns).
     """
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
@@ -68,7 +73,8 @@ def stream_stream_interval_join(
     rsec = F.col(right_ts).cast("double")
     cond = (rsec >= lsec - F.lit(float(lookback_seconds))) & (rsec <= lsec)
     for k in on:
-        cond = cond & (l[k] == r[k])
+        lk, rk = k if isinstance(k, tuple) else (k, k)
+        cond = cond & (l[lk] == r[rk])
     return l.join(r, cond, "inner")
 
 

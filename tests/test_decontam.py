@@ -47,3 +47,54 @@ def test_decontaminate_plan_broadcasts_eval_side(spark):
     tr = spark.createDataFrame([(1, "t1 t2 t3 t4 t5 t6 t7 t8")], "doc_id bigint, text string")
     plan = ngram_decontaminate(tr, ev)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_decontaminate_matches_exact_even_under_fp_stress(spark):
+    """The Bloom path is EXACT: no false negatives by construction,
+    and false positives die in the verify join — equality holds even
+    with a deliberately tiny 256-bit filter where nearly every probe
+    collides."""
+    from mcm_problem_f_data_wrangling_spark.operators.decontam import (
+        bloom_decontaminate,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    ev = spark.createDataFrame(
+        [(100 + i, " ".join(words[i : i + 10])) for i in range(0, 30, 10)],
+        "doc_id bigint, text string",
+    )
+    tr = spark.createDataFrame(
+        [(i, " ".join(words[i % 32 : i % 32 + 8 + i % 3])) for i in range(25)],
+        "doc_id bigint, text string",
+    )
+    exact = {tuple(r) for r in ngram_decontaminate(tr, ev, k=8).collect()}
+    assert exact  # fixture really overlaps
+    for m_bits in (1 << 20, 256):
+        got = {
+            tuple(r)
+            for r in bloom_decontaminate(tr, ev, k=8, m_bits=m_bits).collect()
+        }
+        assert got == exact
+
+
+def test_bloom_decontaminate_prunes_disjoint_corpus_before_verify(spark):
+    """With a disjoint train corpus and a real-sized filter, the
+    Bloom probes prune (almost) everything: the pass-through stream
+    into the verify join is empty or a tiny FP trickle, never the
+    whole corpus."""
+    from mcm_problem_f_data_wrangling_spark.operators.decontam import (
+        _shingle_pairs,
+        bloom_decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, " ".join(f"e{i}" for i in range(12)))],
+        "doc_id bigint, text string",
+    )
+    tr = spark.createDataFrame(
+        [(d, " ".join(f"t{d}_{i}" for i in range(12))) for d in range(50)],
+        "doc_id bigint, text string",
+    )
+    assert bloom_decontaminate(tr, ev, k=8).count() == 0
+    n_shingles = _shingle_pairs(tr, "text", "doc_id", 8).count()
+    assert n_shingles == 50 * 5  # the stream the filter had to prune

@@ -581,3 +581,64 @@ def test_session_window_stream_merges_across_microbatches(spark, tmp_path_factor
            for r in spark.sql("SELECT * FROM session_merge_test").collect()}
     spark.catalog.dropTempView("session_merge_test")
     assert got == expected
+
+
+def test_interval_join_tuple_keys_match_across_micro_batches(
+    spark, tmp_path_factory
+):
+    """(left_col, right_col) key pairs keep the joined row free of
+    duplicate columns, and pairs whose two sides arrive in DIFFERENT
+    micro-batches (maxFilesPerTrigger=1, one row per file) still match
+    through the buffered join state."""
+    from mcm_problem_f_data_wrangling_spark.streaming.dedup import (
+        stream_stream_interval_join,
+    )
+
+    base = tmp_path_factory.mktemp("ssj_tuple")
+    pdir, cdir = str(base / "purch"), str(base / "clicks")
+    purchases = spark.createDataFrame(
+        [(10, "u1", "2024-05-01 10:20:00"), (11, "u2", "2024-05-01 09:00:00")],
+        ["purchase_id", "p_user", "ts_s"],
+    ).withColumn("p_ts", F.to_timestamp("ts_s")).drop("ts_s")
+    clicks = spark.createDataFrame(
+        [
+            (1, "u1", "2024-05-01 10:00:00"),  # 20 min before purchase ✓
+            (2, "u2", "2024-05-01 09:30:00"),  # after u2's purchase ✗
+        ],
+        ["click_id", "user_id", "ts_s"],
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    # one row per file => the matching click and purchase land in
+    # separate micro-batches
+    purchases.repartition(2).write.parquet(pdir)
+    clicks.repartition(2).write.parquet(cdir)
+
+    ls = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdir)
+    )
+    rs = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdir)
+    )
+    joined = stream_stream_interval_join(
+        ls, rs,
+        on=[("p_user", "user_id")],
+        left_ts="p_ts",
+        right_ts="ts",
+        lookback_seconds=1800.0,
+    ).select("click_id", "purchase_id", "user_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_tuple_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["click_id"], r["purchase_id"], r["user_id"])
+        for r in spark.sql("SELECT * FROM ssj_tuple_test").collect()
+    }
+    assert got == {(1, 10, "u1")}
