@@ -78,3 +78,94 @@ def finalize(state: DataFrame, keys: list[str], measures: list[str]) -> DataFram
             F.col(f"max_{m}"),
         ]
     return state.select(*cols)
+
+
+def histogram_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Mergeable fixed-bin histogram state: ``(keys..., bin_idx, n)``.
+
+    The quantile complement to :func:`partial_aggregate` — count/sum/
+    min/max merge trivially, but percentiles need a DISTRIBUTION
+    state, and a fixed-edge equi-width histogram is the simplest one
+    that merges exactly: same edges => merged counts are bin-wise
+    sums, so (like the decimal sums) merged state is IDENTICAL to a
+    full recompute, in any merge order or grouping.  The price is
+    fixed resolution: estimates carry at most one bin-width of error
+    and values outside [lo, hi) clamp into the edge bins (choose the
+    domain once, when the state table is created).  NULLs contribute
+    nothing.  State size is O(groups * n_bins), independent of
+    history length.
+    """
+    width = (hi - lo) / n_bins
+    v = F.col(value_col)
+    bin_idx = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*keys, bin_idx.alias("bin_idx"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_histogram_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """History ∪ increment → new state: bin-wise count sums (exact,
+    associative, commutative)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "bin_idx")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def quantiles_from_histogram(
+    state: DataFrame,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    qs: list[float],
+) -> DataFrame:
+    """Per-group quantile estimates from histogram state: the UNIQUE
+    bin whose cumulative span contains ``q * total`` (``cum_before <
+    target <= cum`` — boundary-safe: a target landing exactly on a
+    bin's cumulative total resolves to that bin, never the next), with
+    linear interpolation inside it —
+    ``est = lo + width * (bin + (q*total - cum_before) / n_bin)``.
+    One window cumsum per group; output one row per group with a
+    ``q<pct>`` column per requested quantile plus ``n_total``.
+    Rounding is the cross-engine-portable ``floor(x*1e6 + 0.5)/1e6``
+    (plans/base.py discipline), never ``round(double)``.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    w = Window.partitionBy(*keys).orderBy("bin_idx")
+    c = state.select(
+        *keys,
+        "bin_idx",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.partitionBy(*keys)).alias("total"),
+    )
+    aggs = [F.max("total").cast("long").alias("n_total")]
+    for q in qs:
+        target = F.lit(q) * F.col("total")
+        before = F.col("cum") - F.col("n")
+        est = F.lit(lo) + F.lit(width) * (
+            F.col("bin_idx") + (target - before) / F.col("n")
+        )
+        hit = F.when((before < target) & (F.col("cum") >= target), est)
+        aggs.append(
+            (F.floor(F.max(hit) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                f"q{int(round(q * 100)):02d}"
+            )
+        )
+    return c.groupBy(*keys).agg(*aggs)

@@ -102,6 +102,7 @@ _FRONT = [
     # --- into the r10 window), then the stalest round-4 rows.
     "x_decontam_bloom_prefilter",  # NEW: bloom-pruned exact decontam
     "s34_streaming_interval_join",  # NEW: LIVE stream-stream join
+    "x_incremental_histogram",    # NEW: mergeable quantile state
     "s19_snapshot_diff",
     "s20_event_transitions",
     "s21_id_gap_detection",
@@ -109,7 +110,6 @@ _FRONT = [
     "s23_new_vs_returning",
     "w23_interpolate_linear",
     "w24_cusum_drift",
-    "w25_topk_per_group",
 ]
 
 # The external driver verifies roughly this many registry-order

@@ -4477,6 +4477,71 @@ def s18_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_incremental_histogram",
+    "Incremental QUANTILE maintenance (operators/incremental.py "
+    "histogram_state / merge_histogram_states / "
+    "quantiles_from_histogram): count/sum/min/max merge trivially "
+    "(s18), but percentiles need a DISTRIBUTION state — a fixed-edge "
+    "equi-width histogram merges EXACTLY (bin-wise count sums, any "
+    "merge order), so history never rescans when the daily increment "
+    "lands and state stays O(groups x bins) whatever the history "
+    "size.  Here orders split ~9:1 by portable key hash into "
+    "history/increment, each reduces to 64-bin state over "
+    "o_totalprice in [0, 512000), the two states merge, and p50/p95 "
+    "read off the merged cumulative counts with in-bin linear "
+    "interpolation (the unique bin whose cumulative span contains "
+    "q*total).  The oracle recomputes the identical integer bin "
+    "arithmetic and interpolation from the FULL table — merged == "
+    "recompute is the property under the hash.  Rounding is the "
+    "portable FLOOR(x*1e6+0.5)/1e6, never ROUND(double).",
+    """
+WITH b AS (
+  SELECT o_orderpriority AS priority,
+         LEAST(GREATEST(CAST(FLOOR(o_totalprice / 8000.0) AS INT), 0), 63)
+           AS bin_idx
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+h AS (SELECT priority, bin_idx, COUNT(*) AS n FROM b GROUP BY 1, 2),
+c AS (SELECT priority, bin_idx, n,
+             SUM(n) OVER (PARTITION BY priority ORDER BY bin_idx) AS cum,
+             SUM(n) OVER (PARTITION BY priority) AS total
+      FROM h)
+SELECT priority,
+       CAST(MAX(total) AS BIGINT) AS n_total,
+       FLOOR(MAX(CASE WHEN cum - n < 0.5 * total AND cum >= 0.5 * total
+             THEN 8000.0 * (bin_idx + (0.5 * total - (cum - n)) / n) END)
+             * 1e6 + 0.5) / 1e6 AS q50,
+       FLOOR(MAX(CASE WHEN cum - n < 0.95 * total AND cum >= 0.95 * total
+             THEN 8000.0 * (bin_idx + (0.95 * total - (cum - n)) / n) END)
+             * 1e6 + 0.5) / 1e6 AS q95
+FROM c GROUP BY priority
+""",
+    tags=("M2", "warehouse"),
+)
+def x_incremental_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import (
+        histogram_state,
+        merge_histogram_states,
+        quantiles_from_histogram,
+    )
+
+    orders = table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderpriority", "priority"
+    )
+    split = F.col("o_orderkey") % 10
+    history = orders.filter(split != 0)
+    increment = orders.filter(split == 0)
+    keys = ["priority"]
+    lo, hi, n_bins = 0.0, 512000.0, 64
+    merged = merge_histogram_states(
+        histogram_state(history, keys, "o_totalprice", lo, hi, n_bins),
+        histogram_state(increment, keys, "o_totalprice", lo, hi, n_bins),
+        keys,
+    )
+    return quantiles_from_histogram(merged, keys, lo, hi, n_bins, [0.5, 0.95])
+
+
+@_q(
     "w19_outlier_zscore",
     "Per-series z-score outlier flags over the monthly grain: mean "
     "and sample-variance derive from EXACT decimal Σx/Σx² window "

@@ -48,3 +48,56 @@ def test_empty_increment_is_identity(spark):
     empty = partial_aggregate(li.filter(F.lit(False)), KEYS, MEAS)
     merged = merge_states(state, empty, KEYS, MEAS)
     assert _rows(finalize(merged, KEYS, MEAS)) == _rows(finalize(state, KEYS, MEAS))
+
+
+def test_histogram_state_merge_equals_full_recompute(spark):
+    """Merging day-shard histogram states in ANY grouping is
+    bit-identical to the full-recompute state (fixed edges => bin-wise
+    integer count sums)."""
+    from mcm_problem_f_data_wrangling_spark.operators.incremental import (
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    rows = [(i % 3, f"g{i % 2}", float((i * 37) % 100)) for i in range(300)]
+    df = spark.createDataFrame(rows, "day int, g string, v double")
+    full = histogram_state(df, ["g"], "v", 0.0, 100.0, 10)
+    shards = [
+        histogram_state(df.where(F.col("day") == d), ["g"], "v", 0.0, 100.0, 10)
+        for d in range(3)
+    ]
+    merged = merge_histogram_states(
+        merge_histogram_states(shards[2], shards[0], ["g"]), shards[1], ["g"]
+    )
+    key = lambda r: (r["g"], r["bin_idx"])
+    assert {key(r): r["n"] for r in merged.collect()} == {
+        key(r): r["n"] for r in full.collect()
+    }
+
+
+def test_histogram_quantiles_interpolate_and_clamp(spark):
+    """Uniform values 0..99 over [0,100) x 10 bins: p50 lands mid-
+    domain within one bin width; NULLs contribute nothing; values
+    outside the domain clamp into the edge bins instead of vanishing."""
+    from mcm_problem_f_data_wrangling_spark.operators.incremental import (
+        histogram_state,
+        quantiles_from_histogram,
+    )
+
+    rows = [("a", float(i)) for i in range(100)] + [
+        ("a", None),
+        ("b", -50.0),   # clamps to bin 0
+        ("b", 500.0),   # clamps to bin 9
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    st = histogram_state(df, ["g"], "v", 0.0, 100.0, 10)
+    out = {
+        r["g"]: r
+        for r in quantiles_from_histogram(
+            st, ["g"], 0.0, 100.0, 10, [0.5]
+        ).collect()
+    }
+    assert out["a"]["n_total"] == 100  # NULL dropped
+    assert abs(out["a"]["q50"] - 50.0) <= 10.0  # within one bin width
+    assert out["b"]["n_total"] == 2  # clamped rows both counted
+    assert 0.0 <= out["b"]["q50"] <= 100.0
