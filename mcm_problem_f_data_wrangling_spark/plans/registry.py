@@ -103,13 +103,13 @@ _FRONT = [
     "x_decontam_bloom_prefilter",  # NEW: bloom-pruned exact decontam
     "s34_streaming_interval_join",  # NEW: LIVE stream-stream join
     "x_incremental_histogram",    # NEW: mergeable quantile state
+    "s35_streaming_static_enrich",  # NEW: LIVE stream-static enrich
     "s19_snapshot_diff",
     "s20_event_transitions",
     "s21_id_gap_detection",
     "s22_rapid_duplicate_events",
     "s23_new_vs_returning",
     "w23_interpolate_linear",
-    "w24_cusum_drift",
 ]
 
 # The external driver verifies roughly this many registry-order

@@ -3711,6 +3711,65 @@ def s34_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "s35_streaming_static_enrich",
+    "LIVE Structured Streaming execution #7 — the STREAM-STATIC "
+    "class (streaming/enrich.py, until now drain-tested only): the "
+    "events parquet replays as a stream, a static blocklist drops "
+    "contaminated users at INGEST (decontaminate_stream — stateless "
+    "LEFT ANTI, blocklist re-resolves per micro-batch), the "
+    "surviving rows broadcast-join the customer dimension "
+    "(enrich_stream — stateless, watermark-free, shuffle-free on "
+    "the stream side), and a per-segment rollup drains complete-"
+    "mode.  Values aggregate as integer cents via the portable "
+    "floor(x*100+0.5) so the sum is order-exact; the sink is "
+    "O(#segments).  The oracle is the identical anti-join + join + "
+    "group-by in plain SQL.",
+    """
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(FLOOR(e.value * 100 + 0.5)) AS BIGINT) AS total_cents
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.user_id % 50 != 0
+GROUP BY 1
+""",
+    tags=("M2", "streaming", "joins"),
+)
+def s35_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming.enrich import decontaminate_stream, enrich_stream
+    from ..streaming.rollup import run_to_memory_sink
+
+    raw_schema = table(spark, sf_dir, "events").schema
+    customer = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    blocklist = customer.filter(F.col("user_id") % 50 == 0).select("user_id")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{sf_dir}/events.parquet*")
+        .select("user_id", F.floor(F.col("value") * 100 + F.lit(0.5)).alias("cents"))
+    )
+    clean = decontaminate_stream(stream, blocklist, on=["user_id"])
+    enriched = enrich_stream(clean, customer, on=["user_id"], how="inner")
+    rollup = enriched.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("total_cents"),
+    )
+    sink = f"s35_enrich_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(rollup, sink)
+    rows = spark.sql(
+        f"SELECT segment, n_events, total_cents FROM {sink}"
+    ).collect()
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(
+        rows, "segment string, n_events long, total_cents long"
+    )
+
+
+@_q(
     "s30_streaming_running_totals",
     "LIVE Structured Streaming execution under the driver hash gate "
     "(streaming/running.py running_totals_stream, GroupState engine): "
