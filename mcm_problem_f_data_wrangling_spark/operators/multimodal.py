@@ -1046,3 +1046,95 @@ def video_phash_neardup(
     ).select(
         "id_a", "id_b", F.col("nf_a").alias("n_frames"), "max_frame_hamming"
     )
+
+
+def video_clip_containment(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Trimmed-clip containment: pairs where the SHORTER video's full
+    frame sequence sits inside the longer one at ONE consistent
+    offset with per-frame pHash Hamming <= ``max_hamming`` — the cut
+    a same-length aligner (:func:`video_phash_neardup`) cannot see,
+    and the video twin of ``audio.audio_shifted_neardup``'s
+    offset-consistency rule.
+
+    Scale shape: every frame's hash bands (Manku pigeonhole), the
+    band equi-join VOTES (pair, offset) candidates — complete,
+    because a contained clip's every aligned frame pair shares a
+    band, so any one of them seeds the right offset — then one
+    aligned equi-join per side verifies that the match count at that
+    offset equals the shorter video's frame count.  A bag-of-frames
+    decoy (same frames, scrambled order) dies here: its matches
+    scatter over inconsistent offsets and no single offset aligns
+    them all.  Never all-pairs.
+
+    Output: ``(id_a, id_b, offset, n_frames_matched,
+    max_frame_hamming)``, ``id_a < id_b``; ``offset`` = the a-frame
+    index aligned with b's frame 0.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    # one decode, three consumers (same discipline as video_phash_neardup)
+    frames = video_phash_frames(df, payload_col, id_col).localCheckpoint(
+        eager=True
+    )
+    banded = frames.select(
+        "media_id",
+        "frame_idx",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash", b * width).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    votes = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            (F.col("a.frame_idx") - F.col("b.frame_idx")).alias("offset"),
+        )
+        .distinct()
+    )
+    fa = frames.select(
+        F.col("media_id").alias("id_a"),
+        F.col("frame_idx").alias("fi_a"),
+        F.col("phash").alias("ph_a"),
+        F.col("n_frames").alias("nf_a"),
+    )
+    fb = frames.select(
+        F.col("media_id").alias("id_b"),
+        F.col("frame_idx").alias("fi_b"),
+        F.col("phash").alias("ph_b"),
+        F.col("n_frames").alias("nf_b"),
+    )
+    aligned = (
+        votes.join(fa, "id_a")
+        .withColumn("fi_b", F.col("fi_a") - F.col("offset"))
+        .join(fb, ["id_b", "fi_b"])
+    )
+    verdict = aligned.groupBy("id_a", "id_b", "offset").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames_matched"),
+        F.max("nf_a").alias("nf_a"),
+        F.max("nf_b").alias("nf_b"),
+        F.max(
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
+        ).alias("max_frame_hamming"),
+    )
+    return verdict.where(
+        (F.col("n_frames_matched") == F.least("nf_a", "nf_b"))
+        & (F.col("max_frame_hamming") <= max_hamming)
+    ).select("id_a", "id_b", "offset", "n_frames_matched", "max_frame_hamming")

@@ -104,12 +104,12 @@ _FRONT = [
     "s34_streaming_interval_join",  # NEW: LIVE stream-stream join
     "x_incremental_histogram",    # NEW: mergeable quantile state
     "s35_streaming_static_enrich",  # NEW: LIVE stream-static enrich
+    "x_video_clip_containment",   # NEW: trimmed-clip video dedup
     "s19_snapshot_diff",
     "s20_event_transitions",
     "s21_id_gap_detection",
     "s22_rapid_duplicate_events",
     "s23_new_vs_returning",
-    "w23_interpolate_linear",
 ]
 
 # The external driver verifies roughly this many registry-order

@@ -1269,6 +1269,94 @@ def x_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_video_clip_containment",
+    "Trimmed-CLIP video containment under the full-value hash gate "
+    "(operators/multimodal.py video_clip_containment): the cut that "
+    "equal-length alignment (x_video_phash_neardup) cannot see — a "
+    "shorter clip cut from inside a longer video.  Every frame's "
+    "pHash bands vote (pair, offset) candidates (complete: each "
+    "aligned frame pair of a true containment shares a band), then "
+    "ONE aligned equi-join verifies that the match count at a voted "
+    "offset equals the shorter video's frame count with max "
+    "per-frame Hamming <= 3 — the offset-consistency rule of the "
+    "audio shift matcher, applied to decoded MJPEG frames.  "
+    "Planted: 8 long bases (5-7 frames), 8 perturbed 3-frame clips "
+    "cut at formula offsets (measured nonzero per-frame Hamming — "
+    "tolerance load-bearing), 3 partial decoys sharing exactly one "
+    "frame byte-for-byte (full positional overlap exists, so ONLY "
+    "the per-frame Hamming verify rejects them), one bag-of-frames "
+    "decoy (base frames in reversed order — every voted offset "
+    "aligns some non-matching pair), NULL and stub-codec skip rows. "
+    "Oracle pins the 8 (base, clip) rows with their formula offsets.",
+    """
+SELECT CAST(i AS BIGINT) AS id_a, CAST(i + 1000 AS BIGINT) AS id_b,
+       CAST(i % 3 AS INT) AS "offset", CAST(3 AS INT) AS n_frames_matched
+FROM (SELECT unnest(generate_series(0, 7)) AS i)
+""",
+    tags=("M4", "multimodal"),
+)
+def x_video_clip_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.jpeg import encode_jpeg_gray
+    from ..operators.mp4 import encode_mp4_mjpeg_video, encode_mp4_stub_video
+    from ..operators.multimodal import MEDIA_SCHEMA, video_clip_containment
+
+    def kron_frame(seed: int) -> "np.ndarray":
+        rs = np.random.RandomState(seed)
+        b8 = rs.randint(0, 256, size=(8, 8)).astype(np.uint8)
+        return np.kron(b8, np.ones((8, 8), dtype=np.uint8))
+
+    def enc(img: "np.ndarray") -> bytes:
+        return encode_jpeg_gray(img.tobytes(), 64, 64)
+
+    def perturb(img: "np.ndarray", mid: int, f: int) -> "np.ndarray":
+        tw = img.astype(np.int16).copy()
+        ci, cj = (mid + f) % 8, (3 * mid + 5 * f) % 8
+        tw[ci * 8 : (ci + 1) * 8, cj * 8 : (cj + 1) * 8] += 16
+        return np.clip(tw, 0, 255).astype(np.uint8)
+
+    rows = []
+    base_frames: dict[int, list] = {}
+    for mid in range(8):
+        nf = 5 + mid % 3
+        imgs = [kron_frame(7000 + mid * 100 + f) for f in range(nf)]
+        base_frames[mid] = imgs
+        rows.append(
+            (mid, encode_mp4_mjpeg_video([enc(a) for a in imgs], 64, 64),
+             "video", f"planted://clip/base/{mid}")
+        )
+        s = mid % 3
+        clip = [enc(perturb(imgs[f], mid, f)) for f in range(s, s + 3)]
+        rows.append(
+            (1000 + mid, encode_mp4_mjpeg_video(clip, 64, 64), "video",
+             f"planted://clip/cut/{mid}")
+        )
+    for mid in range(3):
+        decoy = [enc(base_frames[mid][1])] + [
+            enc(kron_frame(9100 + mid * 10 + f)) for f in (1, 2)
+        ]
+        rows.append(
+            (2000 + mid, encode_mp4_mjpeg_video(decoy, 64, 64), "video",
+             f"planted://clip/partial/{mid}")
+        )
+    scramble = [enc(base_frames[0][f]) for f in (2, 1, 0)]
+    rows.append(
+        (3000, encode_mp4_mjpeg_video(scramble, 64, 64), "video",
+         "planted://clip/scrambled")
+    )
+    rows.append((3001, None, "video", "planted://clip/null"))
+    rows.append(
+        (3002, encode_mp4_stub_video(64, 64, 3), "video",
+         "planted://clip/stub-codec")
+    )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return video_clip_containment(media, max_hamming=3).select(
+        "id_a", "id_b", "offset", "n_frames_matched"
+    )
+
+
+@_q(
     "x_multimodal_phash",
     "REAL DCT perceptual hash under the driver hash gate "
     "(operators/multimodal.py phash64_png → compute_phash → "

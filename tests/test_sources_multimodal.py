@@ -784,3 +784,55 @@ def test_video_phash_neardup_aligned_verify(spark):
     got = video_phash_neardup(df, max_hamming=3).collect()
     assert [(r["id_a"], r["id_b"], r["n_frames"]) for r in got] == [(0, 1, 3)]
     assert got[0]["max_frame_hamming"] <= 3
+
+
+def test_video_clip_containment_offsets_and_rejections(spark):
+    """A 2-frame clip cut at offset 1 from a 4-frame base surfaces
+    with that offset; a bag-of-frames decoy (same frames, swapped
+    order) and a clip sharing only ONE frame are rejected by the
+    aligned per-frame verify."""
+    import numpy as np
+
+    from mcm_problem_f_data_wrangling_spark.operators.jpeg import (
+        encode_jpeg_gray,
+    )
+    from mcm_problem_f_data_wrangling_spark.operators.mp4 import (
+        encode_mp4_mjpeg_video,
+    )
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        video_clip_containment,
+    )
+
+    def img(seed):
+        rs = np.random.RandomState(seed)
+        return np.kron(
+            rs.randint(0, 256, size=(8, 8)).astype(np.uint8),
+            np.ones((8, 8), dtype=np.uint8),
+        )
+
+    def enc(a):
+        return encode_jpeg_gray(a.tobytes(), 64, 64)
+
+    base = [img(7000 + f) for f in range(4)]
+    rows = [
+        (0, bytearray(encode_mp4_mjpeg_video([enc(a) for a in base], 64, 64))),
+        # exact 2-frame cut at offset 1
+        (1, bytearray(encode_mp4_mjpeg_video(
+            [enc(base[1]), enc(base[2])], 64, 64))),
+        # swapped order of the same two frames: positional alignment
+        # exists at the voted offsets but some aligned pair mismatches
+        (2, bytearray(encode_mp4_mjpeg_video(
+            [enc(base[2]), enc(base[1])], 64, 64))),
+        # shares only frame 0 of the base, then diverges
+        (3, bytearray(encode_mp4_mjpeg_video(
+            [enc(base[0]), enc(img(991))], 64, 64))),
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = {
+        (r["id_a"], r["id_b"]): (r["offset"], r["n_frames_matched"])
+        for r in video_clip_containment(df, max_hamming=3).collect()
+    }
+    assert got[(0, 1)] == (1, 2)
+    assert (0, 2) not in got and (0, 3) not in got
+    # the two clips share both frames but in swapped order => rejected
+    assert (1, 2) not in got

@@ -55,6 +55,7 @@ PYTHON_OK = {
     "x_multimodal_mjpeg_decode",     # demux + JPEG decode in mapInPandas
     "x_audio_rate_invariant_match",  # resample + FFT in mapInPandas
     "x_video_phash_neardup",         # frame pHash in mapInPandas
+    "x_video_clip_containment",      # frame pHash in mapInPandas
     # (behind an eager localCheckpoint, so usually 0 in the audited plan)
     "x_multimodal_feature_extract",
     "x_bpe_token_stats",
