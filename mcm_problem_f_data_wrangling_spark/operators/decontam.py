@@ -107,10 +107,13 @@ def bloom_decontaminate(
     Output schema matches :func:`ngram_decontaminate`:
     ``(doc_id, n_shared_ngrams, n_eval_docs)``, contaminated docs only.
     """
+    if m_bits < 64 or n_hashes < 1:
+        raise ValueError(
+            f"need m_bits >= 64 and n_hashes >= 1, got {m_bits}, {n_hashes}"
+        )
     ev = _shingle_pairs(eval_df, text_col, id_col, k).withColumnRenamed(
         id_col, "eval_id"
     )
-    n_words = m_bits // 64
     # Bloom build: eval positions -> (word_idx, or of bits).  The only
     # eval-side shuffle is this m_bits/64-key group-by.
     ev_pos = ev.select(
@@ -125,7 +128,6 @@ def bloom_decontaminate(
             "word"
         )
     )
-    assert n_words >= 1  # noqa: S101 - documents the word-table bound
     # Probe: n_hashes map-side broadcast joins; no big-side shuffle.
     tr = _shingle_pairs(train, text_col, id_col, k)
     probed = tr

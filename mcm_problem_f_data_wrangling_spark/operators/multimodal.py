@@ -1053,6 +1053,7 @@ def video_clip_containment(
     payload_col: str = "payload",
     id_col: str = "media_id",
     max_hamming: int = 3,
+    min_overlap: int = 2,
 ) -> DataFrame:
     """Trimmed-clip containment: pairs where the SHORTER video's full
     frame sequence sits inside the longer one at ONE consistent
@@ -1067,9 +1068,11 @@ def video_clip_containment(
     band, so any one of them seeds the right offset — then one
     aligned equi-join per side verifies that the match count at that
     offset equals the shorter video's frame count.  A bag-of-frames
-    decoy (same frames, scrambled order) dies here: its matches
-    scatter over inconsistent offsets and no single offset aligns
-    them all.  Never all-pairs.
+    decoy (same frames, scrambled order) dies here: at every voted
+    offset some aligned pair exceeds the Hamming tolerance.
+    ``min_overlap`` floors the evidence — a 1-frame video "contained"
+    on a single frame match is formally correct but weak; the default
+    demands at least 2 aligned matching frames.  Never all-pairs.
 
     Output: ``(id_a, id_b, offset, n_frames_matched,
     max_frame_hamming)``, ``id_a < id_b``; ``offset`` = the a-frame
@@ -1136,5 +1139,6 @@ def video_clip_containment(
     )
     return verdict.where(
         (F.col("n_frames_matched") == F.least("nf_a", "nf_b"))
+        & (F.col("n_frames_matched") >= F.lit(min_overlap))
         & (F.col("max_frame_hamming") <= max_hamming)
     ).select("id_a", "id_b", "offset", "n_frames_matched", "max_frame_hamming")
