@@ -102,6 +102,11 @@ def histogram_state(
     nothing.  State size is O(groups * n_bins), independent of
     history length.
     """
+    if not (hi > lo) or n_bins < 1:
+        raise ValueError(
+            f"histogram_state requires hi > lo and n_bins >= 1, "
+            f"got lo={lo}, hi={hi}, n_bins={n_bins}"
+        )
     width = (hi - lo) / n_bins
     v = F.col(value_col)
     bin_idx = F.least(
@@ -146,6 +151,11 @@ def quantiles_from_histogram(
     """
     from pyspark.sql import Window
 
+    if not (hi > lo) or n_bins < 1:
+        raise ValueError(
+            f"quantiles_from_histogram requires hi > lo and n_bins >= 1, "
+            f"got lo={lo}, hi={hi}, n_bins={n_bins}"
+        )
     width = (hi - lo) / n_bins
     w = Window.partitionBy(*keys).orderBy("bin_idx")
     c = state.select(

@@ -3665,16 +3665,21 @@ def s33_streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         q.stop()
-    # one row per key per micro-batch, appended in batch order; the
-    # LAST row per key is the converged state (s30 precedent) — an
-    # O(#keys) driver pull.  unix_micros inverts the synthetic clock
-    # exactly (TimestampType is an instant; no session-zone term).
+    # one row per key per micro-batch; the converged state is the row
+    # with MAX event-time per key (a later batch's final row always
+    # carries a later synthetic clock), selected explicitly — memory-
+    # sink collect order across batches is not a guaranteed contract.
+    # O(#keys x #batches) driver pull.  unix_micros inverts the
+    # synthetic clock exactly (TimestampType is an instant; no
+    # session-zone term).
     last: dict = {}
     for r in spark.sql(
         f"SELECT key, unix_micros(ts) AS eid, s_plus, s_minus, alarm "
         f"FROM {sink}"
     ).collect():
-        last[r["key"]] = r
+        cur = last.get(r["key"])
+        if cur is None or r["eid"] > cur["eid"]:
+            last[r["key"]] = r
     spark.catalog.dropTempView(sink)
     return spark.createDataFrame(
         [
@@ -3723,16 +3728,23 @@ def s34_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.dedup import stream_stream_interval_join
 
-    raw_schema = table(spark, sf_dir, "events").schema
+    # schema discovery via the RAW reader + the s08/s31/s33 nanos
+    # fix-up — NOT table()'s post-fixup schema: under the
+    # TIMESTAMP(NANOS) events layout the physical column is
+    # INT64-nanos and requesting TimestampType in the user schema
+    # makes the parquet scan throw
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def stream(et: str, cols):
-        return (
+        s = (
             spark.readStream.schema(raw_schema)
             .option("recursiveFileLookup", "true")
             .parquet(f"{sf_dir}/events.parquet*")
-            .where(F.col("event_type") == et)
-            .select(*cols)
         )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return s.where(F.col("event_type") == et).select(*cols)
 
     # NTZ -> instant cast: watermarks demand TimestampType, and the
     # join is purely RELATIVE time (no ts column reaches the output),
@@ -3829,7 +3841,13 @@ def s35_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.enrich import decontaminate_stream, enrich_stream
     from ..streaming.rollup import run_to_memory_sink
 
-    raw_schema = table(spark, sf_dir, "events").schema
+    # RAW reader schema (s08/s31/s33/s34 pattern), not table()'s
+    # post-fixup schema: ts is pruned before the scan today, but a
+    # post-fixup TimestampType ts in the user schema would throw on
+    # the INT64-nanos parquet layout the moment any future edit
+    # references it — keep the live gates uniform
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     customer = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )

@@ -101,3 +101,23 @@ def test_histogram_quantiles_interpolate_and_clamp(spark):
     assert abs(out["a"]["q50"] - 50.0) <= 10.0  # within one bin width
     assert out["b"]["n_total"] == 2  # clamped rows both counted
     assert 0.0 <= out["b"]["q50"] <= 100.0
+
+
+def test_histogram_degenerate_params_raise(spark):
+    """hi <= lo or n_bins < 1 must fail fast with ValueError (r9
+    advisor: silent wrong bin indices / divide-by-zero width
+    otherwise), matching the guards on sibling operators."""
+    import pytest
+
+    from mcm_problem_f_data_wrangling_spark.operators.incremental import (
+        histogram_state,
+        quantiles_from_histogram,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    st = histogram_state(df, ["g"], "v", 0.0, 100.0, 10)
+    for lo, hi, nb in [(0.0, 0.0, 10), (5.0, 1.0, 10), (0.0, 100.0, 0)]:
+        with pytest.raises(ValueError):
+            histogram_state(df, ["g"], "v", lo, hi, nb)
+        with pytest.raises(ValueError):
+            quantiles_from_histogram(st, ["g"], lo, hi, nb, [0.5])
