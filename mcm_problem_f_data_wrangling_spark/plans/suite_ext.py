@@ -3800,6 +3800,23 @@ def s34_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         q.stop()
+    # no-eviction proof (the 90-day delay out-spans the replay): the
+    # symmetric join state must hold EXACTLY every click and purchase
+    # row — measured 399,470 at sf1 (SCALE.md) — so a state-explosion
+    # OR an unexpected eviction (which would drop pairs) fails loudly
+    expected_state = (
+        spark.read.schema(raw_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{sf_dir}/events.parquet*")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .count()
+    )
+    state_rows = _final_state_rows(q)
+    if state_rows != expected_state:
+        raise AssertionError(
+            f"s34 final join state must hold every click+purchase row "
+            f"({expected_state}), got {state_rows}"
+        )
     rows = spark.sql(
         f"SELECT click_id, purchase_id, user_id, p_value FROM {sink}"
     ).collect()
@@ -3872,6 +3889,202 @@ def s35_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(sink)
     return spark.createDataFrame(
         rows, "segment string, n_events long, total_cents long"
+    )
+
+
+def _final_state_rows(q) -> int | None:
+    """Total state-store rows reported by the LAST progress entry that
+    carries a stateOperators block — the post-drain snapshot a gate
+    can assert a bound on (state-explosion / eviction regressions then
+    FAIL the gate instead of silently shifting a metric).  Returns
+    None when no stateful progress was reported (defensive: the gate
+    should treat that as its own failure, not skip the check)."""
+    import json as _json
+
+    for p in reversed(q.recentProgress):
+        d = _json.loads(p.json) if hasattr(p, "json") else p
+        ops = d.get("stateOperators") or []
+        if ops:
+            return sum(int(op.get("numRowsTotal", 0)) for op in ops)
+    return None
+
+
+@_q(
+    "s36_streaming_outer_interval_join",
+    "LIVE Structured Streaming execution #8 — the OUTER half of the "
+    "stream-stream operator class (the attribution staple: every "
+    "click emits exactly once, null-padded when no purchase lands "
+    "within 30 minutes after it).  Unlike s34's unbounded-watermark "
+    "inner join, the null-padded rows exist ONLY through watermark-"
+    "driven state eviction — a buffered click emits as unmatched "
+    "once the watermark proves no purchase can still arrive — so the "
+    "gate replays the events as EVENT-TIME-ORDERED files (streaming/"
+    "replay.py): range-partitioned parquet whose mtime order equals "
+    "event-time order makes eviction deterministic (no late drops "
+    "under the bounded 1-hour delay), and two far-future sentinel "
+    "files flush the watermark past all real data — sentinel batch k "
+    "advances the watermark at its end, batch k+1 performs the "
+    "eviction — so every unmatched click has null-padded out by end-"
+    "of-stream and the drained append sink EXACTLY equals the batch "
+    "left join the DuckDB oracle computes.  A post-drain assertion "
+    "pins the final state-store row count to the sentinel rows alone "
+    "(<= 4): if eviction breaks, the gate fails loudly.",
+    """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id, ROUND(p.value, 6) AS p_value
+FROM events c
+LEFT JOIN events p
+  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click'
+""",
+    tags=("M2", "streaming", "joins"),
+)
+def s36_streaming_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.dedup import stream_stream_interval_join
+    from ..streaming.replay import write_ordered_replay
+
+    # NTZ -> instant cast (s34 precedent): watermarks demand
+    # TimestampType and only RELATIVE time matters — the join window,
+    # the eviction horizon, and the sentinel offset all shift equally
+    # with the session zone, and no ts column reaches the output
+    base = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+    )
+    max_ts = base.agg(F.max("ts")).first()[0]  # driver-literal scalar
+    # sentinel ts must satisfy S - delay > T + window so the watermark
+    # after the FIRST sentinel batch already proves every real click's
+    # window closed; the second sentinel batch then runs the eviction
+    window_s, delay_s = 1800.0, 3600.0
+    s_ts = max_ts + datetime.timedelta(
+        seconds=window_s + delay_s + 7200.0
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, -1, "click", s_ts, 0.0), (-1, -1, "purchase", s_ts, 0.0)],
+        base.schema,
+    )
+    replay = tempfile.mkdtemp(prefix="s36_replay_")
+    try:
+        write_ordered_replay(
+            base, "ts", replay, n_files=3, sentinel_df=sentinel, n_sentinels=2
+        )
+        schema = spark.read.parquet(replay).schema
+
+        def stream(et: str, cols):
+            return (
+                spark.readStream.schema(schema)
+                # the watermark only advances BETWEEN batches, so the
+                # ladder needs exactly: [all data] -> [sentinel 1:
+                # watermark jumps past every real window] -> [sentinel
+                # 2: eviction runs, unmatched clicks null-pad out].
+                # Batching all 3 data files together (mtime order puts
+                # the sentinels last) keeps the state-store rounds at
+                # 3 instead of 5 — measured 3.2x faster at sf1 with
+                # identical output and the mid-stream eviction still
+                # exercised by the sentinel-1 batch
+                .option("maxFilesPerTrigger", "3")
+                .parquet(replay)
+                .where(F.col("event_type") == et)
+                .select(*cols)
+            )
+
+        clicks = stream(
+            "click",
+            [F.col("event_id").alias("click_id"), "user_id", "ts"],
+        )
+        purchases = stream(
+            "purchase",
+            [
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("value").alias("p_value"),
+            ],
+        )
+        joined = stream_stream_interval_join(
+            clicks,
+            purchases,
+            on=[("user_id", "p_user")],
+            left_ts="ts",
+            right_ts="p_ts",
+            lookback_seconds=window_s,
+            watermark="1 hour",
+            how="left_outer",
+            direction="lookforward",
+        )
+        # NO sentinel filter inside the streaming query: a post-join
+        # predicate on left columns (click_id >= 0) pushes down
+        # through the watermark node into the parquet scan, PRUNES
+        # the sentinel row group (event_id = -1 stats), and the
+        # click-side watermark then never advances — the exact
+        # failure the sentinels exist to prevent.  No filter is
+        # needed anyway: sentinel clicks sit at ts = S whose window
+        # the watermark (capped at S - delay) never closes, so they
+        # never emit, and sentinel purchases (user_id = -1, far
+        # future) match nothing — the sink holds only real rows.
+        out = joined.select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.round("p_value", 6).alias("p_value"),
+        )
+        sink = f"s36_oivj_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError(
+                    "s36 streaming query did not drain within 300 s — "
+                    "a partial sink would drop null-padded rows"
+                )
+        finally:
+            q.stop()
+        # eviction proof: after the sentinel batches only the 4
+        # sentinel rows may remain buffered — anything more means the
+        # watermark ladder broke and unmatched clicks never emitted
+        state_rows = _final_state_rows(q)
+        if state_rows is None or state_rows > 4:
+            raise AssertionError(
+                f"s36 final join state must be the <= 4 sentinel rows, "
+                f"got {state_rows}"
+            )
+        # driver-side defense-in-depth: a sentinel row reaching the
+        # sink would mean the eviction math above is wrong — drop it
+        # here (post-collect; cannot perturb the watermark) rather
+        # than ship it into the hash
+        rows = [
+            r
+            for r in spark.sql(
+                f"SELECT click_id, purchase_id, user_id, p_value FROM {sink}"
+            ).collect()
+            if r["click_id"] >= 0
+        ]
+        spark.catalog.dropTempView(sink)
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "click_id long, purchase_id long, user_id long, p_value double",
     )
 
 

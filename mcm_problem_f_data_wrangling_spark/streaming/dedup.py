@@ -50,12 +50,28 @@ def stream_stream_interval_join(
     right_ts: str,
     lookback_seconds: float,
     watermark: str = "2 hours",
+    how: str = "inner",
+    direction: str = "lookback",
 ) -> DataFrame:
-    """Stream-stream inner join: right rows within ``lookback_seconds``
-    BEFORE each left row, per key (e.g. attribute a click to the views
-    that preceded it while both are in flight).  A look-FORWARD window
-    is the same operator with the roles swapped — "purchases within W
-    after each click" ≡ lookback(left=purchases, right=clicks).
+    """Stream-stream interval join: right rows within
+    ``lookback_seconds`` BEFORE each left row (``direction=
+    'lookback'``) or AFTER it (``'lookforward'``), per key — e.g.
+    attribute a click to the views that preceded it while both are in
+    flight.  For ``how='inner'`` a look-forward window is the same
+    operator with the roles swapped; for OUTER joins the sides are no
+    longer symmetric (the outer side is the one that must emit
+    unmatched), so the direction is a real parameter.
+
+    ``how='left_outer'`` is the attribution-pipeline staple — every
+    left row emits exactly once, null-padded if no right row landed in
+    its window.  The null-padded rows are produced by WATERMARK-DRIVEN
+    STATE EVICTION: a buffered left row emits as unmatched only once
+    the watermark proves no matching right row can still arrive (right
+    watermark past ``left_ts + window``), so with an unbounded
+    watermark the unmatched rows never surface and with late
+    (out-of-order) data past the delay they are silently dropped —
+    replay event-time-ordered input and a real delay to get exact
+    batch-join parity (the s36 gate does exactly this).
 
     Both sides carry watermarks and the join condition time-bounds the
     match, so each side's buffered state is evicted once the other
@@ -67,15 +83,23 @@ def stream_stream_interval_join(
     ``(left_col, right_col)`` pair (pre-renamed sides keep the joined
     row free of duplicate columns).
     """
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
+        raise ValueError(f"unsupported join type: {how!r}")
+    if direction not in ("lookback", "lookforward"):
+        raise ValueError(f"unsupported direction: {direction!r}")
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     lsec = F.col(left_ts).cast("double")
     rsec = F.col(right_ts).cast("double")
-    cond = (rsec >= lsec - F.lit(float(lookback_seconds))) & (rsec <= lsec)
+    w = F.lit(float(lookback_seconds))
+    if direction == "lookback":
+        cond = (rsec >= lsec - w) & (rsec <= lsec)
+    else:
+        cond = (rsec >= lsec) & (rsec <= lsec + w)
     for k in on:
         lk, rk = k if isinstance(k, tuple) else (k, k)
         cond = cond & (l[lk] == r[rk])
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def foreach_batch_idempotent_parquet(

@@ -642,3 +642,63 @@ def test_interval_join_tuple_keys_match_across_micro_batches(
         for r in spark.sql("SELECT * FROM ssj_tuple_test").collect()
     }
     assert got == {(1, 10, "u1")}
+
+
+def test_write_ordered_replay_orders_files_and_sentinels(spark, tmp_path_factory):
+    """Replay files must carry strictly increasing mtimes in event-time
+    order (file k's max ts <= file k+1's min ts), with the sentinel
+    copies stamped last — the contract the s36 watermark ladder rides."""
+    import datetime
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mcm_problem_f_data_wrangling_spark.streaming.replay import (
+        write_ordered_replay,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=7 * i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    sent = spark.createDataFrame(
+        [(-1, t0 + datetime.timedelta(days=30))], "id long, ts timestamp"
+    )
+    path = str(tmp_path_factory.mktemp("replay"))
+    files = write_ordered_replay(
+        df, "ts", path, n_files=3, sentinel_df=sent, n_sentinels=2
+    )
+    assert len(files) == 5
+    mtimes = [os.stat(f).st_mtime for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 5
+    spans = []
+    for f in files[:3]:
+        ts = pq.read_table(f, columns=["ts"]).column("ts").to_pylist()
+        assert ts, "data replay file unexpectedly empty"
+        spans.append((min(ts), max(ts)))
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+    for f in files[3:]:
+        ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
+        assert ids == [-1]
+
+
+def test_interval_join_rejects_bad_how_and_direction(spark):
+    import pytest
+
+    from mcm_problem_f_data_wrangling_spark.streaming.dedup import (
+        stream_stream_interval_join,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "a long, b long")
+    with pytest.raises(ValueError):
+        stream_stream_interval_join(
+            df, df, on=["a"], left_ts="b", right_ts="b",
+            lookback_seconds=1.0, how="cross",
+        )
+    with pytest.raises(ValueError):
+        stream_stream_interval_join(
+            df, df, on=["a"], left_ts="b", right_ts="b",
+            lookback_seconds=1.0, direction="sideways",
+        )
