@@ -369,7 +369,12 @@ def parse_mp4_samples(payload: bytes) -> tuple[str, list[bytes]]:
     if p + 16 > stsd_e:
         raise ValueError("truncated MP4 stsd")
     codec = payload[p + 8 : p + 12].decode("latin1")
+    return codec, _stbl_samples(payload, stbl_b, stbl_e)
 
+
+def _stbl_samples(payload: bytes, stbl_b: int, stbl_e: int) -> list[bytes]:
+    """stsc/stsz/stco(co64) walk of ONE sample table → each sample's
+    bytes (shared by the video path and the ``soun``-track demux)."""
     stsz_b, stsz_e = _find(payload, stbl_b, stbl_e, b"stsz")
     _, p = _fullbox_body(payload, stsz_b, stsz_e)
     if p + 8 > stsz_e:
@@ -435,7 +440,288 @@ def parse_mp4_samples(payload: bytes) -> tuple[str, list[bytes]]:
         raise ValueError(
             f"MP4 sample table inconsistent: placed {si} of {sample_count}"
         )
-    return codec, samples
+    return samples
+
+
+def encode_mp4_av(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    samples: list[int],
+    sample_rate: int,
+    channels: int = 1,
+    audio_fmt: str = "sowt",
+    timescale: int = 600,
+    frame_duration: int = 25,
+) -> bytes:
+    """Two-track MP4: MJPEG video + uncompressed 16-bit PCM audio.
+
+    The audio track is a genuine ISO BMFF/QuickTime ``soun`` track —
+    ``smhd`` + AudioSampleEntry (fourcc ``sowt`` = little-endian s16,
+    ``twos`` = big-endian s16) with the PCM interleaved frame-per-
+    sample layout real QuickTime PCM files use (sample size =
+    2*channels bytes, one chunk).  Fixture twin of
+    :func:`parse_mp4_audio_track`; ``samples`` is the interleaved
+    int16 stream (``len(samples)`` must be a multiple of
+    ``channels``).
+    """
+    if audio_fmt not in ("sowt", "twos"):
+        raise ValueError(f"unsupported PCM audio fourcc: {audio_fmt!r}")
+    if not frames:
+        raise ValueError("AV MP4 needs at least one video frame")
+    if channels < 1 or len(samples) % channels:
+        raise ValueError("samples must interleave a whole number of frames")
+    n_frames = len(frames)
+    duration = n_frames * frame_duration
+    n_aframes = len(samples) // channels  # PCM frames (all channels)
+    endian = "<" if audio_fmt == "sowt" else ">"
+    pcm = struct.pack(f"{endian}{len(samples)}h", *samples)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(frames) + pcm)
+    video_offset = len(ftyp) + 8
+    audio_offset = video_offset + sum(len(f) for f in frames)
+
+    mvhd = _fullbox(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + _UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 3),  # next_track_id after video=1, audio=2
+    )
+
+    # --- video trak (same shape as encode_mp4_mjpeg_video) ---
+    tkhd_v = _fullbox(
+        b"tkhd", 0, 0x3,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd_v = _fullbox(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr_v = _fullbox(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"MJPEGVideoHandler\x00",
+    )
+    vmhd = _fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _fullbox(
+        b"dref", 0, 0, struct.pack(">I", 1) + _fullbox(b"url ", 0, 1, b"")
+    )
+    dinf = _box(b"dinf", dref)
+    entry_v = _box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 0x0018, -1),
+    )
+    stbl_v = _box(
+        b"stbl",
+        _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry_v)
+        + _fullbox(b"stts", 0, 0, struct.pack(">III", 1, n_frames, frame_duration))
+        + _fullbox(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n_frames, 1))
+        + _fullbox(
+            b"stsz", 0, 0,
+            struct.pack(">II", 0, n_frames)
+            + b"".join(struct.pack(">I", len(f)) for f in frames),
+        )
+        + _fullbox(b"stco", 0, 0, struct.pack(">II", 1, video_offset)),
+    )
+    trak_v = _box(
+        b"trak",
+        tkhd_v
+        + _box(b"mdia", mdhd_v + hdlr_v + _box(b"minf", vmhd + dinf + stbl_v)),
+    )
+
+    # --- audio trak: soun handler, smhd, PCM sample entry ---
+    a_duration = n_aframes  # mdhd timescale = sample_rate, 1 unit/frame
+    tkhd_a = _fullbox(
+        b"tkhd", 0, 0x3,
+        struct.pack(">IIIII", 0, 0, 2, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0x0100, 0)  # audio volume 1.0
+        + _UNITY_MATRIX
+        + struct.pack(">II", 0, 0),  # no visual extent
+    )
+    mdhd_a = _fullbox(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, sample_rate, a_duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr_a = _fullbox(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"PCMAudioHandler\x00",
+    )
+    smhd = _fullbox(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    entry_a = _box(
+        audio_fmt.encode("latin1"),
+        b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_ref_index
+        + struct.pack(">HHI", 0, 0, 0)  # version, revision, vendor
+        + struct.pack(">HH", channels, 16)  # channels, bits/sample
+        + struct.pack(">HH", 0, 0)  # compression_id, packet_size
+        + struct.pack(">I", sample_rate << 16),  # 16.16 fixed
+    )
+    stbl_a = _box(
+        b"stbl",
+        _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry_a)
+        + _fullbox(b"stts", 0, 0, struct.pack(">III", 1, n_aframes, 1))
+        + _fullbox(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n_aframes, 1))
+        + _fullbox(b"stsz", 0, 0, struct.pack(">II", 2 * channels, n_aframes))
+        + _fullbox(b"stco", 0, 0, struct.pack(">II", 1, audio_offset)),
+    )
+    trak_a = _box(
+        b"trak",
+        tkhd_a
+        + _box(b"mdia", mdhd_a + hdlr_a + _box(b"minf", smhd + dinf + stbl_a)),
+    )
+    moov = _box(b"moov", mvhd + trak_v + trak_a)
+    return ftyp + mdat + moov
+
+
+def parse_mp4_audio_track(
+    payload: bytes,
+) -> tuple[str, int, int, list[int]]:
+    """Demux the first ``soun`` track → ``(fourcc, sample_rate,
+    channels, samples)`` with ``samples`` the interleaved int16
+    stream — the same shape ``decode_wav`` returns, so the demuxed
+    audio feeds the existing spectral-fingerprint stack unchanged.
+
+    Walks EVERY ``trak`` (unlike the video path's first-track
+    contract) and picks the first whose ``hdlr`` handler type is
+    ``soun``; decodes uncompressed 16-bit PCM sample entries
+    (``sowt`` little-endian / ``twos`` big-endian — the QuickTime
+    PCM forms; compressed codecs like ``mp4a``/AAC genuinely need an
+    entropy decoder this container lacks and raise the same honest
+    ``NotImplementedError`` class as the H.264 video branch).
+    ``ValueError`` when no audio track exists or the structure is
+    corrupt.
+    """
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (no ftyp box)")
+    moov_b, moov_e = _find(payload, 0, len(payload), b"moov")
+    for typ, trak_b, trak_e in _walk(payload, moov_b, moov_e):
+        if typ != b"trak":
+            continue
+        mdia_b, mdia_e = _find(payload, trak_b, trak_e, b"mdia")
+        hdlr_b, hdlr_e = _find(payload, mdia_b, mdia_e, b"hdlr")
+        _, p = _fullbox_body(payload, hdlr_b, hdlr_e)
+        if p + 8 > hdlr_e:
+            raise ValueError("truncated MP4 hdlr")
+        if payload[p + 4 : p + 8] != b"soun":
+            continue
+        minf_b, minf_e = _find(payload, mdia_b, mdia_e, b"minf")
+        stbl_b, stbl_e = _find(payload, minf_b, minf_e, b"stbl")
+        stsd_b, stsd_e = _find(payload, stbl_b, stbl_e, b"stsd")
+        _, p = _fullbox_body(payload, stsd_b, stsd_e)
+        if p + 12 > stsd_e:
+            raise ValueError("truncated MP4 stsd")
+        entry_b = p + 4  # first sample entry's box header
+        fourcc = payload[entry_b + 4 : entry_b + 8].decode("latin1")
+        body = entry_b + 8
+        if body + 28 > stsd_e:
+            raise ValueError("truncated MP4 audio sample entry")
+        channels, bits = struct.unpack(
+            ">HH", payload[body + 16 : body + 20]
+        )
+        (rate_fixed,) = struct.unpack(">I", payload[body + 24 : body + 28])
+        sample_rate = rate_fixed >> 16
+        if fourcc not in ("sowt", "twos"):
+            raise NotImplementedError(
+                f"MP4 audio codec {fourcc!r} needs an entropy decoder "
+                f"unavailable in this environment (stdlib-only PCM "
+                f"demux supports sowt/twos)"
+            )
+        if bits != 16:
+            raise ValueError(f"PCM demux supports 16-bit only, got {bits}")
+        if channels < 1 or sample_rate < 1:
+            raise ValueError("corrupt MP4 audio sample entry")
+        data = b"".join(_stbl_samples(payload, stbl_b, stbl_e))
+        if len(data) % 2:
+            raise ValueError("PCM track byte length must be even")
+        fmt = "<" if fourcc == "sowt" else ">"
+        n = len(data) // 2
+        samples = list(struct.unpack(f"{fmt}{n}h", data))
+        return fourcc, sample_rate, channels, samples
+    raise ValueError("MP4 has no soun track")
+
+
+MP4_AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+    ]
+)
+
+
+def demux_mp4_audio(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Audio-track extraction stage for video corpora: one Arrow-
+    batched ``mapInPandas`` crossing that demuxes each MP4's ``soun``
+    PCM track and RE-ENCODES it as a WAV payload, so every existing
+    audio operator (``audio.spectral_frames`` fingerprints, quality
+    stats, chunk plans) runs on video corpora unchanged — the bridge
+    that lets video↔audio duplicate evidence join in one pass.
+
+    Output: ``(media_id, sample_rate, channels, n_samples, payload
+    BINARY)`` — one row per input that HAS a decodable PCM track;
+    inputs without a ``soun`` track emit nothing (NULL-payload
+    precedent from ``spectral_frames``), while structurally corrupt
+    payloads and compressed audio codecs fail fast with their honest
+    error class.
+    """
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [*MP4_AUDIO_SCHEMA.fields, StructField("payload", BinaryType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import encode_wav_pcm16
+
+        for pdf in it:
+            out: dict[str, list] = {f.name: [] for f in schema.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    _, sr, ch, samples = parse_mp4_audio_track(bytes(p))
+                except ValueError as ex:
+                    if "no soun track" in str(ex):
+                        continue  # video-only MP4: nothing to demux
+                    raise
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(sr)
+                out["channels"].append(ch)
+                out["n_samples"].append(len(samples))
+                out["payload"].append(encode_wav_pcm16(samples, sr, ch))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "channels": pd.Series(out["channels"], dtype="int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "payload": pd.Series(out["payload"], dtype="object"),
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    )
+    return src.mapInPandas(batches, schema)
 
 
 MP4_META_SCHEMA = StructType(

@@ -1553,6 +1553,70 @@ def x_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_video_audio_fingerprint",
+    "Cross-container video↔audio dedup (operators/mp4.py "
+    "demux_mp4_audio → operators/audio.py audio_neardup_pairs): 16 "
+    "planted two-track MJPEG+PCM MP4s — 8 contents g, each in TWO "
+    "containers (id g: sowt little-endian PCM; id g+100: twos "
+    "big-endian) whose VIDEO frames are deliberately different and "
+    "whose audio is the same tone content at per-id amplitudes "
+    "(700 + 7*id), so neither byte hashing nor the frame-pHash "
+    "evidence can pair them — only demuxing the soun track (stsc/"
+    "stsz/stco walk through the audio sample table), re-encoding to "
+    "WAV and running the spectral fingerprint finds the 8 (g, g+100) "
+    "re-encode pairs.  Band sequence b = (7g + 3*seg) % 8 over 6 "
+    "segments → 12 canonical frames; 7g mod 8 bijection keeps group "
+    "sequences pairwise distinct so the oracle pins the exact pair "
+    "set, endianness-invariance and gain-invariance both "
+    "load-bearing.  This is the bridge that makes video corpora "
+    "first-class citizens of the audio dedup stack.",
+    """
+SELECT CAST(g AS BIGINT) AS id_a, CAST(g + 100 AS BIGINT) AS id_b,
+       CAST(12 AS INT) AS n_frames
+FROM (SELECT unnest(generate_series(0, 7)) AS g)
+""",
+    tags=("M4", "multimodal"),
+)
+def x_video_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.audio import audio_neardup_pairs
+    from ..operators.jpeg import encode_jpeg_gray
+    from ..operators.mp4 import demux_mp4_audio, encode_mp4_av
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    def frame(seed: int) -> bytes:
+        px = [(seed + 7 * x + 13 * y) % 256 for y in range(8) for x in range(16)]
+        return encode_jpeg_gray(px, 16, 8)
+
+    u = np.arange(512)
+    rows = []
+    for g in range(8):
+        tones: dict[int, list[int]] = {}
+        for mid, fmt in ((g, "sowt"), (g + 100, "twos")):
+            amp = 700.0 + 7.0 * mid
+            samples: list[int] = []
+            for seg in range(6):
+                k = 16 * ((7 * g + 3 * seg) % 8) + 8
+                tone = np.round(amp * np.cos(2.0 * np.pi * k * u / 256.0))
+                samples.extend(int(x) for x in tone)
+            tones[mid] = samples
+            rows.append(
+                (
+                    mid,
+                    encode_mp4_av(
+                        [frame(1000 * mid + 17)], 16, 8, samples, 8000,
+                        audio_fmt=fmt,
+                    ),
+                    "video",
+                    f"planted://av/{mid}",
+                )
+            )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return audio_neardup_pairs(demux_mp4_audio(media))
+
+
+@_q(
     "x_audio_rate_invariant_match",
     "Sample-rate-invariant audio near-dup (operators/audio.py "
     "canonical_rate resampling inside the Arrow FFT stage): 8 "
@@ -1806,10 +1870,16 @@ def x_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evidence from different modalities must resolve into one "
     "transitive cluster labeling.  Plants: 12 seeded PNGs + "
     "one-pixel twins (ids i / 1000+i), 8 gain-twin WAV pairs (ids "
-    "2000+g / 2008+g), 4 MP4 singletons (3000..3003).  The DuckDB "
-    "oracle recomputes the exact cluster structure from the plant "
-    "formulas — decode, pHash, FFT, banding and the CC contraction "
-    "are all load-bearing; is_kept pins the min-id survivor rule.",
+    "2000+g / 2008+g), 4 MP4 singletons (3000..3003), and 4 "
+    "two-track MJPEG+PCM MP4s (3100+g, g < 4) whose DEMUXED soun "
+    "track carries WAV group g's tone content at its own amplitude — "
+    "cross-MODAL evidence: demux_mp4_audio feeds the same spectral "
+    "stage as the native WAVs, so each AV video transitively joins "
+    "cluster 2000+g while the track-less stubs stay isolated.  The "
+    "DuckDB oracle recomputes the exact cluster structure from the "
+    "plant formulas — decode, pHash, FFT, banding, the PCM demux and "
+    "the CC contraction are all load-bearing; is_kept pins the "
+    "min-id survivor rule.",
     """
 WITH img AS (
   SELECT i AS media_id, i AS cluster_id FROM (SELECT unnest(generate_series(0, 11)) AS i)
@@ -1826,7 +1896,12 @@ vid AS (
   SELECT 3000 + v AS media_id, 3000 + v AS cluster_id
   FROM (SELECT unnest(generate_series(0, 3)) AS v)
 ),
-uni AS (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
+av AS (
+  SELECT 3100 + g AS media_id, 2000 + g AS cluster_id
+  FROM (SELECT unnest(generate_series(0, 3)) AS g)
+),
+uni AS (SELECT * FROM img UNION ALL SELECT * FROM aud
+        UNION ALL SELECT * FROM vid UNION ALL SELECT * FROM av)
 SELECT CAST(media_id AS BIGINT) AS media_id,
        CAST(cluster_id AS BIGINT) AS cluster_id,
        CAST(media_id = cluster_id AS INT) AS is_kept
@@ -1839,7 +1914,12 @@ def x_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.audio import audio_neardup_pairs
     from ..operators.graph import connected_components
-    from ..operators.mp4 import encode_mp4_stub_video
+    from ..operators.jpeg import encode_jpeg_gray
+    from ..operators.mp4 import (
+        demux_mp4_audio,
+        encode_mp4_av,
+        encode_mp4_stub_video,
+    )
     from ..operators.multimodal import (
         MEDIA_SCHEMA,
         encode_png,
@@ -1871,14 +1951,38 @@ def x_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for v in range(4):  # MP4 singletons — isolated vertices
         rows.append((3000 + v, encode_mp4_stub_video(160, 90, 8 + v), "video",
                      f"planted://vid/{v}"))
+    for g in range(4):  # AV MP4s: demuxed soun track joins WAV group g
+        amp = 790.0 + 11.0 * g
+        samples = []
+        for seg in range(6):
+            k = 16 * ((7 * g + 3 * seg) % 8) + 8
+            tone = np.round(amp * np.cos(2.0 * np.pi * k * u / 256.0))
+            samples.extend(int(x) for x in tone)
+        fr = encode_jpeg_gray(
+            [(g + 7 * x + 13 * y) % 256 for y in range(8) for x in range(16)],
+            16, 8,
+        )
+        rows.append((3100 + g, encode_mp4_av([fr], 16, 8, samples, 8000),
+                     "video", f"planted://av/{g}"))
 
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     img_pairs = phash_neardup_pairs(
         media.where(F.col("media_type") == "image"), max_hamming=3
     ).select(F.col("media_id_1").alias("src"), F.col("media_id_2").alias("dst"))
-    aud_pairs = audio_neardup_pairs(
-        media.where(F.col("media_type") == "audio"), mode="star"
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # ONE audio evidence pass over native WAVs ∪ demuxed soun tracks —
+    # videos without a PCM track (the stubs) demux to nothing and
+    # remain isolated vertices
+    all_audio = (
+        media.where(F.col("media_type") == "audio")
+        .select("media_id", "payload")
+        .unionByName(
+            demux_mp4_audio(media.where(F.col("media_type") == "video"))
+            .select("media_id", "payload")
+        )
+    )
+    aud_pairs = audio_neardup_pairs(all_audio, mode="star").select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
     nodes = media.select(F.col("media_id").alias("node"))
     comp = connected_components(
         img_pairs.unionByName(aud_pairs), nodes=nodes

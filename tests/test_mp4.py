@@ -201,3 +201,94 @@ def test_decode_media_fills_mjpeg_mean_luma(spark):
         sum(means) / len(means) / 255.0, abs=1e-12
     )
     assert rows[1].mean_luma is None  # honest NULL: no jpeg/mjpa track
+
+
+def _jpeg_frame(w, h, seed):
+    from mcm_problem_f_data_wrangling_spark.operators.jpeg import encode_jpeg_gray
+
+    px = [(seed + 7 * x + 13 * y) % 256 for y in range(h) for x in range(w)]
+    return encode_jpeg_gray(px, w, h)
+
+
+def test_mp4_av_pcm_roundtrip_sowt_and_twos():
+    """encode_mp4_av -> parse_mp4_audio_track recovers the exact
+    interleaved int16 stream, rate and channel count for both PCM
+    endiannesses, while the VIDEO path (first track) is untouched."""
+    from mcm_problem_f_data_wrangling_spark.operators.mp4 import (
+        encode_mp4_av,
+        parse_mp4_audio_track,
+        parse_mp4_metadata,
+        parse_mp4_samples,
+    )
+
+    frames = [_jpeg_frame(16, 8, s) for s in (1, 2)]
+    samples = [((37 * i) % 4001) - 2000 for i in range(2 * 600)]  # stereo
+    for fmt in ("sowt", "twos"):
+        payload = encode_mp4_av(
+            frames, 16, 8, samples, 8000, channels=2, audio_fmt=fmt
+        )
+        got_fmt, sr, ch, got = parse_mp4_audio_track(payload)
+        assert (got_fmt, sr, ch) == (fmt, 8000, 2)
+        assert got == samples
+        w, h, nf, _, _ = parse_mp4_metadata(payload)
+        assert (w, h, nf) == (16, 8, 2)
+        codec, vid = parse_mp4_samples(payload)
+        assert codec == "jpeg" and vid == frames
+
+
+def test_mp4_audio_track_errors():
+    import pytest
+
+    from mcm_problem_f_data_wrangling_spark.operators.mp4 import (
+        encode_mp4_mjpeg_video,
+        parse_mp4_audio_track,
+    )
+
+    video_only = encode_mp4_mjpeg_video([_jpeg_frame(8, 8, 3)], 8, 8)
+    with pytest.raises(ValueError, match="no soun track"):
+        parse_mp4_audio_track(video_only)
+    with pytest.raises(ValueError):
+        parse_mp4_audio_track(b"\x00" * 16)
+
+
+def test_demux_mp4_audio_bridges_to_wav_operators(spark):
+    """The demux stage re-encodes the soun track as WAV so the
+    existing audio fingerprint stack runs on video corpora unchanged;
+    video-only MP4s emit nothing, NULL payloads are tolerated."""
+    import numpy as np
+
+    from mcm_problem_f_data_wrangling_spark.operators.audio import (
+        audio_fingerprint,
+    )
+    from mcm_problem_f_data_wrangling_spark.operators.mp4 import (
+        demux_mp4_audio,
+        encode_mp4_av,
+        encode_mp4_mjpeg_video,
+    )
+    from mcm_problem_f_data_wrangling_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav_pcm16,
+    )
+
+    u = np.arange(512)
+    tone = [int(x) for x in np.round(900.0 * np.cos(2.0 * np.pi * 40 * u / 256.0))]
+    av = encode_mp4_av([_jpeg_frame(16, 8, 5)], 16, 8, tone, 8000)
+    vid_only = encode_mp4_mjpeg_video([_jpeg_frame(16, 8, 6)], 16, 8)
+    rows = [
+        (1, av, "video", "planted://av/1"),
+        (2, vid_only, "video", "planted://vid/2"),
+        (3, None, "video", "planted://null/3"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    demuxed = demux_mp4_audio(media)
+    got = demuxed.collect()
+    assert [r["media_id"] for r in got] == [1]
+    assert got[0]["sample_rate"] == 8000 and got[0]["n_samples"] == 512
+    # the demuxed WAV fingerprint equals the same tone's native-WAV one
+    wav = spark.createDataFrame(
+        [(9, encode_wav_pcm16(tone, 8000), "audio", "planted://wav/9")],
+        MEDIA_SCHEMA,
+    )
+    fp_mp4 = audio_fingerprint(demuxed).select("fingerprint").first()[0]
+    fp_wav = audio_fingerprint(wav).select("fingerprint").first()[0]
+    assert fp_mp4 == fp_wav
