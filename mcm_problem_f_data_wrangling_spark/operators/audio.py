@@ -56,6 +56,45 @@ SPECTRAL_SCHEMA = StructType(
 )
 
 
+def resample_to_rate(sig, sr: int, rate: int, anti_alias: bool = True, n_taps: int = 255):
+    """Resample ``sig`` (numpy float64) from ``sr`` to ``rate`` Hz:
+    windowed-sinc FIR low-pass at the TARGET Nyquist, then linear
+    interpolation onto the target grid.
+
+    The low-pass (Hamming-windowed sinc, unity DC gain, ``mode='same'``
+    convolution) runs only when DOWNSAMPLING — without it, content
+    between the canonical Nyquist and the source Nyquist folds down
+    into the canonical bands (a 5.25 kHz tone in a 48 kHz stream lands
+    at 2.75 kHz after naive decimation to 8 kHz) and a stream can
+    fingerprint-match content it never contained; upsampling has no
+    such folding (linear-interp imaging lands above the original
+    content and inside the widened band span).  ``anti_alias=False``
+    preserves the naive path so tests can PIN the aliasing failure
+    mode this fixes.  ``n_taps=255`` puts the stopband ~0.6 kHz above
+    an 8 kHz target's Nyquist at 48 kHz input — in-band content keeps
+    its dominant band, folded content drops ~50 dB.
+    """
+    import numpy as np
+
+    if sr == rate or not len(sig):
+        return sig
+    if anti_alias and sr > rate:
+        m = n_taps - 1
+        n = np.arange(n_taps, dtype=np.float64) - m / 2.0
+        fc = 0.5 * rate / sr  # target Nyquist, cycles/sample of sig
+        h = 2.0 * fc * np.sinc(2.0 * fc * n) * np.hamming(n_taps)
+        h /= h.sum()
+        sig = np.convolve(sig, h, mode="same")
+    n_out = int(round(len(sig) * rate / sr))
+    if n_out <= 0:
+        return sig[:0]
+    return np.interp(
+        np.arange(n_out, dtype=np.float64) * (sr / rate),
+        np.arange(len(sig), dtype=np.float64),
+        sig,
+    )
+
+
 def spectral_frames(
     df: DataFrame,
     payload_col: str = "payload",
@@ -82,10 +121,11 @@ def spectral_frames(
     than one frame); truncated/corrupt NON-null payloads fail fast
     in ``decode_wav``.
 
-    ``canonical_rate``: when set, every stream is linearly resampled
-    to this rate (``np.interp`` — stdlib-only, no polyphase
-    anti-alias filter, so content above the canonical Nyquist
-    aliases; a production path would low-pass first) BEFORE framing.
+    ``canonical_rate``: when set, every stream is resampled to this
+    rate (:func:`resample_to_rate` — windowed-sinc low-pass at the
+    canonical Nyquist before linear interpolation, so content above
+    the canonical Nyquist is REMOVED instead of folding down into the
+    canonical bands and corrupting the sequence) BEFORE framing.
     With it, a frame is a fixed TIME window (``frame_len/rate``
     seconds) and each band a fixed absolute-frequency range, so
     44.1 kHz and 48 kHz re-encodes of the same content produce the
@@ -121,14 +161,9 @@ def spectral_frames(
                 if ch > 1:
                     sig = sig[: (len(sig) // ch) * ch].reshape(-1, ch).mean(axis=1)
                 if canonical_rate and sr != canonical_rate and len(sig):
-                    n_out = int(round(len(sig) * canonical_rate / sr))
-                    if n_out <= 0:
+                    sig = resample_to_rate(sig, sr, canonical_rate)
+                    if not len(sig):
                         continue
-                    sig = np.interp(
-                        np.arange(n_out, dtype=np.float64) * (sr / canonical_rate),
-                        np.arange(len(sig), dtype=np.float64),
-                        sig,
-                    )
                 nf = len(sig) // frame_len
                 if nf == 0:
                     continue

@@ -1627,16 +1627,28 @@ def x_video_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rate-native fingerprint provably misses every such pair "
     "(sample-count framing makes window duration and band edges "
     "functions of the file's own rate — pytest-pinned), so the "
-    "linear resample to the 8 kHz canonical rate before framing is "
-    "THE load-bearing step: the oracle pins exactly the 8 "
-    "(g, g+100) re-encode pairs at 32 canonical frames each, no "
-    "cross-content false positives (7g mod 8 bijection keeps group "
-    "sequences pairwise distinct).  This is the dedup a real corpus "
-    "needs across re-encodes of the same recording.",
+    "resample to the 8 kHz canonical rate before framing is THE "
+    "load-bearing step — and the resample is ANTI-ALIASED "
+    "(windowed-sinc low-pass at the canonical Nyquist, "
+    "resample_to_rate): ids 200/201/202 plant the aliasing trap the "
+    "naive np.interp path falls into (pytest-pinned): id 201 (48 "
+    "kHz) carries in-band band-2 content UNDER a strong 5.25 kHz "
+    "above-Nyquist tone that naive decimation folds onto the band-5 "
+    "center, so without the low-pass 201 falsely matches the native "
+    "band-5 content (id 200) and misses its true in-band twin (id "
+    "202, 44.1 kHz).  The oracle pins exactly the 8 (g, g+100) "
+    "re-encode pairs plus (201, 202), id 200 unpaired, 32 canonical "
+    "frames each, no cross-content false positives (7g mod 8 "
+    "bijection keeps group sequences pairwise distinct; constant "
+    "band-2/band-5 patterns are distinct from every group's "
+    "3-stepping pattern).  This is the dedup a real corpus needs "
+    "across re-encodes of the same recording.",
     """
 SELECT CAST(g AS BIGINT) AS id_a, CAST(g + 100 AS BIGINT) AS id_b,
        CAST(32 AS INT) AS n_frames
 FROM (SELECT unnest(generate_series(0, 7)) AS g)
+UNION ALL
+SELECT CAST(201 AS BIGINT), CAST(202 AS BIGINT), CAST(32 AS INT)
 """,
     tags=("M4", "multimodal"),
 )
@@ -1665,6 +1677,21 @@ def x_audio_rate_invariant_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (mid, encode_wav_pcm16(samples, sr), "audio",
                  f"planted://rate/{sr}/{mid}")
             )
+    # the aliasing trap: 5.25 kHz = canonical_rate - 2750 folds onto
+    # the band-5 center (2750 Hz) under naive decimation to 8 kHz
+    dur = 4 * seg_frames * frame_len / canonical
+    f_band = lambda b: (16 * b + 8) * canonical / frame_len  # noqa: E731
+    for mid, sr, tones in (
+        (200, canonical, [(f_band(5), 700.0)]),           # native band-5
+        (201, 48000, [(f_band(2), 700.0), (canonical - f_band(5), 3000.0)]),
+        (202, 44100, [(f_band(2), 730.0)]),               # true in-band twin
+    ):
+        t = np.arange(int(round(dur * sr))) / sr
+        sig = sum(a * np.cos(2.0 * np.pi * f * t) for f, a in tones)
+        rows.append(
+            (mid, encode_wav_pcm16([int(x) for x in np.round(sig)], sr),
+             "audio", f"planted://alias/{sr}/{mid}")
+        )
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return audio_neardup_pairs(media, canonical_rate=canonical)
 

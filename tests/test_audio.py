@@ -298,3 +298,61 @@ def test_rate_invariant_fingerprint_matches_resampled_twin(spark):
     got = {(r.id_a, r.id_b)
            for r in audio_neardup_pairs(media, canonical_rate=8000).collect()}
     assert got == {(0, 1)}
+
+
+def test_resample_anti_alias_kills_folded_content():
+    """The aliasing trap the FIR low-pass exists for (r9 verdict):
+    naive linear decimation of a 48 kHz stream folds a 5.25 kHz tone
+    onto the 2.75 kHz band-5 center, so in-band band-2 content under
+    a strong above-Nyquist tone fingerprints as band 5 — a FALSE
+    match against content the stream never contained.  anti_alias=
+    False pins the miss; the default path must keep band 2 dominant."""
+    import numpy as np
+
+    from mcm_problem_f_data_wrangling_spark.operators.audio import (
+        resample_to_rate,
+    )
+
+    canonical, frame_len, sr = 8000, 256, 48000
+    f2 = (16 * 2 + 8) * canonical / frame_len      # 1250 Hz, band 2
+    f_alias = canonical - (16 * 5 + 8) * canonical / frame_len  # 5250 Hz
+    t = np.arange(int(round(1.024 * sr))) / sr
+    sig = 700.0 * np.cos(2 * np.pi * f2 * t) + 3000.0 * np.cos(
+        2 * np.pi * f_alias * t
+    )
+
+    def dom_bands(res):
+        nf = len(res) // frame_len
+        spec = np.abs(np.fft.rfft(res[: nf * frame_len].reshape(nf, frame_len), axis=1)) ** 2
+        return spec[:, 1 : frame_len // 2 + 1].reshape(nf, 8, -1).sum(axis=2).argmax(axis=1)
+
+    naive = dom_bands(resample_to_rate(sig, sr, canonical, anti_alias=False))
+    fixed = dom_bands(resample_to_rate(sig, sr, canonical))
+    assert set(naive) == {5}, "naive decimation must fold 5.25 kHz onto band 5"
+    assert set(fixed) == {2}, "anti-aliased path must keep real content dominant"
+
+
+def test_resample_preserves_in_band_content_and_upsampling():
+    """In-band tones keep their band through the FIR at both common
+    source rates, and upsampling (no folding risk) stays filter-free
+    identical to naive interpolation."""
+    import numpy as np
+
+    from mcm_problem_f_data_wrangling_spark.operators.audio import (
+        resample_to_rate,
+    )
+
+    canonical, frame_len = 8000, 256
+    for sr in (44100, 48000):
+        for b in (0, 3, 7):
+            f = (16 * b + 8) * canonical / frame_len
+            t = np.arange(int(round(0.512 * sr))) / sr
+            res = resample_to_rate(900.0 * np.cos(2 * np.pi * f * t), sr, canonical)
+            nf = len(res) // frame_len
+            spec = np.abs(np.fft.rfft(res[: nf * frame_len].reshape(nf, frame_len), axis=1)) ** 2
+            bands = spec[:, 1 : frame_len // 2 + 1].reshape(nf, 8, -1).sum(axis=2)
+            assert set(bands.argmax(axis=1)) == {b}
+    up_sig = np.cos(2 * np.pi * 300.0 * np.arange(4000) / 4000.0)
+    up = resample_to_rate(up_sig, 4000, 8000)
+    up_naive = resample_to_rate(up_sig, 4000, 8000, anti_alias=False)
+    assert np.array_equal(up, up_naive)
