@@ -179,3 +179,84 @@ def quantiles_from_histogram(
             )
         )
     return c.groupBy(*keys).agg(*aggs)
+
+
+def quantile_sketch_state(
+    df: DataFrame, keys: list[str], value_col: str, k: int = 128
+) -> DataFrame:
+    """Mergeable DOMAIN-FREE rank sketch: ``(keys..., anchors
+    array<double>, n long)`` — ``k`` equal-weight rank anchors, anchor
+    ``i`` (0-based) being the group's exact ``(i+0.5)/k`` percentile,
+    each representing ``n/k`` of the group's weight.
+
+    The quantile complement :func:`histogram_state` cannot provide
+    when the value domain is unknown up front: a histogram needs
+    ``[lo, hi)`` chosen at state creation, while rank anchors adapt
+    to whatever the data is.  The price is merge-generation error
+    instead of bin-width error: every compression back to ``k``
+    anchors (state creation, each merge) moves an estimate by at most
+    half an anchor slab, so after ``m`` state-touching operations any
+    rank estimate is within ``m/(2k)`` of exact — the bound the gate
+    asserts.  Exactness inside one state: anchors are Spark's EXACT
+    interpolated ``percentile`` (sort-based, deterministic — not
+    ``approx_percentile``), entirely JVM-side, no UDF.  NULLs
+    contribute nothing; empty groups produce no state row.
+    """
+    if k < 2:
+        raise ValueError(f"quantile_sketch_state requires k >= 2, got {k}")
+    v = F.col(value_col).cast("double")
+    pcts = F.array(*[F.lit((i + 0.5) / k) for i in range(k)])
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.percentile(v, pcts).alias("anchors"),
+            F.count(v).cast("long").alias("n"),
+        )
+    )
+
+
+def merge_quantile_sketch_states(
+    a: DataFrame, b: DataFrame, keys: list[str], k: int = 128
+) -> DataFrame:
+    """History ∪ increment → new sketch state: explode both anchor
+    sets, weight every anchor by its source state's total count
+    (anchors within a state are equal-weight, so ``frequency = n``
+    gives the exact relative weighting), and recompress to ``k``
+    anchors with one weighted exact-percentile aggregation.  Groups
+    present on only one side pass through (recompressed).  Adds at
+    most ``1/(2k)`` rank error per merge — see
+    :func:`quantile_sketch_state` for the accumulated bound.
+    """
+    if k < 2:
+        raise ValueError(f"merge_quantile_sketch_states requires k >= 2, got {k}")
+    exploded = (
+        a.select(*keys, F.explode("anchors").alias("v"), F.col("n"))
+        .unionByName(b.select(*keys, F.explode("anchors").alias("v"), F.col("n")))
+    )
+    pcts = F.array(*[F.lit((i + 0.5) / k) for i in range(k)])
+    return exploded.groupBy(*keys).agg(
+        F.percentile(F.col("v"), pcts, F.col("n")).alias("anchors"),
+        (F.sum("n") / F.lit(k)).cast("long").alias("n"),
+    )
+
+
+def quantiles_from_sketch(
+    state: DataFrame, keys: list[str], qs: list[float]
+) -> DataFrame:
+    """Per-group quantile estimates from sketch state: the anchor
+    whose rank slab contains ``q`` (0-based index ``floor(q*k)``,
+    clamped — within ``1/(2k)`` of the target rank by construction),
+    one row per group with a ``q<pct>`` column per requested quantile
+    plus ``n_total``.  Pure array indexing, no exchange.
+    """
+    cols = [F.col(c) for c in keys] + [F.col("n").alias("n_total")]
+    size = F.size("anchors")
+    for q in qs:
+        idx = F.least(
+            size, F.greatest(F.lit(1), (F.lit(float(q)) * size).cast("int") + 1)
+        )
+        cols.append(
+            F.element_at("anchors", idx).alias(f"q{int(round(q * 100)):02d}")
+        )
+    return state.select(*cols)

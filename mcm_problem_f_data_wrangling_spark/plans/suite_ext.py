@@ -5051,6 +5051,98 @@ def x_incremental_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_incremental_quantile_sketch",
+    "DOMAIN-FREE incremental quantiles (operators/incremental.py "
+    "quantile_sketch_state / merge_quantile_sketch_states / "
+    "quantiles_from_sketch): the histogram state (x_incremental_"
+    "histogram) needs [lo, hi) fixed at creation — this rank sketch "
+    "does not: k=128 equal-weight anchors (exact percentiles at "
+    "(i+0.5)/k, Spark's sort-based percentile, zero UDF) per state, "
+    "weighted exact-percentile recompression per merge.  Orders "
+    "split into 3 daily shards (o_orderkey % 3), each reduces to "
+    "sketch state, the states merge in a chain, and the gate asserts "
+    "the PROVABLE worst-case rank bound: every compression moves an "
+    "estimate by <= 1/(2k) of the group's weight, so after 1 shard "
+    "compression + 2 merges + the half-slab estimate step any "
+    "q-estimate's exact rank is within 4/(2k) = 2/k of q*n "
+    "(within_bounds pinned TRUE per (priority, q), plus the sketch's "
+    "own n_total pinned to the exact group count).  The bound holds "
+    "for ANY merge order/partitioning, which is what makes the hash "
+    "stable and the operator honest at 100 TB where merge trees are "
+    "scheduler-shaped.",
+    """
+SELECT o.o_orderpriority AS priority, q.q AS q,
+       CAST(COUNT(o.o_totalprice) AS BIGINT) AS n_total,
+       TRUE AS within_bounds
+FROM orders o CROSS JOIN (SELECT unnest([25, 50, 90]) AS q) q
+GROUP BY 1, 2
+""",
+    tags=("M2", "warehouse"),
+)
+def x_incremental_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.incremental import (
+        merge_quantile_sketch_states,
+        quantile_sketch_state,
+        quantiles_from_sketch,
+    )
+
+    k = 128
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    keys = ["priority"]
+    shards = [
+        quantile_sketch_state(
+            orders.where(F.col("o_orderkey") % 3 == d), keys, "o_totalprice", k
+        )
+        for d in range(3)
+    ]
+    state = merge_quantile_sketch_states(
+        merge_quantile_sketch_states(shards[0], shards[1], keys, k),
+        shards[2],
+        keys,
+        k,
+    )
+    est = quantiles_from_sketch(state, keys, [0.25, 0.5, 0.9]).select(
+        "priority",
+        "n_total",
+        F.expr("stack(3, 25, q25, 50, q50, 90, q90) AS (q, est)"),
+    )
+    # rank-verify each estimate against the RAW table: the 15-row
+    # estimate side broadcasts, one shuffle by group
+    joined = orders.join(F.broadcast(est), "priority")
+    return (
+        joined.groupBy("priority", "q")
+        .agg(
+            F.count("o_totalprice").alias("cnt"),
+            F.count(
+                F.when(F.col("o_totalprice") <= F.col("est"), F.lit(1))
+            ).alias("rnk"),
+            F.min("n_total").alias("sketch_n"),
+        )
+        .select(
+            "priority",
+            "q",
+            F.col("sketch_n").cast("long").alias("n_total"),
+            (
+                (F.col("sketch_n") == F.col("cnt"))
+                & (
+                    F.abs(
+                        F.col("rnk")
+                        - F.col("q") / F.lit(100.0) * F.col("cnt")
+                    )
+                    <= F.col("cnt") * F.lit(2.0 / k) + F.lit(1.0)
+                )
+            ).alias("within_bounds"),
+        )
+    )
+
+
+@_q(
     "w19_outlier_zscore",
     "Per-series z-score outlier flags over the monthly grain: mean "
     "and sample-variance derive from EXACT decimal Σx/Σx² window "

@@ -121,3 +121,67 @@ def test_histogram_degenerate_params_raise(spark):
             histogram_state(df, ["g"], "v", lo, hi, nb)
         with pytest.raises(ValueError):
             quantiles_from_histogram(st, ["g"], lo, hi, nb, [0.5])
+
+
+def test_quantile_sketch_bounds_and_merge_order_invariance(spark):
+    """Rank-error bound: after s shard compressions and m merges every
+    estimate is within (s+m+1)/(2k) of the exact rank, WHATEVER the
+    merge order (error bound is worst-case, not average); a fresh
+    single state on a small group is near-exact."""
+    import pytest
+
+    from mcm_problem_f_data_wrangling_spark.operators.incremental import (
+        merge_quantile_sketch_states,
+        quantile_sketch_state,
+        quantiles_from_sketch,
+    )
+
+    k = 64
+    # two groups, deliberately skewed: uniform 0..999 and quadratic
+    rows = [("u", float(i), i % 3) for i in range(1000)] + [
+        ("q", float(i * i), i % 3) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, day int")
+    shards = [
+        quantile_sketch_state(df.where(F.col("day") == d), ["g"], "v", k)
+        for d in range(3)
+    ]
+    orders = [
+        merge_quantile_sketch_states(
+            merge_quantile_sketch_states(shards[0], shards[1], ["g"], k),
+            shards[2], ["g"], k,
+        ),
+        merge_quantile_sketch_states(
+            merge_quantile_sketch_states(shards[2], shards[0], ["g"], k),
+            shards[1], ["g"], k,
+        ),
+    ]
+    exact = {
+        (r["g"],): sorted(
+            x[1] for x in rows if x[0] == r["g"]
+        )
+        for r in df.select("g").distinct().collect()
+    }
+    eps = (3 + 2 + 1) / (2 * k)  # 3 shard compressions + 2 merges + slab
+    for st in orders:
+        est = {
+            r["g"]: r
+            for r in quantiles_from_sketch(st, ["g"], [0.1, 0.5, 0.9]).collect()
+        }
+        for g, vals in [("u", exact[("u",)]), ("q", exact[("q",)])]:
+            n = len(vals)
+            assert est[g]["n_total"] == n
+            for q, col in [(0.1, "q10"), (0.5, "q50"), (0.9, "q90")]:
+                rank = sum(1 for v in vals if v <= est[g][col])
+                assert abs(rank - q * n) <= eps * n + 1, (g, q, rank)
+    # single-state small group: anchors are exact percentiles
+    small = spark.createDataFrame(
+        [("s", float(i)) for i in range(10)], "g string, v double"
+    )
+    st = quantile_sketch_state(small, ["g"], "v", k)
+    r = quantiles_from_sketch(st, ["g"], [0.5]).first()
+    assert abs(r["q50"] - 4.5) <= 0.5
+    with pytest.raises(ValueError):
+        quantile_sketch_state(small, ["g"], "v", 1)
+    with pytest.raises(ValueError):
+        merge_quantile_sketch_states(st, st, ["g"], 0)
