@@ -55,7 +55,7 @@ import tempfile
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import exact_dedup_groups, ngram_jaccard_pairs
+from .dedup import ngram_jaccard_pairs
 
 
 def symmetrize_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -235,23 +235,50 @@ def duplicate_clusters(
     singletons are their own cluster — with is_kept = 1 exactly on the
     min doc_id per cluster (deterministic survivor rule).
     """
+    from pyspark.sql import Window
+
     from ..functions.textfn import doc_fingerprint
 
-    groups = exact_dedup_groups(docs, text_col=text_col, id_col=id_col)
-    doc_fp = docs.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
-    star = (
-        doc_fp.join(F.broadcast(groups.select("fingerprint", "keep_doc_id")), "fingerprint")
-        .filter(F.col(id_col) != F.col("keep_doc_id"))
-        .select(F.col(id_col).alias("src"), F.col("keep_doc_id").alias("dst"))
-    )
-    jac = ngram_jaccard_pairs(docs, text_col=text_col, id_col=id_col, threshold=jaccard_threshold).select(
-        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
-    )
-    comp = connected_components(
-        star.unionByName(jac),
-        nodes=docs.select(F.col(id_col).alias("node")),
-        node_col="node",
-    )
+    spark = docs.sparkSession
+    # ground the (id, text) projection ONCE in parquet: the two
+    # evidence branches plus the node set would otherwise each re-scan
+    # and re-evaluate the caller's input plan (the gate's md5 shard
+    # filter ran 4x — ReuseExchange cannot dedupe scans feeding
+    # differently-shaped subtrees).  Parquet, not localCheckpoint:
+    # checkpoint blocks lose the vectorized columnar scan and an A/B
+    # at sf1 measured the checkpointed jaccard ~1.9x SLOWER than the
+    # same jaccard over a parquet re-read (33.7 s vs 17.7 s).
+    base_dir = tempfile.mkdtemp(prefix="dupc_base_")
+    try:
+        docs.select(F.col(id_col), F.col(text_col)).write.mode(
+            "overwrite"
+        ).parquet(base_dir)
+        base = spark.read.parquet(base_dir)
+        doc_fp = base.select(
+            F.col(id_col), doc_fingerprint(text_col).alias("fingerprint")
+        )
+        # star edges doc -> min-doc per exact-fingerprint group via ONE
+        # window min — same edges exact_dedup_groups + broadcast join
+        # produced, minus the second fingerprint pass and the join
+        star = (
+            doc_fp.withColumn(
+                "m", F.min(id_col).over(Window.partitionBy("fingerprint"))
+            )
+            .filter(F.col(id_col) != F.col("m"))
+            .select(F.col(id_col).alias("src"), F.col("m").alias("dst"))
+        )
+        jac = ngram_jaccard_pairs(
+            base, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
+        ).select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
+        comp = connected_components(
+            star.unionByName(jac),
+            nodes=base.select(F.col(id_col).alias("node")),
+            node_col="node",
+        )
+        # comp is localCheckpoint-materialized inside
+        # connected_components, so base_dir can be removed now
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
     return comp.select(
         F.col("node").alias(id_col),
         F.col("component").alias("cluster_id"),
