@@ -28,88 +28,83 @@ _ALL = (
 # same window.  Every query keeps its oracle either way — the builder's
 # mirror (tools/check_parity.py) always runs ALL of them.
 _FRONT = [
-    # --- ROUND-9 window (first ~50 = observed driver budget; overflow
-    # --- keeps a bigger budget eating forward).  Three blocks:
-    # --- (a) NEW or implementation-changed THIS round — the MJPEG
-    # --- sample-decode gate, the rate-invariant audio matcher, the
-    # --- LIVE s33 CUSUM stream, the w37 changepoint detector, the
-    # --- scheme-conditioned URL canonicalization, the NULL-guarded
-    # --- audio stages, and the CC engine touched by the r9 perf work;
-    # --- (b) the r9 rotation target (VERDICT r8 task #1): ALL 38
-    # --- queries whose last driver hash is from round 3 — the bulk of
-    # --- the TPC-H suite, the w16-w22/w31/w36 window family, the
-    # --- s10-s18 sessionization block, a09-a12, u06/u07 and the three
-    # --- x-extensions — so no registry query's external signal is
-    # --- older than r4 after this round;
-    # --- (c) overflow: the stalest round-4 rows in suite order.
-    # --- Every query keeps its oracle either way — the builder's
-    # --- mirror (tools/check_parity.py) always runs ALL of them.
-    "flagship_career_collapse",   # driver smoke target stays first
-    # --- (a) new or changed this round: must gate on current impl ---
-    "x_multimodal_mjpeg_decode",  # NEW: real MJPEG sample decode
-    "x_video_phash_neardup",      # NEW: per-frame pHash video dedup
-    "x_audio_rate_invariant_match",  # NEW: canonical-rate resample
-    "s33_streaming_cusum_drift",  # NEW: LIVE CUSUM state-store gate
-    "w37_changepoint_detect",     # NEW: mean-shift changepoint
-    "x_url_canonical_dedup",      # scheme-conditioned port strip
-    "x_audio_spectral_fingerprint",  # NULL-payload guard
-    "x_audio_quality_stats",      # NULL-payload guard
-    "x_audio_chunk_plan",         # sample_rate guard
-    "x_audio_fingerprint_match",  # canonical_rate param threaded
-    "x_dedup_clusters_cc",        # r9 constant-factor work
-    # --- (b) last driver hash in round 3 (complete rotation) ---
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q10_returned_items",
-    "q12_priority_shipping_mix",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_mix",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q22_dormant_accounts",
-    "sql_flagship_via_spark_sql",
-    "s10_session_window_native",
-    "s11_rollup_cascade",
-    "s12_event_funnel",
-    "s14_rolling_wau",
-    "s17_interval_merge",
-    "s18_incremental_rollup",
-    "w16_time_range_rolling",
-    "w17_ewma_smooth",
-    "w18_rank_family",
-    "w19_outlier_zscore",
-    "w20_mad_outliers",
-    "w21_sliding_window_rollup",
-    "w22_ols_trend",
-    "w31_theil_sen_trend",
-    "w36_stl_decompose",
-    "a09_share_of_total",
-    "a10_group_mode",
-    "a11_basket_lift",
-    "a12_abc_pareto",
-    "u06_unpivot_melt",
-    "u07_grouping_sets",
-    "x_text_pii_redact",
-    "x_skew_salted_group_sum",
-    "x_quality_lr_score",
-    # --- (c) overflow: new-this-round gates that must not displace a
-    # --- rotation target from the observed ~50 budget (they gate if
-    # --- the budget runs long; else they are parity-proven and rotate
-    # --- into the r10 window), then the stalest round-4 rows.
-    "x_decontam_bloom_prefilter",  # NEW: bloom-pruned exact decontam
-    "s34_streaming_interval_join",  # NEW: LIVE stream-stream join
-    "x_incremental_histogram",    # NEW: mergeable quantile state
-    "s35_streaming_static_enrich",  # NEW: LIVE stream-static enrich
-    "x_video_clip_containment",   # NEW: trimmed-clip video dedup
+    # --- ROUND-10 window (first ~50 = observed driver budget;
+    # --- overflow keeps a bigger budget eating forward).  Blocks:
+    # --- (a) NEW queries this round (s36 outer interval join, MP4
+    # --- PCM demux cross-container dedup, domain-free quantile
+    # --- sketch); (b) queries whose IMPLEMENTATION changed this
+    # --- round (anti-aliased canonical-rate resample + alias-trap
+    # --- plants, AV-MP4 cluster plants, duplicate_clusters input
+    # --- grounding, the advisor fixes to the s33/s34/s35 live
+    # --- gates); (c) the five r9-new queries that have never been
+    # --- in a driver window; (d) the stalest rows — last hashed in
+    # --- ROUND 4 (the r9 verdict task #1 block: s19-s23, the
+    # --- w23-w34 window family, curation/NLP/profile x_*).  46 r4
+    # --- rows exist and 37 fit: the last 9 spill to the
+    # --- overflow head and gate in r11.  Every query keeps its
+    # --- oracle either way — tools/check_parity.py always runs ALL.
+    "flagship_career_collapse",  # driver smoke target stays first
+    "s36_streaming_outer_interval_join",  # NEW: LIVE outer join + eviction
+    "x_video_audio_fingerprint",  # NEW: MP4 PCM demux cross-container
+    "x_incremental_quantile_sketch",  # NEW: domain-free rank sketch
+    "x_audio_rate_invariant_match",  # anti-aliased resample + alias plants
+    "x_media_dedup_clusters",  # AV plants join the WAV clusters
+    "x_dedup_clusters_cc",  # parquet-grounded input, window-min stars
+    "s33_streaming_cusum_drift",  # max-ts state row selection
+    "s34_streaming_interval_join",  # never gated; raw-schema nanos fix
+    "s35_streaming_static_enrich",  # never gated; raw-schema nanos fix
+    "x_decontam_bloom_prefilter",  # never gated (r9 new)
+    "x_incremental_histogram",  # never gated (r9 new)
+    "x_video_clip_containment",  # never gated (r9 new)
+    # --- (d) last driver hash in round 4 (rotation block) ---
     "s19_snapshot_diff",
     "s20_event_transitions",
     "s21_id_gap_detection",
     "s22_rapid_duplicate_events",
     "s23_new_vs_returning",
+    "x_multimodal_metadata",
+    "x3_drift_fit_forecast",
+    "x_top_terms_corpus",
+    "x_tfidf_top_terms_per_doc",
+    "x_curation_hash_split",
+    "x_curation_weighted_sample",
+    "x_curation_stratified_mix",
+    "x_quality_repetition_signals",
+    "x_corr_matrix_one_scan",
+    "x_histogram_equi_width",
+    "x_curation_temperature_mix",
+    "x_profile_dataset",
+    "x_expectations_report",
+    "x_key_skew_profile",
+    "x_zorder_locality",
+    "w23_interpolate_linear",
+    "x_inverted_index",
+    "x_histogram_equi_depth",
+    "x_text_rarity_score",
+    "x_events_json_extract",
+    "x_bigram_lm",
+    "w24_cusum_drift",
+    "w25_topk_per_group",
+    "w26_seasonal_adjust",
+    "w27_acf_lags",
+    "w28_minmax_scale",
+    "w29_winsorize",
+    "w30_seasonal_anomaly",
+    "w32_seasonal_strength",
+    "w33_detected_period",
+    "w34_max_drawdown",
+    "x_bm25_topk",
+    # --- overflow: r4-stale spill (gates in r11, or now if the
+    # --- budget runs long) ---
+    "x_bigram_perplexity",
+    "x_source_overlap_matrix",
+    "x_countmin_estimate",
+    "x_source_quality_report",
+    "x_curation_topk_weighted",
+    "x_token_entropy",
+    "x_curation_eval_holdout",
+    "x_corpus_drift_kl",
+    "x_curation_dsir_score",
 ]
 
 # The external driver verifies roughly this many registry-order
