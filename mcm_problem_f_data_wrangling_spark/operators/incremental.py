@@ -260,3 +260,108 @@ def quantiles_from_sketch(
             F.element_at("anchors", idx).alias(f"q{int(round(q * 100)):02d}")
         )
     return state.select(*cols)
+
+
+def distinct_sketch_state(
+    df: DataFrame, keys: list[str], value_col: str, k: int = 256
+) -> DataFrame:
+    """Mergeable DISTINCT-COUNT sketch: ``(keys..., kmv array<bigint>,
+    n_state int)`` — the ``k`` smallest distinct 60-bit portable
+    hashes per group (KMV / bottom-k, Bar-Yossef et al. 2002).
+
+    The third member of the mergeable-state family: count/sum
+    (:func:`partial_aggregate`) and rank (:func:`quantile_sketch_state`)
+    states cannot answer "how many DISTINCT users did this group ever
+    see" without rescanning history.  KMV can, and its merge is EXACT
+    — the k smallest of a union is a pure function of the union, so
+    merged state is IDENTICAL to a single-pass recompute in any merge
+    order or grouping (like the decimal sums, unlike the quantile
+    sketch's generation-bounded error).  The hash is the md5-derived
+    ``portable_hash64`` (no RNG, no seed drift), so a SQL oracle
+    reproduces the state — and therefore the estimate — bit-for-bit.
+    State is O(groups * k); creation pays one distinct-shuffle of
+    (keys, hash), which is the same order as the exact distinct it
+    replaces — the sketch's value is every LATER increment merging in
+    O(groups * k) instead of a history rescan.  NULLs contribute
+    nothing.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.textfn import portable_hash64
+
+    if k < 2:
+        raise ValueError(f"distinct_sketch_state requires k >= 2, got {k}")
+    d = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *keys,
+            portable_hash64(F.col(value_col).cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy(*keys)
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("kmv"),
+            F.count(F.lit(1)).cast("int").alias("n_state"),
+        )
+    )
+
+
+def merge_distinct_sketch_states(
+    a: DataFrame, b: DataFrame, keys: list[str], k: int = 256
+) -> DataFrame:
+    """History ∪ increment → new state: union the hash sets, keep the
+    k smallest distinct per group.  Exact, associative, commutative —
+    merged state equals the single-pass state over the union."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(
+            f"merge_distinct_sketch_states requires k >= 2, got {k}"
+        )
+    ex = (
+        a.select(*keys, F.explode("kmv").alias("h"))
+        .unionByName(b.select(*keys, F.explode("kmv").alias("h")))
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        ex.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy(*keys)
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("kmv"),
+            F.count(F.lit(1)).cast("int").alias("n_state"),
+        )
+    )
+
+
+def distinct_from_sketch(
+    state: DataFrame, keys: list[str], k: int = 256
+) -> DataFrame:
+    """Per-group distinct-count estimate from KMV state: exact
+    ``n_state`` while the group holds fewer than ``k`` distinct
+    hashes, else the KMV estimator ``(k-1) * 2^60 / (h_k + 1)``
+    (relative standard error ~ 1/sqrt(k-2)).  Every term is either an
+    exact integer or one IEEE double op, so the estimate — not just a
+    bound — is reproducible in the SQL oracle; rounding is the
+    portable ``floor(x*1e6+0.5)/1e6``."""
+    if k < 2:
+        raise ValueError(f"distinct_from_sketch requires k >= 2, got {k}")
+    hk = F.element_at("kmv", k)
+    est = F.when(
+        F.col("n_state") < k, F.col("n_state").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * 2**60)) / (hk.cast("double") + F.lit(1.0))
+    )
+    return state.select(
+        *keys,
+        F.col("n_state"),
+        (F.floor(est * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "est_distinct"
+        ),
+    )

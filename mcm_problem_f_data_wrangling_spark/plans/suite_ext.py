@@ -5143,6 +5143,107 @@ def x_incremental_quantile_sketch(
 
 
 @_q(
+    "x_incremental_distinct_sketch",
+    "Mergeable DISTINCT-COUNT maintenance (operators/incremental.py "
+    "distinct_sketch_state / merge_distinct_sketch_states / "
+    "distinct_from_sketch): KMV / bottom-k (Bar-Yossef et al. 2002) — "
+    "the k=256 smallest distinct md5-portable 60-bit hashes per "
+    "group.  Unlike the quantile sketch's generation-bounded error, "
+    "the KMV merge is EXACT (k smallest of a union is a function of "
+    "the union), so the state from 3 daily shards merged in a chain "
+    "is bit-identical to a single pass — which lets the DuckDB "
+    "oracle reproduce the ESTIMATE itself (same hashes, same "
+    "(k-1)*2^60/(h_k+1) estimator, one IEEE double division, "
+    "portable floor-rounding), not merely a bound.  within_bounds "
+    "additionally pins honesty against the exact COUNT(DISTINCT) at "
+    "5 sigma (~32% for k=256; actual planted error is far smaller "
+    "and fully deterministic).  This answers 'how many distinct "
+    "users did this group EVER see' with O(groups x k) state and "
+    "O(groups x k) daily merges — no history rescan, the metric "
+    "count/sum/min/max state cannot provide.",
+    """
+WITH h AS (
+  SELECT DISTINCT o_orderpriority AS priority,
+         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+r AS (
+  SELECT priority, h,
+         row_number() OVER (PARTITION BY priority ORDER BY h) AS rn
+  FROM h
+),
+kmv AS (
+  SELECT priority, CAST(COUNT(*) AS INT) AS n_state, MAX(h) AS hk
+  FROM r WHERE rn <= 256 GROUP BY 1
+),
+ex AS (
+  SELECT o_orderpriority AS priority,
+         COUNT(DISTINCT o_custkey) AS nd
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+),
+est AS (
+  SELECT kmv.priority, kmv.n_state,
+         FLOOR((CASE WHEN kmv.n_state < 256 THEN CAST(kmv.n_state AS DOUBLE)
+                ELSE 255.0 * 1152921504606846976 / (CAST(kmv.hk AS DOUBLE) + 1.0)
+                END) * 1e6 + 0.5) / 1e6 AS est_distinct,
+         CAST(ex.nd AS BIGINT) AS exact_distinct
+  FROM kmv JOIN ex ON kmv.priority = ex.priority
+)
+SELECT priority, n_state, est_distinct, exact_distinct,
+       ABS(est_distinct - exact_distinct) <= 0.32 * exact_distinct
+         AS within_bounds
+FROM est
+""",
+    tags=("M2", "warehouse"),
+)
+def x_incremental_distinct_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.incremental import (
+        distinct_from_sketch,
+        distinct_sketch_state,
+        merge_distinct_sketch_states,
+    )
+
+    k = 256
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_custkey",
+        "o_orderkey",
+    )
+    keys = ["priority"]
+    shards = [
+        distinct_sketch_state(
+            orders.where(F.col("o_orderkey") % 3 == d), keys, "o_custkey", k
+        )
+        for d in range(3)
+    ]
+    state = merge_distinct_sketch_states(
+        merge_distinct_sketch_states(shards[0], shards[1], keys, k),
+        shards[2],
+        keys,
+        k,
+    )
+    est = distinct_from_sketch(state, keys, k)
+    exact = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .groupBy("priority")
+        .agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    )
+    return est.join(exact, "priority").select(
+        "priority",
+        "n_state",
+        "est_distinct",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            <= F.lit(0.32) * F.col("exact_distinct")
+        ).alias("within_bounds"),
+    )
+
+
+@_q(
     "w19_outlier_zscore",
     "Per-series z-score outlier flags over the monthly grain: mean "
     "and sample-variance derive from EXACT decimal Σx/Σx² window "

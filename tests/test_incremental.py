@@ -185,3 +185,51 @@ def test_quantile_sketch_bounds_and_merge_order_invariance(spark):
         quantile_sketch_state(small, ["g"], "v", 1)
     with pytest.raises(ValueError):
         merge_quantile_sketch_states(st, st, ["g"], 0)
+
+
+def test_distinct_sketch_merge_is_exact_and_small_groups_exact(spark):
+    """KMV merge exactness: state from shards merged in ANY order is
+    bit-identical to the single-pass state (k smallest of a union is
+    a function of the union); groups under k distinct report exactly."""
+    import pytest
+
+    from mcm_problem_f_data_wrangling_spark.operators.incremental import (
+        distinct_from_sketch,
+        distinct_sketch_state,
+        merge_distinct_sketch_states,
+    )
+
+    k = 16
+    rows = [("big", f"u{i % 400}", i % 3) for i in range(1200)] + [
+        ("small", f"v{i % 7}", i % 3) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "g string, u string, day int")
+    full = {
+        r["g"]: (r["kmv"], r["n_state"])
+        for r in distinct_sketch_state(df, ["g"], "u", k).collect()
+    }
+    shards = [
+        distinct_sketch_state(df.where(F.col("day") == d), ["g"], "u", k)
+        for d in range(3)
+    ]
+    for order in [(0, 1, 2), (2, 0, 1)]:
+        m = merge_distinct_sketch_states(
+            merge_distinct_sketch_states(shards[order[0]], shards[order[1]], ["g"], k),
+            shards[order[2]], ["g"], k,
+        )
+        got = {r["g"]: (r["kmv"], r["n_state"]) for r in m.collect()}
+        assert got == full, f"merge order {order} broke KMV exactness"
+    est = {
+        r["g"]: r for r in distinct_from_sketch(
+            merge_distinct_sketch_states(
+                merge_distinct_sketch_states(shards[0], shards[1], ["g"], k),
+                shards[2], ["g"], k,
+            ), ["g"], k,
+        ).collect()
+    }
+    assert est["small"]["n_state"] == 7 and est["small"]["est_distinct"] == 7.0
+    assert abs(est["big"]["est_distinct"] - 400) <= 0.8 * 400  # 3 sigma @ k=16
+    with pytest.raises(ValueError):
+        distinct_sketch_state(df, ["g"], "u", 1)
+    with pytest.raises(ValueError):
+        distinct_from_sketch(shards[0], ["g"], 0)
