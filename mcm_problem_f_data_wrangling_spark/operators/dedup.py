@@ -148,6 +148,78 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """LSH-banded candidates + EXACT trigram-shingle Jaccard verify —
+    the sub-threshold SCALE path the exact AllPairs join cannot walk.
+
+    ``jaccard_join_prefix``/``ngram_jaccard_pairs`` are complete but
+    their candidate cost is threshold-shaped: the PPJoin prefix is a
+    ``(1-t)``-fraction of every document's shingle set, so at t=0.2
+    ~80% of every set becomes join keys (the measured dominator of
+    ``x_dedup_clusters_cc`` at sf1, SCALE.md round-10 note).  Banding
+    cost is threshold-INDEPENDENT — k minhashes + ``bands`` bucket
+    keys per doc — and candidate fan-out follows the banding
+    chemistry ``P(candidate) = 1-(1-J^r)^b``, concentrated on pairs
+    that are actually similar.  The trade is RECALL < 1 on pairs near
+    the threshold (quantified on real data by ``x_lsh_recall_gate``;
+    8 bands x 2 rows gives ~0.53 at J=0.3, ~0.97 at J=0.5, ~1 at
+    J=0.8): this operator is the production choice when the corpus
+    is too large for completeness and the near-threshold tail is
+    noise anyway; the exact joins remain the audit tool.  Verified
+    pairs are EXACT — every emitted jaccard is the true trigram-set
+    value (``array_intersect`` on the sorted distinct shingle
+    arrays), so banding can only MISS pairs, never fabricate them.
+    Deterministic end-to-end (md5 hashes), hence SQL-oracle-mirrorable
+    including the banding.
+
+    Output: ``(doc_id_1, doc_id_2, jaccard)`` with ``doc_id_1 <
+    doc_id_2`` and ``jaccard >= threshold`` — a (deterministic)
+    subset of ``jaccard_join_prefix(df, threshold)``.
+    """
+    from .skew import spread
+
+    cand = lsh_candidate_pairs(
+        minhash_signatures(df, text_col=text_col, id_col=id_col, k=k),
+        id_col,
+        k,
+        bands,
+    )
+    sets = spread(df).select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, k=3)).alias("sh"),
+    )
+    j = (
+        cand.join(
+            sets.select(F.col(id_col).alias("doc_id_1"), F.col("sh").alias("sh1")),
+            "doc_id_1",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("doc_id_2"), F.col("sh").alias("sh2")),
+            "doc_id_2",
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.size(F.array_intersect("sh1", "sh2")).alias("n_common"),
+            F.size("sh1").alias("n_1"),
+            F.size("sh2").alias("n_2"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_1") + F.col("n_2") - F.col("n_common")
+    ).cast("double")
+    return j.where(jac >= F.lit(threshold)).select(
+        "doc_id_1", "doc_id_2", F.round(jac, 9).alias("jaccard")
+    )
+
+
 def simhash16(text_col: str = "text") -> Column:
     """16-bit SimHash over word tokens (multiset-weighted).
 

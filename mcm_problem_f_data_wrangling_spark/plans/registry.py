@@ -48,6 +48,7 @@ _FRONT = [
     "x_video_audio_fingerprint",  # NEW: MP4 PCM demux cross-container
     "x_incremental_quantile_sketch",  # NEW: domain-free rank sketch
     "x_incremental_distinct_sketch",  # NEW: KMV exact-merge distinct
+    "x_dedup_lsh_verified_pairs",  # NEW: LSH candidates + exact verify
     "x_audio_rate_invariant_match",  # anti-aliased resample + alias plants
     "x_media_dedup_clusters",  # AV plants join the WAV clusters
     "x_dedup_clusters_cc",  # parquet-grounded input, window-min stars
@@ -93,9 +94,9 @@ _FRONT = [
     "w30_seasonal_anomaly",
     "w32_seasonal_strength",
     "w33_detected_period",
-    "w34_max_drawdown",
     # --- overflow: r4-stale spill (gates in r11, or now if the
     # --- budget runs long) ---
+    "w34_max_drawdown",
     "x_bm25_topk",
     "x_bigram_perplexity",
     "x_source_overlap_matrix",

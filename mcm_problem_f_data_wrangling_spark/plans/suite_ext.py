@@ -181,6 +181,56 @@ def x_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x_dedup_lsh_verified_pairs",
+    "LSH-banded candidates + EXACT Jaccard verify in one operator "
+    "(operators/dedup.py minhash_jaccard_pairs) — the sub-threshold "
+    "SCALE path: PPJoin's prefix is a (1-t)-fraction of every "
+    "shingle set (at t=0.2, ~80% of every doc becomes join keys — "
+    "the measured x_dedup_clusters_cc dominator), while banding "
+    "cost is threshold-independent and candidate fan-out follows "
+    "1-(1-J^2)^8.  Verified pairs are EXACT trigram-set Jaccards "
+    "(array_intersect on distinct shingle arrays), so banding can "
+    "only MISS near-threshold pairs (recall quantified by "
+    "x_lsh_recall_gate), never fabricate one.  Deterministic "
+    "end-to-end (md5 minhashes), so the oracle mirrors the BANDING "
+    "itself, not just the verify — the hash pins candidates AND "
+    "values.",
+    f"""
+WITH {_SIG_CTE},
+banded AS (
+{_BANDED_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS shd FROM sh),
+v AS (
+  SELECT c.doc_id_1, c.doc_id_2,
+         CAST(len(list_intersect(x.shd, y.shd)) AS DOUBLE) AS n_common,
+         CAST(len(x.shd) AS DOUBLE) AS n1,
+         CAST(len(y.shd) AS DOUBLE) AS n2
+  FROM cand c
+  JOIN sets x ON c.doc_id_1 = x.doc_id
+  JOIN sets y ON c.doc_id_2 = y.doc_id
+)
+SELECT doc_id_1, doc_id_2,
+       ROUND(n_common / (n1 + n2 - n_common), 9) AS jaccard
+FROM v WHERE n_common / (n1 + n2 - n_common) >= 0.3
+""",
+    tags=("M4", "dedup", "scale"),
+)
+def x_dedup_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_jaccard_pairs
+
+    return minhash_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.3
+    )
+
+
+@_q(
     "x_dedup_simhash",
     "SimHash: 16-bit majority-vote fingerprint over md5 token hashes.",
     f"""

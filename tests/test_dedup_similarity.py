@@ -696,3 +696,38 @@ def test_knn_join_auto_engine_routing(spark):
 
     with _pytest.raises(ValueError, match="unknown engine"):
         knn_join(emb, emb, engine="gpu")
+
+
+def test_minhash_jaccard_pairs_subset_of_exact_with_true_values(spark):
+    """LSH-verified pairs are a SUBSET of the exact prefix join with
+    identical jaccard values on the shared pairs — banding can miss,
+    never fabricate — and high-J planted pairs are never missed
+    (P(candidate) = 1-(1-J^2)^8 ~ 1 at J ~ 0.9)."""
+    from mcm_problem_f_data_wrangling_spark.operators.dedup import (
+        jaccard_join_prefix,
+        minhash_jaccard_pairs,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(20):
+        toks = [words[(d * 7 + j) % 40] for j in range(30)]
+        rows.append((d, " ".join(toks)))
+        if d < 6:  # high-J twin: one token changed out of 30
+            tw = list(toks)
+            tw[7] = "zz"
+            rows.append((100 + d, " ".join(tw)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lsh = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in minhash_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    exact = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in jaccard_join_prefix(df, threshold=0.3).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for p, j in lsh.items():
+        assert j == exact[p]
+    for d in range(6):  # planted high-J twins must all be found
+        assert (d, 100 + d) in lsh
