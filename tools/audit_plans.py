@@ -56,6 +56,7 @@ PYTHON_OK = {
     "x_audio_rate_invariant_match",  # resample + FFT in mapInPandas
     "x_video_phash_neardup",         # frame pHash in mapInPandas
     "x_video_clip_containment",      # frame pHash in mapInPandas
+    "x_video_audio_fingerprint",     # PCM demux + FFT in mapInPandas
     # (behind an eager localCheckpoint, so usually 0 in the audited plan)
     "x_multimodal_feature_extract",
     "x_bpe_token_stats",
