@@ -45,6 +45,7 @@ _FRONT = [
     # --- oracle either way — tools/check_parity.py always runs ALL.
     "flagship_career_collapse",  # driver smoke target stays first
     "s36_streaming_outer_interval_join",  # NEW: LIVE outer join + eviction
+    "s37_streaming_checkpoint_resume",  # NEW: exactly-once restart
     "x_video_audio_fingerprint",  # NEW: MP4 PCM demux cross-container
     "x_incremental_quantile_sketch",  # NEW: domain-free rank sketch
     "x_incremental_distinct_sketch",  # NEW: KMV exact-merge distinct
@@ -93,9 +94,9 @@ _FRONT = [
     "w29_winsorize",
     "w30_seasonal_anomaly",
     "w32_seasonal_strength",
-    "w33_detected_period",
     # --- overflow: r4-stale spill (gates in r11, or now if the
     # --- budget runs long) ---
+    "w33_detected_period",
     "w34_max_drawdown",
     "x_bm25_topk",
     "x_bigram_perplexity",

@@ -4270,6 +4270,137 @@ def s36_streaming_outer_interval_join(
 
 
 @_q(
+    "s37_streaming_checkpoint_resume",
+    "LIVE Structured Streaming execution #9 — EXACTLY-ONCE RESUME "
+    "FROM CHECKPOINT, the recovery guarantee every other live gate "
+    "takes on faith: a dedup-at-ingest stream (streaming/dedup.py "
+    "dedup_stream — dropDuplicatesWithinWatermark keyed on the "
+    "content fingerprint) runs over HALF the ordered replay files, "
+    "STOPS, and a brand-new query restarts from the same checkpoint "
+    "over the full directory.  The planted duplicates (doc_id + 2^31 "
+    "twins of every shard doc, same text, strictly later synthetic "
+    "event time, range-partitioned into the post-restart files) "
+    "straddle the restart, so they are dropped ONLY if the dedup "
+    "state store is actually recovered from the checkpoint — a fresh "
+    "state would pass every one of them into the sink and fail the "
+    "hash.  The sink is the idempotent-by-epoch foreachBatch parquet "
+    "writer (streaming/dedup.py foreach_batch_idempotent_parquet); "
+    "the gate also asserts phase-2 batch ids strictly EXTEND "
+    "phase-1's (offsets recovered, nothing reprocessed, nothing "
+    "rewritten).  Oracle = the original shard rows: first-occurrence "
+    "dedup over the ordered replay keeps exactly the originals.",
+    """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 = 0
+""",
+    tags=("M2", "streaming", "stateful"),
+)
+def s37_streaming_checkpoint_resume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.textfn import portable_hash64
+    from ..streaming.dedup import (
+        dedup_stream,
+        foreach_batch_idempotent_parquet,
+    )
+    from ..streaming.replay import write_ordered_replay
+
+    shard = (
+        table(spark, sf_dir, "documents")
+        # 1/16 shard: the restart mechanics are size-independent and
+        # the full-corpus dedup path is already gated by s32/s19-s23 —
+        # this gate pays for state ROUNDS, so keep the state small
+        .filter(portable_hash64(F.col("doc_id").cast("string")) % 16 == 0)
+        .select(
+            "doc_id",
+            "text",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            # synthetic unique event time (s33 precedent): total order,
+            # no tie ambiguity, zone-free
+            F.timestamp_micros(F.col("doc_id")).alias("ts"),
+        )
+    )
+    # content twins with strictly later event times: range partitioning
+    # on ts puts every twin AFTER every original, so the twins land in
+    # the post-restart files and their originals' state must survive
+    # the restart for the dedup to drop them
+    off = 2**31
+    dups = shard.select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        "text",
+        "n_chars",
+        F.timestamp_micros(F.col("doc_id") + off).alias("ts"),
+    )
+    work = tempfile.mkdtemp(prefix="s37_resume_")
+    src, sink, ckpt = f"{work}/src", f"{work}/sink", f"{work}/ckpt"
+    os.makedirs(src)
+    try:
+        files = write_ordered_replay(
+            shard.unionByName(dups), "ts", f"{work}/replay", n_files=4
+        )
+
+        def drain(visible: list) -> set:
+            for f in visible:
+                dst = os.path.join(src, os.path.basename(f))
+                if not os.path.exists(dst):
+                    shutil.copy2(f, dst)  # copy2 keeps the mtime order
+            stream = (
+                spark.readStream.schema(
+                    spark.read.parquet(f"{work}/replay").schema
+                )
+                # two files per batch: each phase drains in ONE
+                # micro-batch — the restart (and its state recovery)
+                # is what this gate tests, not the batch count
+                .option("maxFilesPerTrigger", "2")
+                .parquet(src)
+            )
+            # 3650-day delay out-spans the replay: dedup state never
+            # expires, so every twin must hit its original's state row
+            out = dedup_stream(
+                stream, text_col="text", ts_col="ts", watermark="3650 days"
+            ).select("doc_id", "n_chars")
+            q = (
+                foreach_batch_idempotent_parquet(out, sink, ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError(
+                        "s37 streaming query did not drain within 300 s"
+                    )
+            finally:
+                q.stop()
+            return {
+                int(d.split("=", 1)[1])
+                for d in os.listdir(sink)
+                if d.startswith("epoch=")
+            }
+
+        first = drain(files[:2])
+        second = drain(files)
+        if not first or min(second - first or {-1}) <= max(first):
+            raise AssertionError(
+                f"s37 restart must EXTEND phase-1 batches, got "
+                f"phase1={sorted(first)} phase2={sorted(second)}"
+            )
+        kept = (
+            spark.read.parquet(f"{sink}/epoch=*")
+            .select("doc_id", "n_chars")
+            # off the sink dir before the finally removes it
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return kept
+
+
+@_q(
     "s30_streaming_running_totals",
     "LIVE Structured Streaming execution under the driver hash gate "
     "(streaming/running.py running_totals_stream, GroupState engine): "

@@ -702,3 +702,69 @@ def test_interval_join_rejects_bad_how_and_direction(spark):
             df, df, on=["a"], left_ts="b", right_ts="b",
             lookback_seconds=1.0, direction="sideways",
         )
+
+
+def test_checkpoint_resume_recovers_dedup_state(spark, tmp_path_factory):
+    """The s37 gate's load-bearing mechanism, proven both ways: a
+    restart FROM the checkpoint drops a duplicate of a pre-restart
+    row (state recovered), while a restart with a FRESH checkpoint
+    passes it into the sink (state lost) — so the gate genuinely
+    fails if recovery breaks."""
+    import datetime
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mcm_problem_f_data_wrangling_spark.streaming.dedup import (
+        dedup_stream,
+        foreach_batch_idempotent_parquet,
+    )
+    from mcm_problem_f_data_wrangling_spark.streaming.replay import (
+        write_ordered_replay,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, f"text {i}", t0 + datetime.timedelta(minutes=i)) for i in range(8)
+    ] + [
+        (100 + i, f"text {i}", t0 + datetime.timedelta(hours=1, minutes=i))
+        for i in range(8)  # twins of every original, strictly later
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    base = str(tmp_path_factory.mktemp("resume"))
+    files = write_ordered_replay(df, "ts", f"{base}/replay", n_files=2)
+
+    def run(visible, sink, ckpt):
+        src = f"{base}/src_{os.path.basename(sink)}"
+        os.makedirs(src, exist_ok=True)
+        for f in visible:
+            dst = os.path.join(src, os.path.basename(f))
+            if not os.path.exists(dst):
+                shutil.copy2(f, dst)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = dedup_stream(stream, "text", "ts", "365 days").select("doc_id")
+        q = (
+            foreach_batch_idempotent_parquet(out, sink, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    # recovered state: twins dropped across the restart
+    run(files[:1], f"{base}/sink_a", f"{base}/ckpt_a")
+    run(files, f"{base}/sink_a", f"{base}/ckpt_a")
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{base}/sink_a/epoch=*").collect()}
+    assert kept == set(range(8))
+
+    # counterfactual: the twins WITHOUT the originals' state (twin
+    # file only, fresh checkpoint) all pass into the sink — the drop
+    # in part A can only have come from the recovered state store
+    run(files[1:], f"{base}/sink_c", f"{base}/ckpt_c")
+    kept_c = {r["doc_id"] for r in spark.read.parquet(f"{base}/sink_c/epoch=*").collect()}
+    assert kept_c == {100 + i for i in range(8)}
