@@ -4117,7 +4117,7 @@ FROM events c
 LEFT JOIN events p
   ON c.user_id = p.user_id AND p.event_type = 'purchase'
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-WHERE c.event_type = 'click'
+WHERE c.event_type = 'click' AND c.user_id % 4 = 0
 """,
     tags=("M2", "streaming", "joins"),
 )
@@ -4138,7 +4138,14 @@ def s36_streaming_outer_interval_join(
     # with the session zone, and no ts column reaches the output
     base = (
         table(spark, sf_dir, "events")
-        .where(F.col("event_type").isin("click", "purchase"))
+        # 1/4 user shard: eviction/null-padding semantics are volume-
+        # independent (s37 precedent) and s34 already runs the FULL
+        # click+purchase volume through the same symmetric join state
+        # — this gate pays for watermark-ladder state rounds
+        .where(
+            F.col("event_type").isin("click", "purchase")
+            & (F.col("user_id") % 4 == 0)
+        )
         .select(
             "event_id",
             "user_id",
