@@ -768,3 +768,76 @@ def test_checkpoint_resume_recovers_dedup_state(spark, tmp_path_factory):
     run(files[1:], f"{base}/sink_c", f"{base}/ckpt_c")
     kept_c = {r["doc_id"] for r in spark.read.parquet(f"{base}/sink_c/epoch=*").collect()}
     assert kept_c == {100 + i for i in range(8)}
+
+
+def test_interval_join_full_outer_null_pads_both_sides(spark, tmp_path_factory):
+    """full_outer: unmatched LEFT and RIGHT rows both null-pad out on
+    watermark eviction — the remaining join type the s34/s36 gates
+    don't cover, driven through the same ordered-replay + sentinel
+    ladder."""
+    import datetime
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from mcm_problem_f_data_wrangling_spark.streaming.dedup import (
+        stream_stream_interval_join,
+    )
+    from mcm_problem_f_data_wrangling_spark.streaming.replay import (
+        write_ordered_replay,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # u1: click + purchase 10 min later -> the matched pair
+        (1, 10, "click", t0),
+        (2, 10, "purchase", t0 + datetime.timedelta(minutes=10)),
+        # u2: click with no purchase -> unmatched LEFT
+        (3, 20, "click", t0 + datetime.timedelta(minutes=5)),
+        # u3: purchase with no click -> unmatched RIGHT
+        (4, 30, "purchase", t0 + datetime.timedelta(minutes=7)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    sent = spark.createDataFrame(
+        [(-1, -1, "click", t0 + datetime.timedelta(hours=12)),
+         (-1, -1, "purchase", t0 + datetime.timedelta(hours=12))],
+        df.schema,
+    )
+    path = str(tmp_path_factory.mktemp("foj"))
+    write_ordered_replay(df, "ts", path, n_files=2, sentinel_df=sent, n_sentinels=2)
+    src = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(path)
+    )
+    clicks = src.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = src.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = stream_stream_interval_join(
+        clicks, purchases,
+        on=[("user_id", "p_user")],
+        left_ts="ts", right_ts="p_ts",
+        lookback_seconds=1800.0, watermark="1 hour",
+        how="full_outer", direction="lookforward",
+    ).select("click_id", "purchase_id")
+    sink = "foj_" + uuid.uuid4().hex[:6]
+    q = (
+        joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+        if r["click_id"] != -1 and r["purchase_id"] != -1  # sentinels
+    }
+    spark.catalog.dropTempView(sink)
+    assert got == {(1, 2), (3, None), (None, 4)}
