@@ -218,6 +218,27 @@ def connected_components(
             shutil.rmtree(base, ignore_errors=True)
 
 
+def assert_materialized(df: DataFrame, context: str = "") -> DataFrame:
+    """Assert ``df`` is a checkpoint barrier (its analyzed plan is a
+    single ``LogicalRDD`` — what ``localCheckpoint(eager=True)``
+    returns), i.e. no upstream scan can re-execute.
+
+    Callers that delete a grounding directory a result was computed
+    FROM must pass the result through this first: the coupling between
+    "the plan was materialized" and "its inputs may be removed" is
+    then structural — removing the checkpoint upstream turns a silent
+    read-after-delete failure into this loud error.
+    """
+    node = df._jdf.queryExecution().analyzed().nodeName()
+    if node != "LogicalRDD":
+        raise AssertionError(
+            f"expected a checkpoint-materialized plan (LogicalRDD), got "
+            f"{node}{' in ' + context if context else ''} — the grounding "
+            f"directory this result reads from is about to be deleted"
+        )
+    return df
+
+
 def duplicate_clusters(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -275,8 +296,11 @@ def duplicate_clusters(
             nodes=base.select(F.col(id_col).alias("node")),
             node_col="node",
         )
-        # comp is localCheckpoint-materialized inside
-        # connected_components, so base_dir can be removed now
+        # comp must be localCheckpoint-materialized (inside
+        # connected_components) before base_dir is removed — assert
+        # it, so removing that checkpoint upstream fails HERE instead
+        # of as a read-after-delete downstream
+        assert_materialized(comp, "duplicate_clusters")
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
     return comp.select(

@@ -230,9 +230,31 @@ def merge_quantile_sketch_states(
     """
     if k < 2:
         raise ValueError(f"merge_quantile_sketch_states requires k >= 2, got {k}")
+
+    # the weighting below assumes BOTH states carry exactly k anchors
+    # (each anchor represents n/k of its group's weight); merging a
+    # state built with a different k would silently corrupt both the
+    # count and the weighting — fail fast per state row instead
+    # (assert_true returns NULL on success, so the filter keeps rows)
+    def _guarded(s: DataFrame) -> DataFrame:
+        return s.where(
+            F.assert_true(
+                F.size("anchors") == k,
+                F.concat(
+                    F.lit("merge_quantile_sketch_states: state carries "),
+                    F.size("anchors").cast("string"),
+                    F.lit(f" anchors, expected k={k}"),
+                ),
+            ).isNull()
+        )
+
     exploded = (
-        a.select(*keys, F.explode("anchors").alias("v"), F.col("n"))
-        .unionByName(b.select(*keys, F.explode("anchors").alias("v"), F.col("n")))
+        _guarded(a).select(*keys, F.explode("anchors").alias("v"), F.col("n"))
+        .unionByName(
+            _guarded(b).select(
+                *keys, F.explode("anchors").alias("v"), F.col("n")
+            )
+        )
     )
     pcts = F.array(*[F.lit((i + 0.5) / k) for i in range(k)])
     return exploded.groupBy(*keys).agg(
@@ -250,6 +272,11 @@ def quantiles_from_sketch(
     one row per group with a ``q<pct>`` column per requested quantile
     plus ``n_total``.  Pure array indexing, no exchange.
     """
+    bad = [q for q in qs if not 0.0 <= float(q) <= 1.0]
+    if bad:
+        raise ValueError(
+            f"quantiles_from_sketch requires 0 <= q <= 1, got {bad}"
+        )
     cols = [F.col(c) for c in keys] + [F.col("n").alias("n_total")]
     size = F.size("anchors")
     for q in qs:

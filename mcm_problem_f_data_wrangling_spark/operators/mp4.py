@@ -589,6 +589,16 @@ def encode_mp4_av(
     return ftyp + mdat + moov
 
 
+class NoAudioTrackError(ValueError):
+    """The MP4 is structurally valid but carries no ``soun`` track.
+
+    A dedicated type (not message-text matching) so callers like
+    ``demux_mp4_audio`` can treat video-only inputs as a benign skip
+    while every other ``ValueError`` (corrupt structure) still fails
+    the job loudly.
+    """
+
+
 def parse_mp4_audio_track(
     payload: bytes,
 ) -> tuple[str, int, int, list[int]]:
@@ -653,7 +663,7 @@ def parse_mp4_audio_track(
         n = len(data) // 2
         samples = list(struct.unpack(f"{fmt}{n}h", data))
         return fourcc, sample_rate, channels, samples
-    raise ValueError("MP4 has no soun track")
+    raise NoAudioTrackError("MP4 has no soun track")
 
 
 MP4_AUDIO_SCHEMA = StructType(
@@ -699,10 +709,8 @@ def demux_mp4_audio(
                     continue
                 try:
                     _, sr, ch, samples = parse_mp4_audio_track(bytes(p))
-                except ValueError as ex:
-                    if "no soun track" in str(ex):
-                        continue  # video-only MP4: nothing to demux
-                    raise
+                except NoAudioTrackError:
+                    continue  # video-only MP4: nothing to demux
                 out["media_id"].append(int(mid))
                 out["sample_rate"].append(sr)
                 out["channels"].append(ch)

@@ -1642,7 +1642,6 @@ def x_video_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = np.arange(512)
     rows = []
     for g in range(8):
-        tones: dict[int, list[int]] = {}
         for mid, fmt in ((g, "sowt"), (g + 100, "twos")):
             amp = 700.0 + 7.0 * mid
             samples: list[int] = []
@@ -1650,7 +1649,6 @@ def x_video_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k = 16 * ((7 * g + 3 * seg) % 8) + 8
                 tone = np.round(amp * np.cos(2.0 * np.pi * k * u / 256.0))
                 samples.extend(int(x) for x in tone)
-            tones[mid] = samples
             rows.append(
                 (
                     mid,

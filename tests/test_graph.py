@@ -227,3 +227,30 @@ def test_k_core_matches_python_peel(spark):
     for k in (2, 3, 4, 5):
         got = {r["node"] for r in k_core(df, k).collect()}
         assert got == peel(edges, k), f"k={k}"
+
+
+def test_assert_materialized_pins_checkpoint_coupling(spark):
+    """duplicate_clusters deletes its parquet grounding dir relying on
+    connected_components returning a localCheckpoint-materialized
+    result; assert_materialized makes that coupling structural — this
+    test fails if either the assertion or the checkpoint is removed."""
+    import pytest
+
+    from mcm_problem_f_data_wrangling_spark.operators.graph import (
+        assert_materialized,
+    )
+
+    plain = spark.range(5).selectExpr("id", "id * 2 AS b")
+    with pytest.raises(AssertionError, match="LogicalRDD"):
+        assert_materialized(plain, "test")
+    ck = plain.localCheckpoint(eager=True)
+    assert assert_materialized(ck, "test") is ck
+    # the real call site: duplicate_clusters asserts materialization
+    # BEFORE deleting its grounding dir, so its result stays readable
+    # after the finally-rmtree — collect after the call proves it
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "zzz yyy xxx")],
+        "doc_id bigint, text string",
+    )
+    out = duplicate_clusters(docs)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}

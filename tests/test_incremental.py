@@ -233,3 +233,32 @@ def test_distinct_sketch_merge_is_exact_and_small_groups_exact(spark):
         distinct_sketch_state(df, ["g"], "u", 1)
     with pytest.raises(ValueError):
         distinct_from_sketch(shards[0], ["g"], 0)
+
+
+def test_quantile_sketch_guards_k_mismatch_and_q_range(spark):
+    """Merging states built with different k silently corrupts the
+    weighting (each anchor represents n/k of its group) — the merge
+    must fail fast instead; quantiles_from_sketch must reject q
+    outside [0, 1] rather than clamping to an arbitrary anchor."""
+    import pytest
+
+    from mcm_problem_f_data_wrangling_spark.operators.incremental import (
+        merge_quantile_sketch_states,
+        quantile_sketch_state,
+        quantiles_from_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(100)], "g string, v double"
+    )
+    st8 = quantile_sketch_state(df, ["g"], "v", 8)
+    st16 = quantile_sketch_state(df, ["g"], "v", 16)
+    with pytest.raises(Exception, match="anchors, expected k=8"):
+        merge_quantile_sketch_states(st8, st16, ["g"], 8).collect()
+    with pytest.raises(Exception, match="anchors, expected k=16"):
+        merge_quantile_sketch_states(st8, st16, ["g"], 16).collect()
+    # matching k still merges fine (the guard passes rows through)
+    assert merge_quantile_sketch_states(st8, st8, ["g"], 8).count() == 1
+    for bad_q in (-0.01, 1.01):
+        with pytest.raises(ValueError, match="0 <= q <= 1"):
+            quantiles_from_sketch(st8, ["g"], [0.5, bad_q])

@@ -240,12 +240,16 @@ def test_mp4_audio_track_errors():
     import pytest
 
     from mcm_problem_f_data_wrangling_spark.operators.mp4 import (
+        NoAudioTrackError,
         encode_mp4_mjpeg_video,
         parse_mp4_audio_track,
     )
 
     video_only = encode_mp4_mjpeg_video([_jpeg_frame(8, 8, 3)], 8, 8)
-    with pytest.raises(ValueError, match="no soun track"):
+    # the DEDICATED type (not message text) is what demux_mp4_audio
+    # keys its benign-skip on — a ValueError subclass so generic
+    # callers still see a ValueError
+    with pytest.raises(NoAudioTrackError, match="no soun track"):
         parse_mp4_audio_track(video_only)
     with pytest.raises(ValueError):
         parse_mp4_audio_track(b"\x00" * 16)
