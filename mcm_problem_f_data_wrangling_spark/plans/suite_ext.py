@@ -4175,15 +4175,20 @@ def s36_streaming_outer_interval_join(
             return (
                 spark.readStream.schema(schema)
                 # the watermark only advances BETWEEN batches, so the
-                # ladder needs exactly: [all data] -> [sentinel 1:
-                # watermark jumps past every real window] -> [sentinel
-                # 2: eviction runs, unmatched clicks null-pad out].
-                # Batching all 3 data files together (mtime order puts
-                # the sentinels last) keeps the state-store rounds at
-                # 3 instead of 5 — measured 3.2x faster at sf1 with
-                # identical output and the mid-stream eviction still
-                # exercised by the sentinel-1 batch
-                .option("maxFilesPerTrigger", "3")
+                # ladder is: batch 1 = [all 3 data files + sentinel 1]
+                # (the watermark at its END jumps past every real
+                # click's window — sentinel rows joining alongside
+                # data is harmless, the driver filter drops them),
+                # batch 2 = [sentinel 2] — a REAL batch that performs
+                # the eviction, so the null-padding does NOT depend on
+                # the trailing no-data micro-batch
+                # (spark.sql.streaming.noDataMicroBatches.enabled):
+                # with mFPT=3 both sentinels landed in one final batch
+                # and only the no-data batch evicted (r10 advisor).
+                # Two state-store rounds instead of three is also the
+                # cheapest correct ladder — each join-state round
+                # costs ~10 s at sf1 regardless of volume
+                .option("maxFilesPerTrigger", "4")
                 .parquet(replay)
                 .where(F.col("event_type") == et)
                 .select(*cols)

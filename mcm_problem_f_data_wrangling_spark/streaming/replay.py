@@ -13,6 +13,17 @@ data: sentinel batch k advances the watermark at its end, and the
 NEXT batch performs the eviction — two sentinels guarantee every
 real row's outer/null-padded result has emitted by end-of-stream
 (engine extension; the reference repo is batch-only, SURVEY.md §2.8).
+
+BATCHING CAVEAT: the two sentinels must land in DIFFERENT
+micro-batches for the eviction to run in a real batch.  With
+``maxFilesPerTrigger`` sized so both sentinel files fall into one
+trailing batch, the watermark only advances at that batch's end and
+the eviction then silently relies on Spark's trailing no-data
+micro-batch (``spark.sql.streaming.noDataMicroBatches.enabled``,
+default true).  Callers should size ``maxFilesPerTrigger`` as
+``n_files + n_sentinels - 1`` so the LAST sentinel forms its own
+batch (the s36 gate does exactly this: [data + sentinel 1] advances
+the watermark, [sentinel 2] evicts).
 """
 
 from __future__ import annotations

@@ -841,3 +841,84 @@ def test_interval_join_full_outer_null_pads_both_sides(spark, tmp_path_factory):
     }
     spark.catalog.dropTempView(sink)
     assert got == {(1, 2), (3, None), (None, 4)}
+
+
+def test_outer_join_eviction_without_no_data_batches(spark, tmp_path_factory):
+    """The s36 ladder sizes maxFilesPerTrigger = n_files + n_sentinels
+    - 1 so the LAST sentinel forms its own micro-batch and the
+    eviction runs in a REAL batch — null-padding must not depend on
+    spark.sql.streaming.noDataMicroBatches.enabled (r10 advisor: with
+    both sentinels in one trailing batch it silently did)."""
+    import datetime
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from mcm_problem_f_data_wrangling_spark.streaming.dedup import (
+        stream_stream_interval_join,
+    )
+    from mcm_problem_f_data_wrangling_spark.streaming.replay import (
+        write_ordered_replay,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, "click", t0),
+        (2, 10, "purchase", t0 + datetime.timedelta(minutes=10)),
+        (3, 20, "click", t0 + datetime.timedelta(minutes=5)),  # unmatched
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    sent = spark.createDataFrame(
+        [(-1, -1, "click", t0 + datetime.timedelta(hours=12)),
+         (-1, -1, "purchase", t0 + datetime.timedelta(hours=12))],
+        df.schema,
+    )
+    path = str(tmp_path_factory.mktemp("nodata"))
+    write_ordered_replay(df, "ts", path, n_files=2, sentinel_df=sent,
+                         n_sentinels=2)
+    old = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        src = (
+            spark.readStream.schema(df.schema)
+            # 2 data files + 2 sentinels, mFPT=3: [data..., sentinel 1]
+            # advances the watermark, [sentinel 2] performs eviction
+            .option("maxFilesPerTrigger", "3")
+            .parquet(path)
+        )
+        clicks = src.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        )
+        purchases = src.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        joined = stream_stream_interval_join(
+            clicks, purchases,
+            on=[("user_id", "p_user")],
+            left_ts="ts", right_ts="p_ts",
+            lookback_seconds=1800.0, watermark="1 hour",
+            how="left_outer", direction="lookforward",
+        ).select("click_id", "purchase_id")
+        sink = "nodata_" + uuid.uuid4().hex[:6]
+        q = (
+            joined.writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+        got = {
+            (r["click_id"], r["purchase_id"])
+            for r in spark.sql(f"SELECT * FROM {sink}").collect()
+            if r["click_id"] != -1
+        }
+        spark.catalog.dropTempView(sink)
+        # the unmatched click null-pads even with no-data batches OFF
+        assert got == {(1, 2), (3, None)}
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", old
+        )
