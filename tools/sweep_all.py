@@ -13,18 +13,25 @@ artifact (committed as ``SWEEP_SF1_r{N}.json`` each round — the
 regression anchor pre_snapshot_gate.sh gate 6 compares against, so the
 heavy non-headline queries are machine-gated, not narrative-gated).
 
-With ``--anchor PATH`` (a previously committed sweep artifact) any
-query whose single-run wall trips the two-tier cliff rule vs its
-anchor — ``t > max(3*anchor, 10 s)`` OR ``t > max(6*anchor, 2 s)`` —
-is RE-RUN twice and its artifact entry becomes the median of the
-three runs.  Rationale (r8 judge finding): the sweep is single-run,
-and cold parquet-footer/codegen warmup varies 3-10x with registry
-ORDER, so r8 recorded three 2.4-3x "regressions" on unchanged code.
-Warmup noise does not reproduce on an immediate re-run in the same
-warm session; a real plan regression does — so the median keeps the
-gate's signal while killing its order-dependent false positives.
-Re-measured entries are listed under ``"remeasured"`` in the
-artifact so the anchor's provenance is auditable.
+Two re-measurement rules feed one median-of-3 pass (each suspect is
+re-run twice in the warm session and its artifact entry becomes the
+median of the three runs):
+
+1. DOMINATOR rule (unconditional): any query whose single-run wall
+   exceeds ``DOMINATOR_SECONDS`` (8 s).  Rationale (r10 judge
+   finding): the expensive rows swing +-25% single-run with registry
+   order, so their anchors needed a noise-explanation paragraph every
+   round — a median is comparable round-over-round, an order-dependent
+   single read is not.
+2. CLIFF rule (needs ``--anchor PATH``, a previously committed sweep
+   artifact): any query tripping the two-tier rule vs its anchor —
+   ``t > max(3*anchor, 10 s)`` OR ``t > max(6*anchor, 2 s)``.
+   Rationale (r8 judge finding): cold parquet-footer/codegen warmup
+   varies 3-10x with registry ORDER; warmup noise does not reproduce
+   on an immediate warm re-run, a real plan regression does.
+
+Re-measured entries are listed under ``"remeasured"`` in the artifact
+so every anchor's provenance is auditable.
 
 Usage: python tools/sweep_all.py [sf_dir] [top_n] [--out PATH] [--anchor PATH]
 """
@@ -40,6 +47,10 @@ sys.path.insert(0, ".")
 
 from mcm_problem_f_data_wrangling_spark.plans import REGISTRY  # noqa: E402
 from mcm_problem_f_data_wrangling_spark.session import get_spark  # noqa: E402
+
+# single-run walls above this are order-noise-dominated (+-25%
+# observed at sf1) — always re-measure median-of-3 in the warm session
+DOMINATOR_SECONDS = 8.0
 
 
 def main() -> int:
@@ -78,39 +89,43 @@ def main() -> int:
                 flush=True,
             )
             traceback.print_exc(file=sys.stderr)
-    remeasured: dict[str, list[float]] = {}
-    if anchor_path:
-        base = json.load(open(anchor_path)).get("queries", {})
-        suspects = [
-            n
-            for n, t in times.items()
-            if n in base
+    remeasured: dict[str, list] = {}
+    base = (
+        json.load(open(anchor_path)).get("queries", {}) if anchor_path else {}
+    )
+    suspects = {
+        n
+        for n, t in times.items()
+        if t > DOMINATOR_SECONDS  # dominator rule: always median
+        or (
+            n in base
             and (t > max(3.0 * base[n], 10.0) or t > max(6.0 * base[n], 2.0))
-        ]
-        for name in suspects:
-            runs = [times[name]]
-            # a transient re-run failure must not discard the full
-            # sweep: keep the original single-run time, record the
-            # failure in the artifact, and keep going (r9 advisor)
-            try:
-                for _ in range(2):
-                    t0 = time.time()
-                    REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    runs.append(round(time.time() - t0, 2))
-                times[name] = sorted(runs)[1]
-            except Exception as ex:
-                runs.append(f"rerun-failed: {type(ex).__name__}: {ex}"[:200])
-                traceback.print_exc(file=sys.stderr)
-            remeasured[name] = runs
-            print(
-                json.dumps(
-                    {"query": name, "remeasured": runs, "median": times[name],
-                     "anchor": base[name]}
-                ),
-                flush=True,
-            )
+        )
+    }
+    for name in sorted(suspects):
+        runs: list = [times[name]]
+        # a transient re-run failure must not discard the full
+        # sweep: keep the original single-run time, record the
+        # failure in the artifact, and keep going (r9 advisor)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.time() - t0, 2))
+            times[name] = sorted(runs)[1]
+        except Exception as ex:
+            runs.append(f"rerun-failed: {type(ex).__name__}: {ex}"[:200])
+            traceback.print_exc(file=sys.stderr)
+        remeasured[name] = runs
+        print(
+            json.dumps(
+                {"query": name, "remeasured": runs, "median": times[name],
+                 **({"anchor": base[name]} if name in base else {})}
+            ),
+            flush=True,
+        )
     wall = round(time.time() - t_all, 1)
     if out_path:
         with open(out_path, "w") as f:
