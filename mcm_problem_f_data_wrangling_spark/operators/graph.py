@@ -244,18 +244,36 @@ def duplicate_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.2,
+    pair_method: str = "prefix",
 ) -> DataFrame:
     """Resolve exact + near-dup evidence into clusters with one survivor.
 
     Edge set = (a) star edges doc→min-doc within each exact-fingerprint
-    group and (b) prefix-filtered exact bigram-shingle Jaccard pairs at
-    ``jaccard_threshold`` — the two cheap evidence sources; transitive
-    closure across BOTH is what a pairwise keep-rule cannot express.
+    group and (b) near-dup Jaccard pairs at ``jaccard_threshold`` —
+    the two cheap evidence sources; transitive closure across BOTH is
+    what a pairwise keep-rule cannot express.
+
+    ``pair_method`` picks the near-dup evidence engine:
+
+    - ``'prefix'`` (default): exact AllPairs prefix-filtered
+      bigram-shingle Jaccard (``dedup.ngram_jaccard_pairs``) —
+      COMPLETE, but its candidate cost is threshold-shaped (the
+      prefix is a ``(1-t)``-fraction of every shingle set), so low
+      thresholds blow up.  The audit path.
+    - ``'lsh'``: MinHash-LSH banded candidates + exact trigram-
+      shingle Jaccard verify (``dedup.minhash_jaccard_pairs``) —
+      banding cost is threshold-INDEPENDENT; recall < 1 near the
+      threshold (quantified by the ``x_lsh_recall_gate`` query), and
+      verified pairs are exact, so the cluster graph can only be
+      MISSING edges vs the audit path, never carry a false one.  The
+      production path for sub-threshold dedup at corpus scale.
 
     Output: (doc_id, cluster_id, is_kept) for EVERY input doc —
     singletons are their own cluster — with is_kept = 1 exactly on the
     min doc_id per cluster (deterministic survivor rule).
     """
+    if pair_method not in ("prefix", "lsh"):
+        raise ValueError(f"unsupported pair_method: {pair_method!r}")
     from pyspark.sql import Window
 
     from ..functions.textfn import doc_fingerprint
@@ -288,9 +306,25 @@ def duplicate_clusters(
             .filter(F.col(id_col) != F.col("m"))
             .select(F.col(id_col).alias("src"), F.col("m").alias("dst"))
         )
-        jac = ngram_jaccard_pairs(
-            base, text_col=text_col, id_col=id_col, threshold=jaccard_threshold
-        ).select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
+        if pair_method == "lsh":
+            from .dedup import minhash_jaccard_pairs
+
+            pairs = minhash_jaccard_pairs(
+                base,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=jaccard_threshold,
+            )
+        else:
+            pairs = ngram_jaccard_pairs(
+                base,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=jaccard_threshold,
+            )
+        jac = pairs.select(
+            F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+        )
         comp = connected_components(
             star.unionByName(jac),
             nodes=base.select(F.col(id_col).alias("node")),

@@ -12,6 +12,8 @@ multiplication (DuckDB FLOAT*FLOAT stays single-precision otherwise).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -104,8 +106,11 @@ def _sig_col_sql(i: int) -> str:
 
 _SIG_COLS_SQL = ",\n       ".join(_sig_col_sql(i) for i in range(16))
 
-_SIG_CTE = f"""
-toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+def _sig_cte(src: str = "documents") -> str:
+    """MinHash-signature CTE chain over ``src`` (a table or an
+    earlier CTE — the sharded gates pass their sample CTE)."""
+    return f"""
+toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
 sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks_t),
 m5_t AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS m5 FROM sh),
 sig AS (
@@ -114,6 +119,9 @@ sig AS (
   FROM m5_t
 )
 """.strip()
+
+
+_SIG_CTE = _sig_cte()
 
 
 # --------------------------------------------------------------------------
@@ -2583,6 +2591,85 @@ def x_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     shard = docs.filter(portable_hash64(F.col("doc_id").cast("string")) % 4 == 0)
     return duplicate_clusters(shard)
+
+
+@_q(
+    "x_dedup_clusters_lsh",
+    "The LSH-banded dedup path run END-TO-END — candidates → exact "
+    "verify → connected components → survivor — the way "
+    "x_dedup_clusters_cc runs the exact prefix-filter path "
+    "(duplicate_clusters pair_method='lsh', operators/graph.py).  "
+    "Same shard, same star edges from exact fingerprints, same CC "
+    "contraction and min-doc_id survivor rule; the near-dup evidence "
+    "is minhash_jaccard_pairs at t=0.3 (threshold-INDEPENDENT "
+    "banding cost — the sub-threshold production posture; measured "
+    "2.1x over the prefix path pairwise at t=0.3/sf1 in r10) instead "
+    "of the threshold-shaped AllPairs prefix join.  Verified pairs "
+    "are exact trigram-set Jaccards, so the cluster graph can only "
+    "be MISSING near-threshold edges vs the audit path (recall "
+    "quantified by x_lsh_recall_gate), never carry a false one — "
+    "and every hash is md5-portable, so the oracle mirrors the "
+    "BANDING itself inside the same recursive-CTE closure the exact "
+    "gate uses: the driver hash pins candidates, verify, AND the "
+    "transitive clustering.",
+    f"""
+WITH RECURSIVE
+dsamp AS (
+  SELECT * FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0
+),
+{_sig_cte("dsamp")},
+banded AS (
+{_BANDED_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS shd FROM sh),
+jac AS (
+  SELECT c.doc_id_1 AS src, c.doc_id_2 AS dst
+  FROM cand c
+  JOIN sets x ON c.doc_id_1 = x.doc_id
+  JOIN sets y ON c.doc_id_2 = y.doc_id
+  WHERE CAST(len(list_intersect(x.shd, y.shd)) AS DOUBLE)
+          / CAST(len(x.shd) + len(y.shd) - len(list_intersect(x.shd, y.shd)) AS DOUBLE)
+        >= 0.3
+),
+fpt AS (
+  SELECT doc_id, {_H60("array_to_string(toks, ' ')")} AS fingerprint
+  FROM toks_t
+),
+fpg AS (SELECT fingerprint, MIN(doc_id) AS keep FROM fpt GROUP BY 1),
+star AS (
+  SELECT f.doc_id AS src, g.keep AS dst
+  FROM fpt f JOIN fpg g USING (fingerprint)
+  WHERE f.doc_id != g.keep
+),
+edges AS (SELECT * FROM star UNION ALL SELECT * FROM jac),
+sym AS (
+  SELECT src AS a, dst AS b FROM edges WHERE src != dst
+  UNION
+  SELECT dst, src FROM edges WHERE src != dst
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM dsamp
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node
+  WHERE r.comp < s.b
+)
+SELECT node AS doc_id, MIN(comp) AS cluster_id,
+       CAST(CASE WHEN MIN(comp) = node THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+FROM reach GROUP BY node
+""",
+    tags=("M4", "dedup", "graph", "scale"),
+)
+def x_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    shard = docs.filter(portable_hash64(F.col("doc_id").cast("string")) % 4 == 0)
+    return duplicate_clusters(shard, jaccard_threshold=0.3, pair_method="lsh")
 
 
 @_q(
@@ -5431,6 +5518,142 @@ def x_incremental_distinct_sketch(
             F.abs(F.col("est_distinct") - F.col("exact_distinct"))
             <= F.lit(0.32) * F.col("exact_distinct")
         ).alias("within_bounds"),
+    )
+
+
+# 3x the KMV relative standard error 1/sqrt(k-2) at k=64 — the
+# accuracy bound x_kmv_accuracy_gate asserts.  One shared literal so
+# the Spark plan and the DuckDB oracle compare against the identical
+# double.
+_KMV_K = 64
+_KMV_RSE_BOUND = 3.0 / math.sqrt(float(_KMV_K - 2))
+
+
+@_q(
+    "x_kmv_accuracy_gate",
+    "KMV estimator ACCURACY audit across merge groupings (the "
+    "x_lsh_recall_gate pattern applied to the distinct sketch): the "
+    "events user_id cardinality per event_type is estimated from "
+    "k=64 bottom-k states built under TWO different shardings "
+    "(event_id % 3 and % 4 — the same user lands in several shards, "
+    "so the merge must dedupe across shard states) and chain-merged; "
+    "because the KMV merge is EXACT, both groupings' estimates are "
+    "bit-identical to the single-pass sketch, which is what the "
+    "oracle computes once and replicates per grouping label — the "
+    "hash therefore pins merge-grouping invariance, not just the "
+    "values.  Every row asserts |est - exact| / exact <= 3/sqrt(k-2) "
+    "(~0.381 at k=64) IN THE PLAN (assert_true): if the estimator "
+    "drifts outside three relative standard errors on real data the "
+    "gate throws rather than shifting a metric.  k is sized BELOW "
+    "the sf0.01 cardinality (150 users) so the estimator branch — "
+    "not the exact small-group branch — is what every scale factor "
+    "exercises.",
+    f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+kmv AS (
+  SELECT event_type, CAST(COUNT(*) AS INT) AS n_state, MAX(h) AS hk
+  FROM r WHERE rn <= {_KMV_K} GROUP BY 1
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS nd
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+est AS (
+  SELECT kmv.event_type, kmv.n_state,
+         FLOOR((CASE WHEN kmv.n_state < {_KMV_K}
+                THEN CAST(kmv.n_state AS DOUBLE)
+                ELSE {float(_KMV_K - 1)!r} * 1152921504606846976
+                     / (CAST(kmv.hk AS DOUBLE) + 1.0)
+                END) * 1e6 + 0.5) / 1e6 AS est_distinct,
+         CAST(ex.nd AS BIGINT) AS exact_distinct
+  FROM kmv JOIN ex USING (event_type)
+),
+b AS (
+  SELECT event_type, n_state, est_distinct, exact_distinct,
+         FLOOR(ABS(est_distinct - exact_distinct) / exact_distinct * 1e9
+               + 0.5) / 1e9 AS rel_err
+  FROM est
+)
+SELECT event_type, g.grouping, n_state, est_distinct, exact_distinct,
+       rel_err, rel_err <= {_KMV_RSE_BOUND!r} AS within_rse
+FROM b CROSS JOIN (VALUES ('shards3'), ('shards4')) g(grouping)
+""",
+    tags=("M2", "warehouse", "scale"),
+)
+def x_kmv_accuracy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..operators.incremental import (
+        distinct_from_sketch,
+        distinct_sketch_state,
+        merge_distinct_sketch_states,
+    )
+
+    k = _KMV_K
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    keys = ["event_type"]
+
+    def grouping(m: int) -> DataFrame:
+        shards = [
+            distinct_sketch_state(
+                ev.where(F.col("event_id") % m == i), keys, "user_id", k
+            )
+            for i in range(m)
+        ]
+        state = reduce(
+            lambda a, b: merge_distinct_sketch_states(a, b, keys, k), shards
+        )
+        return distinct_from_sketch(state, keys, k).withColumn(
+            "grouping", F.lit(f"shards{m}")
+        )
+
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    )
+    est = grouping(3).unionByName(grouping(4))
+    rel = F.abs(
+        F.col("est_distinct") - F.col("exact_distinct").cast("double")
+    ) / F.col("exact_distinct").cast("double")
+    return (
+        est.join(F.broadcast(exact), "event_type")
+        .withColumn(
+            "rel_err", F.floor(rel * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+        )
+        # loud in-plan accuracy assertion: 3 relative standard errors
+        .where(
+            F.assert_true(
+                F.col("rel_err") <= F.lit(_KMV_RSE_BOUND),
+                F.concat(
+                    F.lit("KMV estimate outside 3*RSE for "),
+                    F.col("event_type"),
+                    F.lit(": rel_err="),
+                    F.col("rel_err").cast("string"),
+                ),
+            ).isNull()
+        )
+        .select(
+            "event_type",
+            "grouping",
+            "n_state",
+            "est_distinct",
+            "exact_distinct",
+            "rel_err",
+            (F.col("rel_err") <= F.lit(_KMV_RSE_BOUND)).alias("within_rse"),
+        )
     )
 
 
