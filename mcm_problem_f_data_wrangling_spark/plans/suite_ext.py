@@ -4367,6 +4367,171 @@ def s36_streaming_outer_interval_join(
 
 
 @_q(
+    "s38_streaming_full_outer_interval_join",
+    "LIVE Structured Streaming execution #10 — the FULL-OUTER half "
+    "of the stream-stream operator class: every click AND every "
+    "purchase emits exactly once, null-padded on whichever side has "
+    "no match within the 30-minute look-forward window.  s36 proved "
+    "LEFT-side eviction emission; this gate makes BOTH-side eviction "
+    "an external hash signal (the pytest twin is tests/"
+    "test_streaming.py test_interval_join_full_outer_null_pads_both_"
+    "sides).  Same deterministic harness: event-time-ordered replay "
+    "(streaming/replay.py), two far-future sentinel files sized so "
+    "the LAST sentinel forms its own micro-batch (maxFilesPerTrigger "
+    "= n_files + n_sentinels - 1 — eviction runs in a REAL batch, "
+    "no no-data-batch dependency), and a post-drain assertion that "
+    "the final state is the <= 4 sentinel rows alone.  The drained "
+    "append sink exactly equals the batch FULL OUTER interval join "
+    "the DuckDB oracle computes — unmatched purchases surface with "
+    "NULL click_id, which only right-side state eviction can "
+    "produce.",
+    """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'click' AND user_id % 4 = 1
+),
+p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase' AND user_id % 4 = 1
+)
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       COALESCE(c.user_id, p.user_id) AS user_id,
+       ROUND(p.value, 6) AS p_value
+FROM c FULL JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    tags=("M2", "streaming", "joins"),
+)
+def s38_streaming_full_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.dedup import stream_stream_interval_join
+    from ..streaming.replay import write_ordered_replay
+
+    # harness mirrors s36 (see its comments for the NTZ cast, the
+    # shard rationale, and the sentinel-filter pushdown trap); the
+    # deltas are the join type, the disjoint 1/4 user shard
+    # (user_id % 4 = 1), and the coalesced user_id in the output
+    # (NULL on the left side for unmatched purchases)
+    base = (
+        table(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isin("click", "purchase")
+            & (F.col("user_id") % 4 == 1)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+    )
+    max_ts = base.agg(F.max("ts")).first()[0]
+    window_s, delay_s = 1800.0, 3600.0
+    s_ts = max_ts + datetime.timedelta(seconds=window_s + delay_s + 7200.0)
+    sentinel = spark.createDataFrame(
+        [(-1, -1, "click", s_ts, 0.0), (-1, -1, "purchase", s_ts, 0.0)],
+        base.schema,
+    )
+    replay = tempfile.mkdtemp(prefix="s38_replay_")
+    try:
+        write_ordered_replay(
+            base, "ts", replay, n_files=3, sentinel_df=sentinel, n_sentinels=2
+        )
+        schema = spark.read.parquet(replay).schema
+
+        def stream(et: str, cols):
+            return (
+                spark.readStream.schema(schema)
+                # n_files + n_sentinels - 1: [data + sentinel 1]
+                # advances the watermark, [sentinel 2] evicts BOTH
+                # sides' unmatched state in a real batch
+                .option("maxFilesPerTrigger", "4")
+                .parquet(replay)
+                .where(F.col("event_type") == et)
+                .select(*cols)
+            )
+
+        clicks = stream(
+            "click",
+            [F.col("event_id").alias("click_id"), "user_id", "ts"],
+        )
+        purchases = stream(
+            "purchase",
+            [
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("value").alias("p_value"),
+            ],
+        )
+        joined = stream_stream_interval_join(
+            clicks,
+            purchases,
+            on=[("user_id", "p_user")],
+            left_ts="ts",
+            right_ts="p_ts",
+            lookback_seconds=window_s,
+            watermark="1 hour",
+            how="full_outer",
+            direction="lookforward",
+        )
+        out = joined.select(
+            "click_id",
+            "purchase_id",
+            F.coalesce("user_id", "p_user").alias("user_id"),
+            F.round("p_value", 6).alias("p_value"),
+        )
+        sink = f"s38_foivj_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError(
+                    "s38 streaming query did not drain within 300 s — "
+                    "a partial sink would drop null-padded rows"
+                )
+        finally:
+            q.stop()
+        state_rows = _final_state_rows(q)
+        if state_rows is None or state_rows > 4:
+            raise AssertionError(
+                f"s38 final join state must be the <= 4 sentinel rows, "
+                f"got {state_rows}"
+            )
+        # sentinel rows that joined each other (same far-future ts,
+        # same -1 user) are dropped post-collect; real null-padded
+        # rows keep their NULL side
+        rows = [
+            r
+            for r in spark.sql(
+                f"SELECT click_id, purchase_id, user_id, p_value FROM {sink}"
+            ).collect()
+            if (r["click_id"] is None or r["click_id"] >= 0)
+            and (r["purchase_id"] is None or r["purchase_id"] >= 0)
+        ]
+        spark.catalog.dropTempView(sink)
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "click_id long, purchase_id long, user_id long, p_value double",
+    )
+
+
+@_q(
     "s37_streaming_checkpoint_resume",
     "LIVE Structured Streaming execution #9 — EXACTLY-ONCE RESUME "
     "FROM CHECKPOINT, the recovery guarantee every other live gate "
@@ -4492,6 +4657,246 @@ def s37_streaming_checkpoint_resume(
             # off the sink dir before the finally removes it
             .localCheckpoint(eager=True)
         )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return kept
+
+
+_S39_K = 5  # planted click/purchase pairs straddling the restart
+_S39_PLANTED_SQL = ",\n         ".join(
+    f"({2**40 + j}, {2**40 + 1000 + j}, {8 * (10**6 + j)}, "
+    f"CAST({10.25 + j!r} AS DOUBLE))"
+    for j in range(_S39_K)
+)
+
+
+@_q(
+    "s39_streaming_join_resume",
+    "LIVE Structured Streaming execution #11 — CHECKPOINT RESUME FOR "
+    "SYMMETRIC JOIN STATE, closing the recovery story s37 opened for "
+    "the dedup store: the s36-style left-outer interval join runs "
+    "over the FIRST HALF of an event-time-ordered replay, STOPS, and "
+    "a brand-new query restarts from the same checkpoint over the "
+    "full directory.  Five planted pairs straddle the restart — the "
+    "click lands in a pre-restart file (event time just before the "
+    "split point), its purchase in a post-restart file (just after, "
+    "inside the 30-minute window), on synthetic user ids no real "
+    "event carries — so the pairs emit as MATCHED rows only if the "
+    "click-side buffered join state is actually recovered from the "
+    "checkpoint; a fresh state would null-pad the clicks and orphan "
+    "the purchases, failing the hash.  Phase-2 batch ids are "
+    "asserted to strictly EXTEND phase-1's (offsets recovered, "
+    "nothing reprocessed), all five planted matches are asserted "
+    "present, and the post-drain state is pinned to the <= 4 "
+    "sentinel rows (the s36 eviction ladder, maxFilesPerTrigger "
+    "sized so the last sentinel evicts in a real batch).  Oracle = "
+    "the batch left interval join over the 1/8 user shard UNION ALL "
+    "the five planted matched pairs (constants by construction: "
+    "event times never reach the output).",
+    f"""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id, ROUND(p.value, 6) AS p_value
+FROM events c
+LEFT JOIN events p
+  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND c.user_id % 8 = 0
+UNION ALL
+SELECT * FROM (
+  VALUES {_S39_PLANTED_SQL}
+) t(click_id, purchase_id, user_id, p_value)
+""",
+    tags=("M2", "streaming", "joins", "stateful"),
+)
+def s39_streaming_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.dedup import (
+        foreach_batch_idempotent_parquet,
+        stream_stream_interval_join,
+    )
+    from ..streaming.replay import write_ordered_replay
+
+    base = (
+        table(spark, sf_dir, "events")
+        # 1/8 shard: the restart mechanics are volume-independent
+        # (s37 precedent) and every join-state batch costs ~10 s at
+        # sf1 regardless of rows — this gate pays for three of them
+        .where(
+            F.col("event_type").isin("click", "purchase")
+            & (F.col("user_id") % 8 == 0)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+    )
+    bounds = base.agg(F.min("ts"), F.max("ts")).first()
+    min_ts, max_ts = bounds[0], bounds[1]
+    mid = min_ts + (max_ts - min_ts) / 2  # the restart split point
+    window_s, delay_s = 1800.0, 3600.0
+    s_ts = max_ts + datetime.timedelta(seconds=window_s + delay_s + 7200.0)
+    # planted pairs: click 300 s before the split, purchase 300 s
+    # after it — inside the window, on user ids no real event carries
+    # (reals are dense small ints; these are 8*(1e6+j)), so each pair
+    # matches ONLY through state recovered across the restart.  The
+    # output columns are constants; only the ts places them in files.
+    clicks_planted = spark.createDataFrame(
+        [
+            (
+                2**40 + j,
+                8 * (10**6 + j),
+                "click",
+                mid - datetime.timedelta(seconds=300),
+                0.0,
+            )
+            for j in range(_S39_K)
+        ],
+        base.schema,
+    )
+    purch_planted = spark.createDataFrame(
+        [
+            (
+                2**40 + 1000 + j,
+                8 * (10**6 + j),
+                "purchase",
+                mid + datetime.timedelta(seconds=300),
+                10.25 + j,
+            )
+            for j in range(_S39_K)
+        ],
+        base.schema,
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, -1, "click", s_ts, 0.0), (-1, -1, "purchase", s_ts, 0.0)],
+        base.schema,
+    )
+    work = tempfile.mkdtemp(prefix="s39_resume_")
+    src, sink, ckpt = f"{work}/src", f"{work}/sink", f"{work}/ckpt"
+    os.makedirs(src)
+    try:
+        files_a = write_ordered_replay(
+            base.where(F.col("ts") <= F.lit(mid)).unionByName(clicks_planted),
+            "ts",
+            f"{work}/replay_a",
+            n_files=2,
+        )
+        files_b = write_ordered_replay(
+            base.where(F.col("ts") > F.lit(mid)).unionByName(purch_planted),
+            "ts",
+            f"{work}/replay_b",
+            n_files=2,
+            sentinel_df=sentinel,
+            n_sentinels=2,
+        )
+        # one strictly-increasing past-mtime sequence ACROSS both
+        # replay dirs (each write stamped only its own files)
+        ordered = files_a + files_b
+        t0 = os.stat(ordered[-1]).st_mtime - 10.0 * len(ordered)
+        for i, f in enumerate(ordered):
+            os.utime(f, (t0 + 10.0 * i, t0 + 10.0 * i))
+        schema = spark.read.parquet(f"{work}/replay_a").schema
+
+        def drain(visible: list):
+            for f in visible:
+                dst = os.path.join(src, os.path.basename(f))
+                if not os.path.exists(dst):
+                    shutil.copy2(f, dst)
+            stream = (
+                spark.readStream.schema(schema)
+                # phase 1's 2 files drain in one batch; phase 2's 4
+                # new files split [B0, B1, sentinel 1] + [sentinel 2]
+                # — the last sentinel evicts in a real batch (s36/s38
+                # ladder sizing)
+                .option("maxFilesPerTrigger", "3")
+                .parquet(src)
+            )
+            clicks = stream.where(F.col("event_type") == "click").select(
+                F.col("event_id").alias("click_id"), "user_id", "ts"
+            )
+            purchases = stream.where(
+                F.col("event_type") == "purchase"
+            ).select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("value").alias("p_value"),
+            )
+            joined = stream_stream_interval_join(
+                clicks,
+                purchases,
+                on=[("user_id", "p_user")],
+                left_ts="ts",
+                right_ts="p_ts",
+                lookback_seconds=window_s,
+                watermark="1 hour",
+                how="left_outer",
+                direction="lookforward",
+            )
+            out = joined.select(
+                "click_id",
+                "purchase_id",
+                "user_id",
+                F.round("p_value", 6).alias("p_value"),
+            )
+            q = (
+                foreach_batch_idempotent_parquet(out, sink, ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError(
+                        "s39 streaming query did not drain within 300 s"
+                    )
+            finally:
+                q.stop()
+            epochs = {
+                int(d.split("=", 1)[1])
+                for d in os.listdir(sink)
+                if d.startswith("epoch=")
+            }
+            return epochs, q
+
+        first, _ = drain(files_a)
+        second, q2 = drain(ordered)
+        if not first or min(second - first or {-1}) <= max(first):
+            raise AssertionError(
+                f"s39 restart must EXTEND phase-1 batches, got "
+                f"phase1={sorted(first)} phase2={sorted(second)}"
+            )
+        state_rows = _final_state_rows(q2)
+        if state_rows is None or state_rows > 4:
+            raise AssertionError(
+                f"s39 final join state must be the <= 4 sentinel rows, "
+                f"got {state_rows}"
+            )
+        kept = (
+            spark.read.parquet(f"{sink}/epoch=*")
+            .where(F.col("click_id") >= 0)  # drop sentinel-x-sentinel
+            .select("click_id", "purchase_id", "user_id", "p_value")
+            .localCheckpoint(eager=True)
+        )
+        # the load-bearing recovery evidence, asserted loudly: every
+        # planted click matched its post-restart purchase
+        matched = {
+            r["click_id"]
+            for r in kept.where(
+                (F.col("click_id") >= 2**40)
+                & F.col("purchase_id").isNotNull()
+            ).collect()
+        }
+        if matched != {2**40 + j for j in range(_S39_K)}:
+            raise AssertionError(
+                f"planted pairs must match across the restart (join "
+                f"state recovered), got {sorted(matched)}"
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return kept

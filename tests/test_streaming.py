@@ -922,3 +922,98 @@ def test_outer_join_eviction_without_no_data_batches(spark, tmp_path_factory):
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", old
         )
+
+
+def test_join_state_checkpoint_resume_both_ways(spark, tmp_path_factory):
+    """The s39 gate's mechanism, proven both ways like the dedup twin:
+    a click buffered BEFORE a restart matches its purchase arriving
+    AFTER the restart only when the new query resumes from the same
+    checkpoint; with a fresh checkpoint the purchase orphans and the
+    click never emits at all (its file is never re-read)."""
+    import datetime
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mcm_problem_f_data_wrangling_spark.streaming.dedup import (
+        foreach_batch_idempotent_parquet,
+        stream_stream_interval_join,
+    )
+    from mcm_problem_f_data_wrangling_spark.streaming.replay import (
+        write_ordered_replay,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    part_a = spark.createDataFrame(
+        [(1, 10, "click", t0)], schema  # straddling click
+    )
+    part_b = spark.createDataFrame(
+        [(2, 10, "purchase", t0 + datetime.timedelta(minutes=10))], schema
+    )
+    sent = spark.createDataFrame(
+        [(-1, -1, "click", t0 + datetime.timedelta(hours=12)),
+         (-1, -1, "purchase", t0 + datetime.timedelta(hours=12))],
+        schema,
+    )
+    base = str(tmp_path_factory.mktemp("jsr"))
+    files_a = write_ordered_replay(part_a, "ts", f"{base}/ra", n_files=1)
+    files_b = write_ordered_replay(
+        part_b, "ts", f"{base}/rb", n_files=1, sentinel_df=sent, n_sentinels=2
+    )
+    ordered = files_a + files_b
+    m0 = os.stat(ordered[-1]).st_mtime - 10.0 * len(ordered)
+    for i, f in enumerate(ordered):
+        os.utime(f, (m0 + 10.0 * i, m0 + 10.0 * i))
+
+    def run(visible, tag, ckpt):
+        src = f"{base}/src_{tag}"
+        os.makedirs(src, exist_ok=True)
+        for f in visible:
+            dst = os.path.join(src, os.path.basename(f))
+            if not os.path.exists(dst):
+                shutil.copy2(f, dst)
+        stream = (
+            spark.readStream.schema(part_a.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        clicks = stream.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        )
+        purchases = stream.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        out = stream_stream_interval_join(
+            clicks, purchases,
+            on=[("user_id", "p_user")],
+            left_ts="ts", right_ts="p_ts",
+            lookback_seconds=1800.0, watermark="1 hour",
+            how="left_outer", direction="lookforward",
+        ).select("click_id", "purchase_id")
+        q = (
+            foreach_batch_idempotent_parquet(out, f"{base}/sink_{tag}", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+        got = spark.read.parquet(f"{base}/sink_{tag}/epoch=*")
+        return {
+            (r["click_id"], r["purchase_id"])
+            for r in got.where(F.col("click_id") >= 0).collect()
+        }
+
+    # resumed checkpoint: the straddling pair matches
+    run(files_a, "a", f"{base}/ckpt_a")
+    got = run(ordered, "a", f"{base}/ckpt_a")
+    assert got == {(1, 2)}
+
+    # fresh checkpoint over the post-restart files only: the purchase
+    # orphans (left_outer emits nothing for it) and the click never
+    # emits — the matched row above can only come from recovered state
+    got_c = run(files_b, "c", f"{base}/ckpt_c")
+    assert got_c == set()
