@@ -28,74 +28,34 @@ _ALL = (
 # same window.  Every query keeps its oracle either way — the builder's
 # mirror (tools/check_parity.py) always runs ALL of them.
 _FRONT = [
-    # --- ROUND-10 window (first ~50 = observed driver budget;
+    # --- ROUND-11 window (first ~50 = observed driver budget;
     # --- overflow keeps a bigger budget eating forward).  Blocks:
-    # --- (a) NEW queries this round (s36 outer interval join, MP4
-    # --- PCM demux cross-container dedup, domain-free quantile
-    # --- sketch); (b) queries whose IMPLEMENTATION changed this
-    # --- round (anti-aliased canonical-rate resample + alias-trap
-    # --- plants, AV-MP4 cluster plants, duplicate_clusters input
-    # --- grounding, the advisor fixes to the s33/s34/s35 live
-    # --- gates); (c) the five r9-new queries that have never been
-    # --- in a driver window; (d) the stalest rows — last hashed in
-    # --- ROUND 4 (the r9 verdict task #1 block: s19-s23, the
-    # --- w23-w34 window family, curation/NLP/profile x_*).  46 r4
-    # --- rows exist and 37 fit: the last 9 spill to the
-    # --- overflow head and gate in r11.  Every query keeps its
-    # --- oracle either way — tools/check_parity.py always runs ALL.
+    # --- (a) NEW queries this round (s38 full-outer interval join,
+    # --- s39 join-state checkpoint resume, the end-to-end LSH
+    # --- cluster pipeline, the KMV accuracy audit); (b) queries
+    # --- whose IMPLEMENTATION changed this round (s36 sentinel-
+    # --- batch ladder resizing, the quantile-sketch merge guard,
+    # --- duplicate_clusters' pair_method + materialization assert,
+    # --- the x_video_audio_fingerprint dead-code removal); (c) the
+    # --- ENTIRE freshness tail — all 12 r4-fresh rows (the r10
+    # --- overflow spill) and all 14 r5-fresh rows, closing VERDICT
+    # --- r10 task #1 (no registry query's latest driver hash older
+    # --- than r6 after this window); (d) the 15 alphabetically-first
+    # --- r6 rows.  The remaining 25 r6 rows head the overflow and
+    # --- gate in r12.  Every query keeps its oracle either way —
+    # --- tools/check_parity.py always runs ALL of them.
     "flagship_career_collapse",  # driver smoke target stays first
-    "s36_streaming_outer_interval_join",  # NEW: LIVE outer join + eviction
-    "s37_streaming_checkpoint_resume",  # NEW: exactly-once restart
-    "x_video_audio_fingerprint",  # NEW: MP4 PCM demux cross-container
-    "x_incremental_quantile_sketch",  # NEW: domain-free rank sketch
-    "x_incremental_distinct_sketch",  # NEW: KMV exact-merge distinct
-    "x_dedup_lsh_verified_pairs",  # NEW: LSH candidates + exact verify
-    "x_audio_rate_invariant_match",  # anti-aliased resample + alias plants
-    "x_media_dedup_clusters",  # AV plants join the WAV clusters
-    "x_dedup_clusters_cc",  # parquet-grounded input, window-min stars
-    "s33_streaming_cusum_drift",  # max-ts state row selection
-    "s34_streaming_interval_join",  # never gated; raw-schema nanos fix
-    "s35_streaming_static_enrich",  # never gated; raw-schema nanos fix
-    "x_decontam_bloom_prefilter",  # never gated (r9 new)
-    "x_incremental_histogram",  # never gated (r9 new)
-    "x_video_clip_containment",  # never gated (r9 new)
-    # --- (d) last driver hash in round 4 (rotation block) ---
-    "s19_snapshot_diff",
-    "s20_event_transitions",
-    "s21_id_gap_detection",
-    "s22_rapid_duplicate_events",
-    "s23_new_vs_returning",
-    "x_multimodal_metadata",
-    "x3_drift_fit_forecast",
-    "x_top_terms_corpus",
-    "x_tfidf_top_terms_per_doc",
-    "x_curation_hash_split",
-    "x_curation_weighted_sample",
-    "x_curation_stratified_mix",
-    "x_quality_repetition_signals",
-    "x_corr_matrix_one_scan",
-    "x_histogram_equi_width",
-    "x_curation_temperature_mix",
-    "x_profile_dataset",
-    "x_expectations_report",
-    "x_key_skew_profile",
-    "x_zorder_locality",
-    "w23_interpolate_linear",
-    "x_inverted_index",
-    "x_histogram_equi_depth",
-    "x_text_rarity_score",
-    "x_events_json_extract",
-    "x_bigram_lm",
-    "w24_cusum_drift",
-    "w25_topk_per_group",
-    "w26_seasonal_adjust",
-    "w27_acf_lags",
-    "w28_minmax_scale",
-    "w29_winsorize",
-    "w30_seasonal_anomaly",
-    "w32_seasonal_strength",
-    # --- overflow: r4-stale spill (gates in r11, or now if the
-    # --- budget runs long) ---
+    # --- (a) new this round ---
+    "s38_streaming_full_outer_interval_join",
+    "s39_streaming_join_resume",
+    "x_dedup_clusters_lsh",
+    "x_kmv_accuracy_gate",
+    # --- (b) implementation changed this round ---
+    "s36_streaming_outer_interval_join",  # real-batch eviction ladder
+    "x_incremental_quantile_sketch",  # k-mismatch merge guard
+    "x_dedup_clusters_cc",  # pair_method param + materialization assert
+    "x_video_audio_fingerprint",  # dead tones dict removed
+    # --- (c) last driver hash in round 4 (the r10 overflow spill) ---
     "w33_detected_period",
     "w34_max_drawdown",
     "x_bm25_topk",
@@ -108,6 +68,49 @@ _FRONT = [
     "x_curation_eval_holdout",
     "x_corpus_drift_kl",
     "x_curation_dsir_score",
+    # --- (c) last driver hash in round 5 ---
+    "s24_peak_hour_profile",
+    "s25_event_cooccurrence",
+    "s26_data_freshness",
+    "s27_cusum_alarm",
+    "s28_conversion_latency",
+    "s29_event_trigrams",
+    "src04_orc_roundtrip",
+    "src05_jsonl_quarantine",
+    "src06_schema_evolution",
+    "x3_holt_winters",
+    "x5_monte_carlo_fan",
+    "x_embed_pca_project",
+    "x_graph_kcore",
+    "x_sketch_approx_stats",
+    # --- (d) last driver hash in round 6 (first 15 of 40) ---
+    "a01_group_sum",
+    "a02_weighted_mean",
+    "a06_quantile_summary",
+    "j01_dictionary_bridge_join",
+    "j03_fact_dict_broadcast",
+    "q01_pricing_summary",
+    "q05_star_join_revenue",
+    "q06_revenue_delta",
+    "u01_union_long_format",
+    "w02_rolling_mean",
+    "w04_rolling_corr",
+    "x3_aic_gate",
+    "x4_diagnostics_gate",
+    "x5_sarimax_exog_fan",
+    "x_boilerplate_lines",
+    # --- overflow: r6-stale remainder (gates in r12, or now if the
+    # --- budget runs long) ---
+    "x_bpe_token_stats",
+    "x_dedup_canonical_pick",
+    "x_dedup_chunks",
+    "x_dedup_containment",
+    "x_dedup_exact_fingerprint",
+    "x_dedup_incremental",
+    "x_dedup_jaccard_prefix",
+    "x_dedup_minhash_estimate",
+    "x_dedup_minhash_lsh_pairs",
+    "x_dedup_ngram_jaccard",
 ]
 
 # The external driver verifies roughly this many registry-order

@@ -14,7 +14,7 @@
 set -e
 cd "$(dirname "$0")/.."
 
-echo "== gate 1/6: driver-contract smoke (vanilla session, like the driver) =="
+echo "== gate 1/7: driver-contract smoke (vanilla session, like the driver) =="
 python - <<'EOF'
 import sys
 sys.path.insert(0, ".")
@@ -31,13 +31,13 @@ print(f"entry rows={len(rows)} queries={len(qs)} oracles={len(osql)}")
 spark.stop()
 EOF
 
-echo "== gate 2/6: physical-plan audit (red flags + shuffle snapshot) =="
+echo "== gate 2/7: physical-plan audit (red flags + shuffle snapshot) =="
 python tools/audit_plans.py
 
-echo "== gate 3/6: full oracle-parity mirror (sf0.001) =="
+echo "== gate 3/7: full oracle-parity mirror (sf0.001) =="
 python -m pytest tests/test_oracle_parity.py -q
 
-echo "== gate 4/6: bench smoke (one JSON line, no query > 3x its committed median) =="
+echo "== gate 4/7: bench smoke (one JSON line, no query > 3x its committed median) =="
 python - <<'EOF'
 import json, os, subprocess, sys
 
@@ -68,7 +68,7 @@ else:
     print(f"bench ok: wall={got['value']}s (no prior BENCH_r*.json to compare)")
 EOF
 
-echo "== gate 5/6: sf1 bench smoke (quadratic cliffs hide inside sf0.1 noise) =="
+echo "== gate 5/7: sf1 bench smoke (quadratic cliffs hide inside sf0.1 noise) =="
 python - <<'EOF'
 import json, os, subprocess, sys
 
@@ -104,7 +104,7 @@ else:
     print(f"sf1 bench ok: wall={got['value']}s (no prior BENCH_SF1_r*.json)")
 EOF
 
-echo "== gate 6/6: sf1 full-suite sweep (heavy-query regression anchor) =="
+echo "== gate 6/7: sf1 full-suite sweep (heavy-query regression anchor) =="
 python - <<'EOF'
 import glob, json, os, subprocess, sys
 
@@ -164,5 +164,8 @@ if unanchored:
           f"in {prior[-1]} (new/renamed this round, ungated): {unanchored}")
 print(f"sf1 sweep ok: {len(got)} queries, no query >3x its {prior[-1]} anchor")
 EOF
+
+echo "== gate 7/7: HEAD commit-message wall numbers match committed artifacts =="
+python tools/check_commit_wall.py HEAD
 
 echo "GATE GREEN — safe to commit"
