@@ -99,8 +99,11 @@ _FRONT = [
     "x4_diagnostics_gate",
     "x5_sarimax_exog_fan",
     "x_boilerplate_lines",
-    # --- overflow: r6-stale remainder (gates in r12, or now if the
-    # --- budget runs long) ---
+    # --- overflow: new-this-round spill first (the 50-slot window is
+    # --- consumed by the freshness tail; playbook rule: new queries
+    # --- that miss the window head the overflow and gate in r12),
+    # --- then the r6-stale remainder ---
+    "s40_streaming_agg_resume",
     "x_bpe_token_stats",
     "x_dedup_canonical_pick",
     "x_dedup_chunks",

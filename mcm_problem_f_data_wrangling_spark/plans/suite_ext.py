@@ -4175,40 +4175,15 @@ def _final_state_rows(q) -> int | None:
     return None
 
 
-@_q(
-    "s36_streaming_outer_interval_join",
-    "LIVE Structured Streaming execution #8 — the OUTER half of the "
-    "stream-stream operator class (the attribution staple: every "
-    "click emits exactly once, null-padded when no purchase lands "
-    "within 30 minutes after it).  Unlike s34's unbounded-watermark "
-    "inner join, the null-padded rows exist ONLY through watermark-"
-    "driven state eviction — a buffered click emits as unmatched "
-    "once the watermark proves no purchase can still arrive — so the "
-    "gate replays the events as EVENT-TIME-ORDERED files (streaming/"
-    "replay.py): range-partitioned parquet whose mtime order equals "
-    "event-time order makes eviction deterministic (no late drops "
-    "under the bounded 1-hour delay), and two far-future sentinel "
-    "files flush the watermark past all real data — sentinel batch k "
-    "advances the watermark at its end, batch k+1 performs the "
-    "eviction — so every unmatched click has null-padded out by end-"
-    "of-stream and the drained append sink EXACTLY equals the batch "
-    "left join the DuckDB oracle computes.  A post-drain assertion "
-    "pins the final state-store row count to the sentinel rows alone "
-    "(<= 4): if eviction breaks, the gate fails loudly.",
-    """
-SELECT c.event_id AS click_id, p.event_id AS purchase_id,
-       c.user_id, ROUND(p.value, 6) AS p_value
-FROM events c
-LEFT JOIN events p
-  ON c.user_id = p.user_id AND p.event_type = 'purchase'
- AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-WHERE c.event_type = 'click' AND c.user_id % 4 = 0
-""",
-    tags=("M2", "streaming", "joins"),
-)
-def s36_streaming_outer_interval_join(
-    spark: SparkSession, sf_dir: str
+
+def _outer_interval_join_gate(
+    spark: SparkSession, sf_dir: str, shard_residue: int, how: str,
+    prefix: str,
 ) -> DataFrame:
+    """Shared harness for the s36/s38 outer stream-stream interval
+    join gates: identical replay ladder, join shape, and assertions —
+    the gates differ only in join type and the (disjoint) 1/4 user
+    shard, so the semantics under test stay the only variable."""
     import datetime
     import shutil
     import tempfile
@@ -4226,10 +4201,10 @@ def s36_streaming_outer_interval_join(
         # 1/4 user shard: eviction/null-padding semantics are volume-
         # independent (s37 precedent) and s34 already runs the FULL
         # click+purchase volume through the same symmetric join state
-        # — this gate pays for watermark-ladder state rounds
+        # — these gates pay for watermark-ladder state rounds
         .where(
             F.col("event_type").isin("click", "purchase")
-            & (F.col("user_id") % 4 == 0)
+            & (F.col("user_id") % 4 == shard_residue)
         )
         .select(
             "event_id",
@@ -4244,14 +4219,12 @@ def s36_streaming_outer_interval_join(
     # after the FIRST sentinel batch already proves every real click's
     # window closed; the second sentinel batch then runs the eviction
     window_s, delay_s = 1800.0, 3600.0
-    s_ts = max_ts + datetime.timedelta(
-        seconds=window_s + delay_s + 7200.0
-    )
+    s_ts = max_ts + datetime.timedelta(seconds=window_s + delay_s + 7200.0)
     sentinel = spark.createDataFrame(
         [(-1, -1, "click", s_ts, 0.0), (-1, -1, "purchase", s_ts, 0.0)],
         base.schema,
     )
-    replay = tempfile.mkdtemp(prefix="s36_replay_")
+    replay = tempfile.mkdtemp(prefix=f"{prefix}_replay_")
     try:
         write_ordered_replay(
             base, "ts", replay, n_files=3, sentinel_df=sentinel, n_sentinels=2
@@ -4302,7 +4275,7 @@ def s36_streaming_outer_interval_join(
             right_ts="p_ts",
             lookback_seconds=window_s,
             watermark="1 hour",
-            how="left_outer",
+            how=how,
             direction="lookforward",
         )
         # NO sentinel filter inside the streaming query: a post-join
@@ -4310,18 +4283,17 @@ def s36_streaming_outer_interval_join(
         # through the watermark node into the parquet scan, PRUNES
         # the sentinel row group (event_id = -1 stats), and the
         # click-side watermark then never advances — the exact
-        # failure the sentinels exist to prevent.  No filter is
-        # needed anyway: sentinel clicks sit at ts = S whose window
-        # the watermark (capped at S - delay) never closes, so they
-        # never emit, and sentinel purchases (user_id = -1, far
-        # future) match nothing — the sink holds only real rows.
+        # failure the sentinels exist to prevent.  The coalesce is a
+        # no-op under left_outer (the left side is always present)
+        # and supplies the purchase-side user id for full_outer's
+        # unmatched-right rows.
         out = joined.select(
             "click_id",
             "purchase_id",
-            "user_id",
+            F.coalesce("user_id", "p_user").alias("user_id"),
             F.round("p_value", 6).alias("p_value"),
         )
-        sink = f"s36_oivj_{uuid.uuid4().hex[:8]}"
+        sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
         q = (
             out.writeStream.format("memory")
             .queryName(sink)
@@ -4332,30 +4304,31 @@ def s36_streaming_outer_interval_join(
         try:
             if not q.awaitTermination(300):
                 raise TimeoutError(
-                    "s36 streaming query did not drain within 300 s — "
-                    "a partial sink would drop null-padded rows"
+                    f"{prefix} streaming query did not drain within 300 s "
+                    "— a partial sink would drop null-padded rows"
                 )
         finally:
             q.stop()
         # eviction proof: after the sentinel batches only the 4
         # sentinel rows may remain buffered — anything more means the
-        # watermark ladder broke and unmatched clicks never emitted
+        # watermark ladder broke and unmatched rows never emitted
         state_rows = _final_state_rows(q)
         if state_rows is None or state_rows > 4:
             raise AssertionError(
-                f"s36 final join state must be the <= 4 sentinel rows, "
-                f"got {state_rows}"
+                f"{prefix} final join state must be the <= 4 sentinel "
+                f"rows, got {state_rows}"
             )
-        # driver-side defense-in-depth: a sentinel row reaching the
-        # sink would mean the eviction math above is wrong — drop it
-        # here (post-collect; cannot perturb the watermark) rather
-        # than ship it into the hash
+        # driver-side defense-in-depth: sentinel rows that reached the
+        # sink (far-future sentinel clicks matching sentinel purchases)
+        # are dropped here (post-collect; cannot perturb the
+        # watermark); real null-padded rows keep their NULL side
         rows = [
             r
             for r in spark.sql(
                 f"SELECT click_id, purchase_id, user_id, p_value FROM {sink}"
             ).collect()
-            if r["click_id"] >= 0
+            if (r["click_id"] is None or r["click_id"] >= 0)
+            and (r["purchase_id"] is None or r["purchase_id"] >= 0)
         ]
         spark.catalog.dropTempView(sink)
     finally:
@@ -4364,6 +4337,43 @@ def s36_streaming_outer_interval_join(
         rows,
         "click_id long, purchase_id long, user_id long, p_value double",
     )
+
+
+@_q(
+    "s36_streaming_outer_interval_join",
+    "LIVE Structured Streaming execution #8 — the OUTER half of the "
+    "stream-stream operator class (the attribution staple: every "
+    "click emits exactly once, null-padded when no purchase lands "
+    "within 30 minutes after it).  Unlike s34's unbounded-watermark "
+    "inner join, the null-padded rows exist ONLY through watermark-"
+    "driven state eviction — a buffered click emits as unmatched "
+    "once the watermark proves no purchase can still arrive — so the "
+    "gate replays the events as EVENT-TIME-ORDERED files (streaming/"
+    "replay.py): range-partitioned parquet whose mtime order equals "
+    "event-time order makes eviction deterministic (no late drops "
+    "under the bounded 1-hour delay), and two far-future sentinel "
+    "files flush the watermark past all real data — sentinel batch k "
+    "advances the watermark at its end, batch k+1 performs the "
+    "eviction — so every unmatched click has null-padded out by end-"
+    "of-stream and the drained append sink EXACTLY equals the batch "
+    "left join the DuckDB oracle computes.  A post-drain assertion "
+    "pins the final state-store row count to the sentinel rows alone "
+    "(<= 4): if eviction breaks, the gate fails loudly.",
+    """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id, ROUND(p.value, 6) AS p_value
+FROM events c
+LEFT JOIN events p
+  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND c.user_id % 4 = 0
+""",
+    tags=("M2", "streaming", "joins"),
+)
+def s36_streaming_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _outer_interval_join_gate(spark, sf_dir, 0, "left_outer", "s36_oivj")
 
 
 @_q(
@@ -4406,129 +4416,7 @@ FROM c FULL JOIN p
 def s38_streaming_full_outer_interval_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import datetime
-    import shutil
-    import tempfile
-    import uuid
-
-    from ..streaming.dedup import stream_stream_interval_join
-    from ..streaming.replay import write_ordered_replay
-
-    # harness mirrors s36 (see its comments for the NTZ cast, the
-    # shard rationale, and the sentinel-filter pushdown trap); the
-    # deltas are the join type, the disjoint 1/4 user shard
-    # (user_id % 4 = 1), and the coalesced user_id in the output
-    # (NULL on the left side for unmatched purchases)
-    base = (
-        table(spark, sf_dir, "events")
-        .where(
-            F.col("event_type").isin("click", "purchase")
-            & (F.col("user_id") % 4 == 1)
-        )
-        .select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.col("ts").cast("timestamp").alias("ts"),
-            "value",
-        )
-    )
-    max_ts = base.agg(F.max("ts")).first()[0]
-    window_s, delay_s = 1800.0, 3600.0
-    s_ts = max_ts + datetime.timedelta(seconds=window_s + delay_s + 7200.0)
-    sentinel = spark.createDataFrame(
-        [(-1, -1, "click", s_ts, 0.0), (-1, -1, "purchase", s_ts, 0.0)],
-        base.schema,
-    )
-    replay = tempfile.mkdtemp(prefix="s38_replay_")
-    try:
-        write_ordered_replay(
-            base, "ts", replay, n_files=3, sentinel_df=sentinel, n_sentinels=2
-        )
-        schema = spark.read.parquet(replay).schema
-
-        def stream(et: str, cols):
-            return (
-                spark.readStream.schema(schema)
-                # n_files + n_sentinels - 1: [data + sentinel 1]
-                # advances the watermark, [sentinel 2] evicts BOTH
-                # sides' unmatched state in a real batch
-                .option("maxFilesPerTrigger", "4")
-                .parquet(replay)
-                .where(F.col("event_type") == et)
-                .select(*cols)
-            )
-
-        clicks = stream(
-            "click",
-            [F.col("event_id").alias("click_id"), "user_id", "ts"],
-        )
-        purchases = stream(
-            "purchase",
-            [
-                F.col("event_id").alias("purchase_id"),
-                F.col("user_id").alias("p_user"),
-                F.col("ts").alias("p_ts"),
-                F.col("value").alias("p_value"),
-            ],
-        )
-        joined = stream_stream_interval_join(
-            clicks,
-            purchases,
-            on=[("user_id", "p_user")],
-            left_ts="ts",
-            right_ts="p_ts",
-            lookback_seconds=window_s,
-            watermark="1 hour",
-            how="full_outer",
-            direction="lookforward",
-        )
-        out = joined.select(
-            "click_id",
-            "purchase_id",
-            F.coalesce("user_id", "p_user").alias("user_id"),
-            F.round("p_value", 6).alias("p_value"),
-        )
-        sink = f"s38_foivj_{uuid.uuid4().hex[:8]}"
-        q = (
-            out.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(300):
-                raise TimeoutError(
-                    "s38 streaming query did not drain within 300 s — "
-                    "a partial sink would drop null-padded rows"
-                )
-        finally:
-            q.stop()
-        state_rows = _final_state_rows(q)
-        if state_rows is None or state_rows > 4:
-            raise AssertionError(
-                f"s38 final join state must be the <= 4 sentinel rows, "
-                f"got {state_rows}"
-            )
-        # sentinel rows that joined each other (same far-future ts,
-        # same -1 user) are dropped post-collect; real null-padded
-        # rows keep their NULL side
-        rows = [
-            r
-            for r in spark.sql(
-                f"SELECT click_id, purchase_id, user_id, p_value FROM {sink}"
-            ).collect()
-            if (r["click_id"] is None or r["click_id"] >= 0)
-            and (r["purchase_id"] is None or r["purchase_id"] >= 0)
-        ]
-        spark.catalog.dropTempView(sink)
-    finally:
-        shutil.rmtree(replay, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "click_id long, purchase_id long, user_id long, p_value double",
-    )
+    return _outer_interval_join_gate(spark, sf_dir, 1, "full_outer", "s38_foivj")
 
 
 @_q(
@@ -4718,7 +4606,10 @@ def s39_streaming_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreach_batch_idempotent_parquet,
         stream_stream_interval_join,
     )
-    from ..streaming.replay import write_ordered_replay
+    from ..streaming.replay import (
+        restamp_replay_sequence,
+        write_ordered_replay,
+    )
 
     base = (
         table(spark, sf_dir, "events")
@@ -4797,10 +4688,7 @@ def s39_streaming_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # one strictly-increasing past-mtime sequence ACROSS both
         # replay dirs (each write stamped only its own files)
-        ordered = files_a + files_b
-        t0 = os.stat(ordered[-1]).st_mtime - 10.0 * len(ordered)
-        for i, f in enumerate(ordered):
-            os.utime(f, (t0 + 10.0 * i, t0 + 10.0 * i))
+        ordered = restamp_replay_sequence(files_a + files_b)
         schema = spark.read.parquet(f"{work}/replay_a").schema
 
         def drain(visible: list):
@@ -4900,6 +4788,158 @@ def s39_streaming_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return kept
+
+
+@_q(
+    "s40_streaming_agg_resume",
+    "LIVE Structured Streaming execution #12 — CHECKPOINT RESUME FOR "
+    "ARBITRARY STATEFUL AGGREGATION (applyInPandasWithState / "
+    "GroupState), completing the recovery matrix: s37 proved the "
+    "dedup store resumes, s39 the symmetric join state, this gate "
+    "the user-defined per-key state every custom operator stands on. "
+    " The per-source running (count, sum-of-chars) accumulator "
+    "(streaming/running.py, the s30 engine) runs over HALF the "
+    "ordered replay, STOPS, and a brand-new query restarts from the "
+    "same checkpoint over the full directory.  Each phase's update-"
+    "mode rows land in idempotent epoch=N parquet; the final row per "
+    "key (max epoch, struct-max) equals the batch aggregate over the "
+    "WHOLE shard ONLY if the phase-2 batch folded its rows into the "
+    "RECOVERED (cnt, total) state — a fresh state would restart every "
+    "key at zero and fail the hash.  Phase-2 batch ids are asserted "
+    "to strictly extend phase-1's, and every key's final count is "
+    "asserted strictly greater than its phase-1 count (the increment "
+    "demonstrably BUILT ON recovered state rather than matching by "
+    "accident).  Oracle = the plain batch aggregate (n_chars is "
+    "integral, so the running float sum is order-exact).",
+    """
+SELECT source AS key, CAST(COUNT(n_chars) AS BIGINT) AS cnt,
+       CAST(SUM(n_chars) AS DOUBLE) AS total
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 = 1
+GROUP BY 1
+""",
+    tags=("M2", "streaming", "stateful"),
+)
+def s40_streaming_agg_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.textfn import portable_hash64
+    from ..streaming.dedup import foreach_batch_idempotent_parquet
+    from ..streaming.replay import write_ordered_replay
+    from ..streaming.running import running_totals_stream
+
+    shard = (
+        table(spark, sf_dir, "documents")
+        # 1/16 shard, residue 1 (s37 uses residue 0): restart
+        # mechanics are volume-independent; this pays for state ROUNDS
+        .filter(portable_hash64(F.col("doc_id").cast("string")) % 16 == 1)
+        .select(
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            # synthetic unique event time (s33 precedent)
+            F.timestamp_micros(F.col("doc_id")).alias("ts"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="s40_resume_")
+    src, sink, ckpt = f"{work}/src", f"{work}/sink", f"{work}/ckpt"
+    os.makedirs(src)
+    try:
+        files = write_ordered_replay(shard, "ts", f"{work}/replay", n_files=4)
+
+        def drain(visible: list) -> set:
+            for f in visible:
+                dst = os.path.join(src, os.path.basename(f))
+                if not os.path.exists(dst):
+                    shutil.copy2(f, dst)
+            stream = (
+                spark.readStream.schema(
+                    spark.read.parquet(f"{work}/replay").schema
+                )
+                # two files per batch: each phase drains in ONE
+                # micro-batch — the restart is what this gate tests
+                .option("maxFilesPerTrigger", "2")
+                .parquet(src)
+            )
+            out = running_totals_stream(
+                stream, "source", "n_chars", api="gst"
+            )
+            q = (
+                foreach_batch_idempotent_parquet(
+                    out, sink, ckpt, output_mode="update"
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError(
+                        "s40 streaming query did not drain within 300 s"
+                    )
+            finally:
+                q.stop()
+            return {
+                int(d.split("=", 1)[1])
+                for d in os.listdir(sink)
+                if d.startswith("epoch=")
+            }
+
+        first = drain(files[:2])
+        second = drain(files)
+        if not first or min(second - first or {-1}) <= max(first):
+            raise AssertionError(
+                f"s40 restart must EXTEND phase-1 batches, got "
+                f"phase1={sorted(first)} phase2={sorted(second)}"
+            )
+        # update-mode rows: the converged total per key is the row
+        # from its HIGHEST epoch (struct-max; epoch is unique per key
+        # per batch).  basePath keeps the epoch partition column.
+        allrows = (
+            spark.read.option("basePath", sink)
+            .parquet(f"{sink}/epoch=*")
+            .groupBy("key")
+            .agg(F.max(F.struct("epoch", "cnt", "total")).alias("m"))
+            .select(
+                "key",
+                F.col("m.cnt").alias("cnt"),
+                F.col("m.total").alias("total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # recovery evidence beyond the hash: every key RE-EMITTED in a
+        # phase-2 epoch must carry a count strictly above its phase-1
+        # row — the phase-2 batch FOLDED INTO recovered state.  Keys
+        # absent from the second half legitimately keep their phase-1
+        # row, so the check is scoped to actually-re-emitted keys, and
+        # at least one straddling key must exist for the evidence to
+        # be non-vacuous.  (O(#sources) driver pulls.)
+        p1 = {
+            r["key"]: r["cnt"]
+            for r in spark.read.parquet(f"{sink}/epoch={max(first)}")
+            .select("key", "cnt")
+            .collect()
+        }
+        p2_keys = {
+            r["key"]
+            for e in sorted(second - first)
+            for r in spark.read.parquet(f"{sink}/epoch={e}")
+            .select("key")
+            .collect()
+        }
+        final = {r["key"]: r["cnt"] for r in allrows.collect()}
+        straddling = p2_keys & set(p1)
+        bad = {k for k in straddling if final[k] <= p1[k]}
+        if not p1 or not straddling or bad:
+            raise AssertionError(
+                f"s40 phase-2 keys must strictly extend phase-1 state "
+                f"(recovered, then incremented); phase1={p1} "
+                f"final={final} straddling={sorted(straddling)} "
+                f"violations={sorted(bad)}"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return allrows
 
 
 @_q(

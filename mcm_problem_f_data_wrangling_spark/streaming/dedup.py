@@ -103,7 +103,7 @@ def stream_stream_interval_join(
 
 
 def foreach_batch_idempotent_parquet(
-    stream: DataFrame, path: str, checkpoint: str
+    stream: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
 ):
     """Exactly-once-ish parquet sink via ``foreachBatch``: each
     micro-batch lands in its own ``epoch=<id>`` directory with
@@ -121,5 +121,8 @@ def foreach_batch_idempotent_parquet(
 
     return (
         stream.writeStream.foreachBatch(write_batch)
+        # update-mode stateful operators (applyInPandasWithState)
+        # refuse the default Append mode — callers pass 'update'
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
     )

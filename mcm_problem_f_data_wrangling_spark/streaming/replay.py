@@ -42,6 +42,23 @@ def _parquet_files(path: str) -> list[str]:
     )
 
 
+def restamp_replay_sequence(ordered: list[str]) -> list[str]:
+    """Re-stamp ``ordered`` (replay files possibly spanning SEVERAL
+    ``write_ordered_replay`` dirs) with one strictly increasing
+    all-in-the-past mtime sequence, 10 s apart.
+
+    Each ``write_ordered_replay`` call stamps only its own files, so
+    two dirs written back-to-back can interleave when copied into one
+    source directory (``copy2`` preserves mtimes) — the s39 resume
+    gate splits its replay at the restart point into two dirs and
+    needs the combined sequence ordered.  Returns ``ordered``.
+    """
+    base = os.stat(ordered[-1]).st_mtime - 10.0 * len(ordered)
+    for i, f in enumerate(ordered):
+        os.utime(f, (base + 10.0 * i, base + 10.0 * i))
+    return ordered
+
+
 def write_ordered_replay(
     df: DataFrame,
     ts_col: str,

@@ -1017,3 +1017,36 @@ def test_join_state_checkpoint_resume_both_ways(spark, tmp_path_factory):
     # emits — the matched row above can only come from recovered state
     got_c = run(files_b, "c", f"{base}/ckpt_c")
     assert got_c == set()
+
+
+def test_restamp_replay_sequence_orders_across_dirs(spark, tmp_path_factory):
+    """Files from two write_ordered_replay dirs get one strictly
+    increasing all-in-the-past mtime sequence — the s39/s40 resume
+    gates split their replay at the restart point into two dirs and
+    copy2 preserves these mtimes into the shared source dir."""
+    import datetime
+    import os
+    import time
+
+    from mcm_problem_f_data_wrangling_spark.streaming.replay import (
+        restamp_replay_sequence,
+        write_ordered_replay,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    base = str(tmp_path_factory.mktemp("restamp"))
+    df1 = spark.createDataFrame(
+        [(i, t0 + datetime.timedelta(minutes=i)) for i in range(4)],
+        "i long, ts timestamp",
+    )
+    df2 = spark.createDataFrame(
+        [(i, t0 + datetime.timedelta(hours=1, minutes=i)) for i in range(4)],
+        "i long, ts timestamp",
+    )
+    fa = write_ordered_replay(df1, "ts", f"{base}/a", n_files=2)
+    fb = write_ordered_replay(df2, "ts", f"{base}/b", n_files=2)
+    got = restamp_replay_sequence(fa + fb)
+    assert got == fa + fb
+    mtimes = [os.stat(f).st_mtime for f in got]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    assert mtimes[-1] <= time.time()  # all in the past
