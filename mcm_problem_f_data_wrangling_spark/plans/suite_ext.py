@@ -4914,12 +4914,19 @@ def s40_streaming_agg_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         # row, so the check is scoped to actually-re-emitted keys, and
         # at least one straddling key must exist for the evidence to
         # be non-vacuous.  (O(#sources) driver pulls.)
-        p1 = {
-            r["key"]: r["cnt"]
-            for r in spark.read.parquet(f"{sink}/epoch={max(first)}")
-            .select("key", "cnt")
-            .collect()
-        }
+        # the LAST NON-EMPTY phase-1 epoch: a trailing no-data
+        # micro-batch would write an empty epoch dir, and reading
+        # only max(first) would then vacuously empty the baseline
+        p1: dict = {}
+        for e in sorted(first, reverse=True):
+            p1 = {
+                r["key"]: r["cnt"]
+                for r in spark.read.parquet(f"{sink}/epoch={e}")
+                .select("key", "cnt")
+                .collect()
+            }
+            if p1:
+                break
         p2_keys = {
             r["key"]
             for e in sorted(second - first)

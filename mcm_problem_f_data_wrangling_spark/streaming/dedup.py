@@ -113,6 +113,10 @@ def foreach_batch_idempotent_parquet(
     Idempotent-by-epoch is the standard recipe when the sink has no
     transactional commit protocol of its own.
 
+    ``output_mode`` is forwarded to the writer: the default
+    ``'append'`` suits joins/dedup; update-mode stateful operators
+    (``applyInPandasWithState``) refuse Append and need ``'update'``.
+
     Returns the (unstarted) ``DataStreamWriter``.
     """
 
