@@ -104,6 +104,8 @@ _FRONT = [
     # --- that miss the window head the overflow and gate in r12),
     # --- then the r6-stale remainder ---
     "s40_streaming_agg_resume",
+    "s41_streaming_late_data_drop",
+    "s42_streaming_python_source",
     "x_bpe_token_stats",
     "x_dedup_canonical_pick",
     "x_dedup_chunks",

@@ -4550,6 +4550,8 @@ def s37_streaming_checkpoint_resume(
     return kept
 
 
+_KNUTH_SQL = 2654435761  # sources/pyds.py _KNUTH, mirrored in SQL
+
 _S39_K = 5  # planted click/purchase pairs straddling the restart
 _S39_PLANTED_SQL = ",\n         ".join(
     f"({2**40 + j}, {2**40 + 1000 + j}, {8 * (10**6 + j)}, "
@@ -4947,6 +4949,268 @@ def s40_streaming_agg_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return allrows
+
+
+@_q(
+    "s41_streaming_late_data_drop",
+    "LIVE Structured Streaming execution #13 — the LATE-DATA DROP "
+    "contract made an external hash signal: every watermark gate so "
+    "far proves what the engine KEEPS; this one proves what it "
+    "correctly REFUSES, on the operator class where the refusal is "
+    "GUARANTEED (stateful windowed aggregation — stream-stream joins "
+    "only drop late rows after the matching state is gone, so a "
+    "probe there is racy by design).  A planted purchase carries an "
+    "event time near the stream START but replays in a file AFTER "
+    "all real data; when its batch runs, the watermark already sits "
+    "1 hour behind max event time — far past the planted row\'s "
+    "window — so the aggregation drops it on input "
+    "(numRowsDroppedByWatermark >= 1, ASSERTED) and the append-mode "
+    "sink, flushed by the sentinel ladder, equals the batch "
+    "per-hour rollup over the REAL shard alone: had the engine "
+    "admitted the late row, a new one-row window would appear and "
+    "the hash would fail.  Ladder nuance the gate encodes: the "
+    "input-side late filter uses the watermark COMMITTED ONE BATCH "
+    "EARLIER, so the late file replays two batches after its data "
+    "([d1,d2] -> [d3, sentinel 1] -> [LATE, sentinel 2]); one batch "
+    "after, Spark still admits it — the documented one-sided "
+    "guarantee, measured on a minimal repro.  Hour buckets ship as "
+    "epoch seconds (UTC session, the engine-wide convention).",
+    f"""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(FLOOR(value * 100 + 0.5)) AS BIGINT) AS cents
+FROM events
+WHERE user_id % 8 = 2
+GROUP BY 1, 2
+""",
+    tags=("M2", "streaming", "stateful"),
+)
+def s41_streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.replay import (
+        restamp_replay_sequence,
+        write_ordered_replay,
+    )
+
+    base = (
+        table(spark, sf_dir, "events")
+        # 1/8 shard (residue 2): the drop semantics are volume-
+        # independent; the 3 ladder batches dominate the cost
+        .where(F.col("user_id") % 8 == 2)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).alias("cents"),
+        )
+    )
+    bounds = base.agg(F.min("ts"), F.max("ts")).first()
+    min_ts, max_ts = bounds[0], bounds[1]
+    delay_s = 3600.0
+    s_ts = max_ts + datetime.timedelta(seconds=delay_s + 7200.0)
+    # the planted LATE row: event time near the stream start, arrival
+    # after everything — by then the watermark (max_ts - 1 h) is far
+    # past its window, so the aggregation MUST refuse it.  A planted
+    # user id no real event carries makes any leak visible even
+    # before the hash: its window row would be new, not shifted.
+    p_late = spark.createDataFrame(
+        [(2**41 + 1, 16000002, "purchase",
+          min_ts + datetime.timedelta(seconds=660), 125)],
+        base.schema,
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, -1, "click", s_ts, 0), (-1, -1, "purchase", s_ts, 0)],
+        base.schema,
+    )
+    work = tempfile.mkdtemp(prefix="s41_late_")
+    try:
+        files_data = write_ordered_replay(
+            base, "ts", f"{work}/data", n_files=3
+        )
+        files_late = write_ordered_replay(
+            p_late, "ts", f"{work}/late", n_files=1,
+            sentinel_df=sentinel, n_sentinels=2,
+        )
+        # replay order: [d1, d2, d3, s1, LATE, s2] — the late file's
+        # EVENT times precede everything, its ARRIVAL follows the
+        # first sentinel.  The extra spacing batch matters: the
+        # input-side late filter uses the watermark COMMITTED AT THE
+        # PREVIOUS BATCH'S END (one batch behind the eviction
+        # watermark — measured on a minimal repro), so a late row
+        # landing only one batch after its data is still admitted;
+        # two batches after, with the sentinel having pushed the
+        # committed watermark past everything, the drop is guaranteed
+        late_f, s1_f, s2_f = files_late
+        ordered = restamp_replay_sequence(
+            files_data + [s1_f, late_f, s2_f]
+        )
+        schema = spark.read.parquet(f"{work}/data").schema
+        src_dir = f"{work}/src"
+        os.makedirs(src_dir)
+        for f in ordered:
+            shutil.copy2(f, os.path.join(src_dir, os.path.basename(f)))
+        stream = (
+            spark.readStream.schema(schema)
+            # mFPT=2 ladder: [d1, d2] -> [d3, s1] (committed watermark
+            # jumps past every real window at this batch's end; d3's
+            # events all exceed batch 0's max, range partitioning
+            # guarantees it, so none of its REAL rows are late) ->
+            # [LATE, s2] (the drop happens here, against the
+            # sentinel-advanced committed watermark, and the final
+            # real windows finalize in the same REAL batch)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src_dir)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("cents"),
+            )
+            .select(
+                F.col("window.start").cast("long").alias("hour_epoch"),
+                "event_type",
+                "n",
+                "cents",
+            )
+        )
+        sink = f"s41_late_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError(
+                    "s41 streaming query did not drain within 300 s"
+                )
+        finally:
+            q.stop()
+        # the refusal must be VISIBLE, not inferred: the state
+        # operator reports the late input row it dropped
+        dropped = 0
+        for p in q.recentProgress:
+            d = _json.loads(p.json) if hasattr(p, "json") else p
+            for op in d.get("stateOperators") or []:
+                dropped += int(op.get("numRowsDroppedByWatermark", 0))
+        if dropped < 1:
+            raise AssertionError(
+                "s41 expected the planted late purchase to be dropped "
+                f"by the watermark (numRowsDroppedByWatermark), got "
+                f"{dropped}"
+            )
+        # append mode + the sentinel ladder flushed every real
+        # window; only the sentinels' far-future window may remain
+        # buffered (2 rows: one per event_type... both sentinels
+        # share one window+type pair per row kind)
+        state_rows = _final_state_rows(q)
+        if state_rows is None or state_rows > 2:
+            raise AssertionError(
+                f"s41 final agg state must be the sentinel window rows "
+                f"(<= 2), got {state_rows}"
+            )
+        rows = [
+            r
+            for r in spark.sql(
+                f"SELECT hour_epoch, event_type, n, cents FROM {sink}"
+            ).collect()
+        ]
+        spark.catalog.dropTempView(sink)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "hour_epoch long, event_type string, n long, cents long"
+    )
+
+
+@_q(
+    "s42_streaming_python_source",
+    "LIVE Structured Streaming execution #14 — the PROGRAMMABLE "
+    "SOURCE surface on the streaming engine (Python Data Source API, "
+    "SimpleDataSourceStreamReader): sources/pyds.py synthetic_events "
+    "generates a bounded, deterministic event stream from pure "
+    "64-bit integer arithmetic (event_id, event_id % n_users, "
+    "(event_id * 2654435761) % 10000) with dict offsets and an "
+    "exactly-once readBetweenOffsets replay path; the complete-mode "
+    "per-bucket rollup converges to the closed form the DuckDB "
+    "oracle computes from generate_series — the first gate whose "
+    "INPUT never touches a file: rows exist only as the connector's "
+    "offset arithmetic, proving the engine's source surface is "
+    "programmable end-to-end (batch twin equality is pytest-pinned).",
+    f"""
+WITH g AS (SELECT i AS event_id FROM generate_series(0, 49999) t(i)),
+e AS (
+  SELECT event_id, event_id % 97 AS user_id,
+         (event_id * {_KNUTH_SQL}) % 10000 AS cents
+  FROM g
+)
+SELECT user_id % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM e GROUP BY 1
+""",
+    tags=("M2", "streaming", "sources"),
+)
+def s42_streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+    import uuid
+
+    from ..sources.pyds import register_synthetic_events
+
+    register_synthetic_events(spark)
+    n_events = 50_000
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n_events", n_events)
+        .option("n_users", 97)
+        .option("rows_per_batch", 12_500)
+        .load()
+    )
+    agg = stream.groupBy((F.col("user_id") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+    )
+    sink = f"s42_pyds_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        # the source is bounded but availableNow is file-source
+        # machinery — poll the complete-mode snapshot until every
+        # generated row is aggregated, then stop
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            row = spark.sql(f"SELECT SUM(n) AS s FROM {sink}").first()
+            if row and row["s"] == n_events:
+                break
+            time.sleep(2)
+        else:
+            raise TimeoutError(
+                f"s42 python-source stream did not converge to "
+                f"{n_events} rows within 240 s"
+            )
+    finally:
+        q.stop()
+    rows = spark.sql(
+        f"SELECT bucket, n, total_cents FROM {sink}"
+    ).collect()
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(
+        rows, "bucket long, n long, total_cents long"
+    )
 
 
 @_q(
