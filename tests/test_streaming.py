@@ -1050,3 +1050,77 @@ def test_restamp_replay_sequence_orders_across_dirs(spark, tmp_path_factory):
     mtimes = [os.stat(f).st_mtime for f in got]
     assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
     assert mtimes[-1] <= time.time()  # all in the past
+
+
+def test_agg_state_checkpoint_resume_both_ways(spark, tmp_path_factory):
+    """The s40 gate's mechanism, proven both ways like the dedup and
+    join twins: a GroupState running total resumed from the same
+    checkpoint folds phase-2 rows into the recovered (cnt, total)
+    state; a fresh checkpoint over the same phase-2 files restarts
+    every key at zero."""
+    import datetime
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mcm_problem_f_data_wrangling_spark.streaming.dedup import (
+        foreach_batch_idempotent_parquet,
+    )
+    from mcm_problem_f_data_wrangling_spark.streaming.replay import (
+        write_ordered_replay,
+    )
+    from mcm_problem_f_data_wrangling_spark.streaming.running import (
+        running_totals_stream,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", 10, t0 + datetime.timedelta(minutes=i)) for i in range(4)
+    ] + [
+        ("a", 1, t0 + datetime.timedelta(hours=1, minutes=i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "source string, v long, ts timestamp")
+    base = str(tmp_path_factory.mktemp("aggres"))
+    files = write_ordered_replay(df, "ts", f"{base}/replay", n_files=2)
+
+    def run(visible, tag, ckpt):
+        src = f"{base}/src_{tag}"
+        os.makedirs(src, exist_ok=True)
+        for f in visible:
+            dst = os.path.join(src, os.path.basename(f))
+            if not os.path.exists(dst):
+                shutil.copy2(f, dst)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        out = running_totals_stream(stream, "source", "v", api="gst")
+        sink = f"{base}/sink_{tag}"
+        q = (
+            foreach_batch_idempotent_parquet(
+                out, sink, ckpt, output_mode="update"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+        got = (
+            spark.read.option("basePath", sink).parquet(f"{sink}/epoch=*")
+            .groupBy("key")
+            .agg(F.max(F.struct("epoch", "cnt", "total")).alias("m"))
+            .select("key", F.col("m.cnt").alias("cnt"),
+                    F.col("m.total").alias("total"))
+        )
+        return {r["key"]: (r["cnt"], r["total"]) for r in got.collect()}
+
+    # resumed checkpoint: phase 2 folds into recovered state
+    run(files[:1], "a", f"{base}/ckpt_a")
+    got = run(files, "a", f"{base}/ckpt_a")
+    assert got == {"a": (8, 44.0)}
+
+    # fresh checkpoint over the phase-2 file only: counts restart
+    got_c = run(files[1:], "c", f"{base}/ckpt_c")
+    assert got_c == {"a": (4, 4.0)}
