@@ -229,7 +229,19 @@ def assert_materialized(df: DataFrame, context: str = "") -> DataFrame:
     then structural — removing the checkpoint upstream turns a silent
     read-after-delete failure into this loud error.
     """
-    node = df._jdf.queryExecution().analyzed().nodeName()
+    try:
+        node = df._jdf.queryExecution().analyzed().nodeName()
+    except AttributeError as exc:
+        # private classic-JVM surface — absent under Spark Connect or
+        # if the internal API shifts; keep the failure mode
+        # intelligible instead of a bare AttributeError (ADVICE r11)
+        raise RuntimeError(
+            "assert_materialized needs the classic-JVM DataFrame "
+            "internals (df._jdf.queryExecution) which are unavailable "
+            f"in this environment{' in ' + context if context else ''}; "
+            "cannot prove the plan is checkpoint-materialized before "
+            "its grounding directory is deleted"
+        ) from exc
     if node != "LogicalRDD":
         raise AssertionError(
             f"expected a checkpoint-materialized plan (LogicalRDD), got "

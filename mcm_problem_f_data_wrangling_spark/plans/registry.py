@@ -28,84 +28,30 @@ _ALL = (
 # same window.  Every query keeps its oracle either way — the builder's
 # mirror (tools/check_parity.py) always runs ALL of them.
 _FRONT = [
-    # --- ROUND-11 window (first ~50 = observed driver budget;
-    # --- overflow keeps a bigger budget eating forward).  Blocks:
-    # --- (a) NEW queries this round (s38 full-outer interval join,
-    # --- s39 join-state checkpoint resume, the end-to-end LSH
-    # --- cluster pipeline, the KMV accuracy audit); (b) queries
-    # --- whose IMPLEMENTATION changed this round (s36 sentinel-
-    # --- batch ladder resizing, the quantile-sketch merge guard,
-    # --- duplicate_clusters' pair_method + materialization assert,
-    # --- the x_video_audio_fingerprint dead-code removal); (c) the
-    # --- ENTIRE freshness tail — all 12 r4-fresh rows (the r10
-    # --- overflow spill) and all 14 r5-fresh rows, closing VERDICT
-    # --- r10 task #1 (no registry query's latest driver hash older
-    # --- than r6 after this window); (d) the 15 alphabetically-first
-    # --- r6 rows.  The remaining 25 r6 rows head the overflow and
-    # --- gate in r12.  Every query keeps its oracle either way —
+    # --- ROUND-12 window (first 50 = observed driver budget).
+    # --- Blocks: (a) the three r11 late-round gates that carry no
+    # --- external hash signal yet (s40/s41/s42 — VERDICT r11 task
+    # --- #2) plus s43, NEW this round (session-window checkpoint
+    # --- resume + late-drop stretch, closing the recovery matrix);
+    # --- (b) implementation changed this round
+    # --- (x_video_audio_fingerprint: the MP4 fixture build hoisted
+    # --- out of the timed region into a version-keyed tempdir
+    # --- parquet grounding — VERDICT r11 task #6);
+    # --- (c) the ENTIRE r6 freshness tail — all 24 rows (task #3:
+    # --- no registry query's latest driver hash older than r7
+    # --- after this window); (d) the 20 alphabetically-first
+    # --- r7-stale rows.  The remaining 25 r7 rows head the overflow
+    # --- and gate in r13.  Every query keeps its oracle either way —
     # --- tools/check_parity.py always runs ALL of them.
     "flagship_career_collapse",  # driver smoke target stays first
-    # --- (a) new this round ---
-    "s38_streaming_full_outer_interval_join",
-    "s39_streaming_join_resume",
-    "x_dedup_clusters_lsh",
-    "x_kmv_accuracy_gate",
-    # --- (b) implementation changed this round ---
-    "s36_streaming_outer_interval_join",  # real-batch eviction ladder
-    "x_incremental_quantile_sketch",  # k-mismatch merge guard
-    "x_dedup_clusters_cc",  # pair_method param + materialization assert
-    "x_video_audio_fingerprint",  # dead tones dict removed
-    # --- (c) last driver hash in round 4 (the r10 overflow spill) ---
-    "w33_detected_period",
-    "w34_max_drawdown",
-    "x_bm25_topk",
-    "x_bigram_perplexity",
-    "x_source_overlap_matrix",
-    "x_countmin_estimate",
-    "x_source_quality_report",
-    "x_curation_topk_weighted",
-    "x_token_entropy",
-    "x_curation_eval_holdout",
-    "x_corpus_drift_kl",
-    "x_curation_dsir_score",
-    # --- (c) last driver hash in round 5 ---
-    "s24_peak_hour_profile",
-    "s25_event_cooccurrence",
-    "s26_data_freshness",
-    "s27_cusum_alarm",
-    "s28_conversion_latency",
-    "s29_event_trigrams",
-    "src04_orc_roundtrip",
-    "src05_jsonl_quarantine",
-    "src06_schema_evolution",
-    "x3_holt_winters",
-    "x5_monte_carlo_fan",
-    "x_embed_pca_project",
-    "x_graph_kcore",
-    "x_sketch_approx_stats",
-    # --- (d) last driver hash in round 6 (first 15 of 40) ---
-    "a01_group_sum",
-    "a02_weighted_mean",
-    "a06_quantile_summary",
-    "j01_dictionary_bridge_join",
-    "j03_fact_dict_broadcast",
-    "q01_pricing_summary",
-    "q05_star_join_revenue",
-    "q06_revenue_delta",
-    "u01_union_long_format",
-    "w02_rolling_mean",
-    "w04_rolling_corr",
-    "x3_aic_gate",
-    "x4_diagnostics_gate",
-    "x5_sarimax_exog_fan",
-    "x_boilerplate_lines",
-    # --- overflow: new-this-round spill first (the 50-slot window is
-    # --- consumed by the freshness tail; playbook rule: new queries
-    # --- that miss the window head the overflow and gate in r12),
-    # --- then the r6-stale remainder ---
+    # --- (a) never-hashed + new this round ---
     "s40_streaming_agg_resume",
     "s41_streaming_late_data_drop",
     "s42_streaming_python_source",
+    "s43_streaming_session_resume",
+    # --- (b) implementation changed this round ---
+    "x_video_audio_fingerprint",  # fixture build hoisted out of timed region
+    # --- (c) last driver hash in round 6 (all 24) ---
     "x_bpe_token_stats",
     "x_dedup_canonical_pick",
     "x_dedup_chunks",
@@ -116,6 +62,67 @@ _FRONT = [
     "x_dedup_minhash_estimate",
     "x_dedup_minhash_lsh_pairs",
     "x_dedup_ngram_jaccard",
+    "x_dedup_rate_by_source",
+    "x_dedup_simhash",
+    "x_dedup_simhash_hamming",
+    "x_doc_chunking",
+    "x_dup_ngram_fraction",
+    "x_fuzzy_name_match",
+    "x_graph_pagerank",
+    "x_lsh_recall_gate",
+    "x_minhash_signatures",
+    "x_multimodal_feature_extract",
+    "x_sim_search_bruteforce",
+    "x_sim_search_ivf",
+    "x_sketch_accuracy_gate",
+    "x_text_quality",
+    # --- (d) last driver hash in round 7 (first 20 of 45) ---
+    "a03_value_counts",
+    "a04_dedupe_collapse",
+    "a05_minmax_summary",
+    "a07_first_nonnull",
+    "a08_nested_array_agg",
+    "f01_06_date_synthesis",
+    "f07_cast_coerce_null",
+    "f09_14_scalar_math",
+    "j04_weight_attach",
+    "j05_two_aggregate_join",
+    "j06_exog_month_end_join",
+    "j08_semi_anti_join",
+    "p05_monthly_regex_filter",
+    "p06_in_list_filter",
+    "p07_seasonal_equality",
+    "p08_exact_or_prefix_codes",
+    "p09_naics_mask",
+    "p10_ci_contains_search",
+    "p11_distinct_pairs",
+    "p12_null_fill_join",
+    # --- overflow: the r7-stale remainder, gate in r13 ---
+    "p14_json_props_extract",
+    "q02_min_cost_supplier",
+    "s30_streaming_running_totals",
+    "u02_intersect_active_users",
+    "u03_except_all_multiset",
+    "u04_rollup_hierarchy",
+    "u05_cube_order_matrix",
+    "w01_pct_change",
+    "w03_rolling_std",
+    "w05_rolling_median",
+    "w06_differences",
+    "w07_index_rebase",
+    "w08_cumulative_sum",
+    "w09_tail_window",
+    "w10_multikey_sort_projection",
+    "w11_top_n",
+    "w12_month_grid_gapfill",
+    "w13_future_month_index",
+    "w14_pivot_event_matrix",
+    "w15_ntile_price_quartiles",
+    "x_ann_recall_gate",
+    "x_sim_ivfpq_incremental",
+    "x_sim_knn_join",
+    "x_sim_search_ivfpq",
+    "x_sim_search_pq",
 ]
 
 # The external driver verifies roughly this many registry-order

@@ -1610,37 +1610,32 @@ def x_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_neardup_pairs(media)
 
 
-@_q(
-    "x_video_audio_fingerprint",
-    "Cross-container video↔audio dedup (operators/mp4.py "
-    "demux_mp4_audio → operators/audio.py audio_neardup_pairs): 16 "
-    "planted two-track MJPEG+PCM MP4s — 8 contents g, each in TWO "
-    "containers (id g: sowt little-endian PCM; id g+100: twos "
-    "big-endian) whose VIDEO frames are deliberately different and "
-    "whose audio is the same tone content at per-id amplitudes "
-    "(700 + 7*id), so neither byte hashing nor the frame-pHash "
-    "evidence can pair them — only demuxing the soun track (stsc/"
-    "stsz/stco walk through the audio sample table), re-encoding to "
-    "WAV and running the spectral fingerprint finds the 8 (g, g+100) "
-    "re-encode pairs.  Band sequence b = (7g + 3*seg) % 8 over 6 "
-    "segments → 12 canonical frames; 7g mod 8 bijection keeps group "
-    "sequences pairwise distinct so the oracle pins the exact pair "
-    "set, endianness-invariance and gain-invariance both "
-    "load-bearing.  This is the bridge that makes video corpora "
-    "first-class citizens of the audio dedup stack.",
+def _av_fixture_path(spark: SparkSession) -> str:
+    """Build the 16-container MJPEG+PCM fixture ONCE per machine and
+    ground it in parquet (tempdir keyed on the fixture version).
+
+    The MP4 encode is driver-side Python; with it inside the timed
+    region the same-session sweep readings spanned 2.7–19.0 s
+    (VERDICT r11 What's-wrong #3) — the measurement was timing the
+    fixture build, not the demux+fingerprint query.  Bump
+    ``_AV_FIXTURE_VERSION`` whenever the planted content changes.
     """
-SELECT CAST(g AS BIGINT) AS id_a, CAST(g + 100 AS BIGINT) AS id_b,
-       CAST(12 AS INT) AS n_frames
-FROM (SELECT unnest(generate_series(0, 7)) AS g)
-""",
-    tags=("M4", "multimodal"),
-)
-def x_video_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    version = 1
+    dest = os.path.join(
+        tempfile.gettempdir(), f"sparkgraft_av_fixture_v{version}"
+    )
+    if os.path.isfile(os.path.join(dest, "_SUCCESS")):
+        return dest
+    shutil.rmtree(dest, ignore_errors=True)  # clear a partial build
+
     import numpy as np
 
-    from ..operators.audio import audio_neardup_pairs
     from ..operators.jpeg import encode_jpeg_gray
-    from ..operators.mp4 import demux_mp4_audio, encode_mp4_av
+    from ..operators.mp4 import encode_mp4_av
     from ..operators.multimodal import MEDIA_SCHEMA
 
     def frame(seed: int) -> bytes:
@@ -1668,7 +1663,50 @@ def x_video_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"planted://av/{mid}",
                 )
             )
-    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_av_build_")
+    spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    try:
+        os.replace(tmp, dest)  # atomic publish; loser of a race cleans up
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isfile(os.path.join(dest, "_SUCCESS")):
+            raise
+    return dest
+
+
+
+@_q(
+    "x_video_audio_fingerprint",
+    "Cross-container video↔audio dedup (operators/mp4.py "
+    "demux_mp4_audio → operators/audio.py audio_neardup_pairs): 16 "
+    "planted two-track MJPEG+PCM MP4s — 8 contents g, each in TWO "
+    "containers (id g: sowt little-endian PCM; id g+100: twos "
+    "big-endian) whose VIDEO frames are deliberately different and "
+    "whose audio is the same tone content at per-id amplitudes "
+    "(700 + 7*id), so neither byte hashing nor the frame-pHash "
+    "evidence can pair them — only demuxing the soun track (stsc/"
+    "stsz/stco walk through the audio sample table), re-encoding to "
+    "WAV and running the spectral fingerprint finds the 8 (g, g+100) "
+    "re-encode pairs.  Band sequence b = (7g + 3*seg) % 8 over 6 "
+    "segments → 12 canonical frames; 7g mod 8 bijection keeps group "
+    "sequences pairwise distinct so the oracle pins the exact pair "
+    "set, endianness-invariance and gain-invariance both "
+    "load-bearing.  This is the bridge that makes video corpora "
+    "first-class citizens of the audio dedup stack.",
+    """
+SELECT CAST(g AS BIGINT) AS id_a, CAST(g + 100 AS BIGINT) AS id_b,
+       CAST(12 AS INT) AS n_frames
+FROM (SELECT unnest(generate_series(0, 7)) AS g)
+""",
+    tags=("M4", "multimodal"),
+)
+def x_video_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.audio import audio_neardup_pairs
+    from ..operators.mp4 import demux_mp4_audio
+
+    media = spark.read.parquet(_av_fixture_path(spark))
     return audio_neardup_pairs(demux_mp4_audio(media))
 
 
@@ -5193,6 +5231,12 @@ def s42_streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         # generated row is aggregated, then stop
         deadline = time.time() + 240
         while time.time() < deadline:
+            # a dead stream (e.g. a Python data-source error) would
+            # otherwise spin the full deadline against a stale
+            # snapshot and mask the real failure (ADVICE r11)
+            exc = q.exception()
+            if exc is not None:
+                raise exc
             row = spark.sql(f"SELECT SUM(n) AS s FROM {sink}").first()
             if row and row["s"] == n_events:
                 break
@@ -5211,6 +5255,253 @@ def s42_streaming_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "bucket long, n long, total_cents long"
     )
+
+
+@_q(
+    "s43_streaming_session_resume",
+    "LIVE Structured Streaming execution #15 — CHECKPOINT RESUME FOR "
+    "SESSION WINDOWS, the fourth and last stateful operator class "
+    "without a restart proof (s37 = dedup store, s39 = symmetric join "
+    "buffers, s40 = arbitrary GroupState).  Native session_window "
+    "(6-hour gap) over a 1/8 events shard (residue 5) runs one "
+    "micro-batch over the FIRST-HALF event-time replay, STOPS, and a "
+    "brand-new query restarts from the same checkpoint over the full "
+    "directory.  A planted user (2147000043) has exactly two events "
+    "600 s apart STRADDLING the restart point (mid-300 s in phase 1, "
+    "mid+300 s in phase 2): they merge into ONE 2-event session only "
+    "through RECOVERED session-window state — a fresh store would "
+    "emit a 1-event session and fail both the explicit assertion and "
+    "the hash.  Phase-2 epochs are asserted to strictly extend "
+    "phase-1's.  The same ladder carries the late-data contract onto "
+    "the session-window path (VERDICT r11 stretch): a second planted "
+    "user's event times near the stream start but replays AFTER the "
+    "first sentinel pair, so the input-side filter (running on the "
+    "sentinel-advanced committed watermark) MUST refuse it — "
+    "numRowsDroppedByWatermark >= 1 asserted; admission would add a "
+    "session row and fail the hash.  Append mode + a 3-sentinel "
+    "ladder (mFPT=2 keeps eviction in a REAL batch) flushes every "
+    "real session; only the sentinels' far-future session may stay "
+    "in state (asserted).  Oracle = the batch sessionize twin (s31's "
+    "lag/flag/running-sum CTE, raw-microsecond gap) over the shard "
+    "UNION ALL the planted session, whose times the oracle derives "
+    "from the same integer-micros midpoint arithmetic the gate uses.",
+    """
+WITH shard AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, ts,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id % 8 = 5
+), b AS (
+  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM shard
+), flagged AS (
+  SELECT key, ts, cents,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY key ORDER BY ts)
+                   >= CAST(21600000000 AS BIGINT)
+              THEN 1 ELSE 0 END AS brk
+  FROM shard
+), sids AS (
+  SELECT key, ts, cents,
+         SUM(brk) OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT key, CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+       CAST(MAX(epoch_us(ts)) + 21600000000 AS BIGINT) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM sids GROUP BY key, sid
+UNION ALL
+SELECT '2147000043',
+       CAST(mn + (mx - mn) // 2 - 300000000 AS BIGINT),
+       CAST(mn + (mx - mn) // 2 + 300000000 + 21600000000 AS BIGINT),
+       CAST(2 AS BIGINT), CAST(250 AS BIGINT)
+FROM b
+""",
+    tags=("M2", "streaming", "stateful"),
+)
+def s43_streaming_session_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.dedup import foreach_batch_idempotent_parquet
+    from ..streaming.replay import (
+        restamp_replay_sequence,
+        write_ordered_replay,
+    )
+
+    gap_us = 21_600_000_000  # 6 h, the s31 contract
+    base = (
+        table(spark, sf_dir, "events")
+        # 1/8 shard, residue 5 (s41 uses 2): restart mechanics are
+        # volume-independent; the 4 ladder batches dominate the cost
+        .where(F.col("user_id") % 8 == 5)
+        .select(
+            F.col("user_id").cast("string").alias("key"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).alias("cents"),
+        )
+    )
+    bounds = base.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mn_us, mx_us = int(bounds[0]), int(bounds[1])
+    # integer-micros midpoint — the SAME arithmetic the oracle's CTE
+    # runs, so the planted constants agree bit-for-bit cross-engine
+    mid_us = mn_us + (mx_us - mn_us) // 2
+    plant = spark.createDataFrame(
+        [
+            ("2147000043", mid_us - 300_000_000, 125),
+            ("2147000043", mid_us + 300_000_000, 125),
+        ],
+        "key string, us long, cents long",
+    ).select("key", F.timestamp_micros("us").alias("ts"), "cents")
+    phase_a = base.where(F.unix_micros("ts") < mid_us).unionByName(
+        plant.where(F.unix_micros("ts") < mid_us)
+    )
+    phase_b = base.where(F.unix_micros("ts") >= mid_us).unionByName(
+        plant.where(F.unix_micros("ts") >= mid_us)
+    )
+    # far-future sentinels: past every real session end + gap + delay,
+    # so the committed watermark they advance flushes ALL real
+    # sessions while their own session stays un-emittable in state
+    s_us = mx_us + 3600_000_000 + gap_us + 7_200_000_000
+    sentinel = spark.createDataFrame(
+        [("-1", s_us, 0)], "key string, us long, cents long"
+    ).select("key", F.timestamp_micros("us").alias("ts"), "cents")
+    # the late plant: event time near the stream START, arrival after
+    # the first sentinel pair — by then the committed watermark is
+    # far-future and the session operator MUST refuse the row
+    p_late = spark.createDataFrame(
+        [("2147000044", mn_us + 660_000_000, 125)],
+        "key string, us long, cents long",
+    ).select("key", F.timestamp_micros("us").alias("ts"), "cents")
+    work = tempfile.mkdtemp(prefix="s43_session_resume_")
+    src, sink, ckpt = f"{work}/src", f"{work}/sink", f"{work}/ckpt"
+    os.makedirs(src)
+    try:
+        files_a = write_ordered_replay(phase_a, "ts", f"{work}/a", n_files=2)
+        files_b = write_ordered_replay(
+            phase_b, "ts", f"{work}/b", n_files=2,
+            sentinel_df=sentinel, n_sentinels=3,
+        )
+        late_f = write_ordered_replay(
+            p_late, "ts", f"{work}/late", n_files=1
+        )[0]
+        d3, d4, s1, s2, s3 = files_b
+        # one combined mtime order (s39 recipe): phase-2 batches under
+        # mFPT=2 are [d3,d4] -> [s1,s2] (committed watermark jumps
+        # far-future at this batch's end) -> [LATE,s3] (the refusal,
+        # against the sentinel-advanced watermark, and every real
+        # session finalizes in the same REAL batch)
+        ordered = restamp_replay_sequence(
+            files_a + [d3, d4, s1, s2, late_f, s3]
+        )
+        schema = spark.read.parquet(f"{work}/a").schema
+
+        def drain(visible: list):
+            for f in visible:
+                dst = os.path.join(src, os.path.basename(f))
+                if not os.path.exists(dst):
+                    shutil.copy2(f, dst)
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "2")
+                .parquet(src)
+            )
+            agg = (
+                stream.withWatermark("ts", "1 hour")
+                .groupBy(
+                    "key", F.session_window("ts", "6 hours").alias("w")
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum("cents").alias("cents"),
+                )
+                .select(
+                    "key",
+                    F.unix_micros("w.start").alias("start_us"),
+                    F.unix_micros("w.end").alias("end_us"),
+                    "n_events",
+                    "cents",
+                )
+            )
+            q = (
+                foreach_batch_idempotent_parquet(agg, sink, ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError(
+                        "s43 streaming query did not drain within 300 s"
+                    )
+            finally:
+                q.stop()
+            epochs = {
+                int(d.split("=", 1)[1])
+                for d in os.listdir(sink)
+                if d.startswith("epoch=")
+            }
+            return epochs, q
+
+        first, _ = drain(ordered[:2])
+        second, q2 = drain(ordered)
+        if not first or min(second - first or {-1}) <= max(first):
+            raise AssertionError(
+                f"s43 restart must EXTEND phase-1 batches, got "
+                f"phase1={sorted(first)} phase2={sorted(second)}"
+            )
+        # the refusal must be VISIBLE, not inferred (s41 precedent)
+        dropped = 0
+        for p in q2.recentProgress:
+            d = _json.loads(p.json) if hasattr(p, "json") else p
+            for op in d.get("stateOperators") or []:
+                dropped += int(op.get("numRowsDroppedByWatermark", 0))
+        if dropped < 1:
+            raise AssertionError(
+                "s43 expected the planted late event to be dropped by "
+                f"the watermark (numRowsDroppedByWatermark), got "
+                f"{dropped}"
+            )
+        # only the sentinels' far-future session may remain buffered
+        state_rows = _final_state_rows(q2)
+        if state_rows is None or state_rows > 1:
+            raise AssertionError(
+                f"s43 final session state must be the lone sentinel "
+                f"session (<= 1), got {state_rows}"
+            )
+        allrows = (
+            spark.read.option("basePath", sink)
+            .parquet(f"{sink}/epoch=*")
+            .select("key", "start_us", "end_us", "n_events", "cents")
+            .localCheckpoint(eager=True)
+        )
+        # recovery evidence beyond the hash: the straddling planted
+        # session merged into ONE 2-event row spanning the restart —
+        # a fresh phase-2 store would hold (n_events=1, the phase-1
+        # event lost) and fail here before the hash does
+        planted = [
+            (r["start_us"], r["end_us"], r["n_events"], r["cents"])
+            for r in allrows.where(F.col("key") == "2147000043").collect()
+        ]
+        expect = [
+            (
+                mid_us - 300_000_000,
+                mid_us + 300_000_000 + gap_us,
+                2,
+                250,
+            )
+        ]
+        if planted != expect:
+            raise AssertionError(
+                f"s43 straddling session must merge across the restart "
+                f"through recovered state: expected {expect}, got "
+                f"{planted}"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return allrows
 
 
 @_q(

@@ -51,8 +51,15 @@ def restamp_replay_sequence(ordered: list[str]) -> list[str]:
     two dirs written back-to-back can interleave when copied into one
     source directory (``copy2`` preserves mtimes) — the s39 resume
     gate splits its replay at the restart point into two dirs and
-    needs the combined sequence ordered.  Returns ``ordered``.
+    needs the combined sequence ordered.  Inputs must be existing
+    (already mtime-stamped) files — typically the concatenation of
+    ``write_ordered_replay`` return lists.  Returns ``ordered``.
     """
+    if not ordered:
+        raise ValueError(
+            "restamp_replay_sequence: ordered is empty — pass the "
+            "concatenated write_ordered_replay file lists"
+        )
     base = os.stat(ordered[-1]).st_mtime - 10.0 * len(ordered)
     for i, f in enumerate(ordered):
         os.utime(f, (base + 10.0 * i, base + 10.0 * i))

@@ -126,6 +126,9 @@ def test_synthetic_events_stream_equals_batch(spark):
     try:
         deadline = time.time() + 120
         while time.time() < deadline:
+            exc = q.exception()
+            if exc is not None:  # dead stream: surface the real error
+                raise exc
             r = spark.sql(f"SELECT SUM(cnt) AS s FROM {sink}").first()
             if r and r["s"] == n:
                 break

@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Window
 
@@ -48,6 +48,19 @@ def sparkref(spark):
     batch=st.lists(series_strategy, min_size=1, max_size=6),
     window=st.integers(min_value=1, max_value=8),
     min_periods=st.integers(min_value=1, max_value=8),
+)
+# Pinned falsifying example (r11 judge fuzz): after evicting 7.0 from a
+# near-zero window, pandas' ONLINE std kernel carries ~2.6e-12 error
+# while the engine's stddev_samp-over-frame is exact.  The variance
+# bound (scale²·eps) converted to a std bound divides by 2·std, which
+# explodes when std ≪ 1 — so std is compared as VARIANCE below.  The
+# .hypothesis example DB is gitignored; this keeps the case a
+# deterministic regression.
+@example(
+    batch=[[0.0, 7.0, float("nan"), 0.0, float("nan"), 0.0, float("nan"),
+            float("nan"), 0.001953125]],
+    window=4,
+    min_periods=1,
 )
 def test_rolling_matches_pandas_fuzz(sparkref, batch, window, min_periods):
     spark = sparkref
@@ -101,6 +114,14 @@ def test_rolling_matches_pandas_fuzz(sparkref, batch, window, min_periods):
             # non-finites as "no value" on both sides
             e[np.isinf(e)] = np.nan
             a[np.isinf(a)] = np.nan
+        if name == "std":
+            # pandas' online kernel error is bounded on the VARIANCE
+            # (~scale²·eps); as a std error it divides by 2·std and
+            # blows past any fixed bound when std ≪ 1.  Compare
+            # variances so the quadratic atol applies to the quantity
+            # it actually bounds.
+            e = e**2
+            a = a**2
         assert np.allclose(a, e, rtol=1e-9, atol=atol, equal_nan=True), (
             name,
             window,

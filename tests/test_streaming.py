@@ -1052,6 +1052,20 @@ def test_restamp_replay_sequence_orders_across_dirs(spark, tmp_path_factory):
     assert mtimes[-1] <= time.time()  # all in the past
 
 
+def test_restamp_replay_sequence_rejects_empty():
+    """An empty file list is a caller bug (forgot to concatenate the
+    write_ordered_replay returns) — fail with a descriptive ValueError,
+    not a bare IndexError (ADVICE r11)."""
+    import pytest as _pytest
+
+    from mcm_problem_f_data_wrangling_spark.streaming.replay import (
+        restamp_replay_sequence,
+    )
+
+    with _pytest.raises(ValueError, match="ordered is empty"):
+        restamp_replay_sequence([])
+
+
 def test_agg_state_checkpoint_resume_both_ways(spark, tmp_path_factory):
     """The s40 gate's mechanism, proven both ways like the dedup and
     join twins: a GroupState running total resumed from the same

@@ -103,7 +103,12 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"ok    {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)")
-    print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    n_rows_only = sum(1 for n in names if REGISTRY[n].sql is None)
+    n_oracle = len(names) - n_rows_only
+    print(
+        f"\n{len(names) - len(failures)}/{len(names)} queries pass "
+        f"({n_oracle} oracle-matched, {n_rows_only} rows-only by design)"
+    )
     spark.stop()
     return 1 if failures else 0
 

@@ -165,7 +165,20 @@ if unanchored:
 print(f"sf1 sweep ok: {len(got)} queries, no query >3x its {prior[-1]} anchor")
 EOF
 
-echo "== gate 7/7: HEAD commit-message wall numbers match committed artifacts =="
-python tools/check_commit_wall.py HEAD
+echo "== gate 7/7: commit-message wall numbers match shipped artifacts =="
+# This gate runs BEFORE the snapshot commit exists, so checking HEAD
+# would only ever validate the PREVIOUS commit's message (ADVICE r11).
+# If the prepared message is provided (COMMIT_MSG_FILE env var), the
+# message about to be used is validated against worktree artifacts;
+# otherwise fall back to the documented HEAD re-check of the last
+# commit — and remember to re-run `python tools/check_commit_wall.py
+# HEAD` once the snapshot commit lands.
+if [ -n "${COMMIT_MSG_FILE:-}" ] && [ -f "${COMMIT_MSG_FILE}" ]; then
+    python tools/check_commit_wall.py --message-file "${COMMIT_MSG_FILE}"
+else
+    python tools/check_commit_wall.py HEAD
+    echo "   (no COMMIT_MSG_FILE set: validated the PREVIOUS commit;" \
+         "re-run check_commit_wall.py HEAD after the snapshot commit)"
+fi
 
 echo "GATE GREEN — safe to commit"
