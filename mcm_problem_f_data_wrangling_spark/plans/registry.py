@@ -32,7 +32,9 @@ _FRONT = [
     # --- Blocks: (a) the three r11 late-round gates that carry no
     # --- external hash signal yet (s40/s41/s42 — VERDICT r11 task
     # --- #2) plus s43, NEW this round (session-window checkpoint
-    # --- resume + late-drop stretch, closing the recovery matrix);
+    # --- resume + late-drop stretch, closing the recovery matrix)
+    # --- and s44, NEW: the same restart recipe under
+    # --- RocksDBStateStoreProvider with provider-proof metrics;
     # --- (b) implementation changed this round
     # --- (x_video_audio_fingerprint: the MP4 fixture build hoisted
     # --- out of the timed region into a version-keyed tempdir
@@ -49,6 +51,7 @@ _FRONT = [
     "s41_streaming_late_data_drop",
     "s42_streaming_python_source",
     "s43_streaming_session_resume",
+    "s44_streaming_rocksdb_state",
     # --- (b) implementation changed this round ---
     "x_video_audio_fingerprint",  # fixture build hoisted out of timed region
     # --- (c) last driver hash in round 6 (all 24) ---
@@ -76,7 +79,7 @@ _FRONT = [
     "x_sim_search_ivf",
     "x_sketch_accuracy_gate",
     "x_text_quality",
-    # --- (d) last driver hash in round 7 (first 20 of 45) ---
+    # --- (d) last driver hash in round 7 (first 19 of 45) ---
     "a03_value_counts",
     "a04_dedupe_collapse",
     "a05_minmax_summary",
@@ -96,8 +99,8 @@ _FRONT = [
     "p09_naics_mask",
     "p10_ci_contains_search",
     "p11_distinct_pairs",
-    "p12_null_fill_join",
     # --- overflow: the r7-stale remainder, gate in r13 ---
+    "p12_null_fill_join",
     "p14_json_props_extract",
     "q02_min_cost_supplier",
     "s30_streaming_running_totals",

@@ -5505,6 +5505,232 @@ def s43_streaming_session_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "s44_streaming_rocksdb_state",
+    "LIVE Structured Streaming execution #16 — the DISK-BACKED STATE "
+    "BACKEND the 100 TB deployment actually runs: the same hour x "
+    "event_type rollup + checkpoint-restart recipe, executed under "
+    "RocksDBStateStoreProvider (state spills to local disk instead "
+    "of living on the executor heap — the production choice once "
+    "keyed state outgrows memory; the default HDFSBackedStateStore "
+    "keeps every version heap-resident).  One micro-batch over the "
+    "first-half event-time replay of a 1/8 events shard (residue 6), "
+    "STOP, then a new query resumes from the same checkpoint — "
+    "RocksDB's snapshot+changelog recovery machinery, not the "
+    "in-memory map, must reconstruct the window state.  A planted "
+    "pair (event_type='planted', both inside the SAME hour window "
+    "derived from the shard's integer-micros midpoint, one event "
+    "each side of the mid-hour restart split) merges to one n=2 row "
+    "only through recovered state — asserted row-exact before the "
+    "hash.  Provider execution is PROVEN, not configured: both "
+    "phases' progress must report rocksdb custom metrics "
+    "(rocksdbCommit*/rocksdbGet*), so a silent fallback to the "
+    "default provider fails the gate.  Phase-2 epochs strictly "
+    "extend phase-1's; a 3-sentinel mFPT=2 ladder keeps final "
+    "eviction in a REAL batch and leaves at most the lone sentinel "
+    "window in state (asserted).  Oracle = the batch rollup over the "
+    "shard UNION ALL the two planted input rows, hour buckets as "
+    "pure integer floor-to-hour arithmetic.",
+    """
+WITH shard AS (
+  SELECT epoch_us(ts) AS us, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id % 8 = 6
+), b AS (
+  SELECT MIN(us) AS mn, MAX(us) AS mx FROM shard
+), h AS (
+  SELECT (mn + (mx - mn) // 2) // 3600000000 * 3600000000 AS h_us FROM b
+), ev AS (
+  SELECT us, event_type, cents FROM shard
+  UNION ALL SELECT h_us + 900000000, 'planted', 125 FROM h
+  UNION ALL SELECT h_us + 2700000000, 'planted', 125 FROM h
+)
+SELECT CAST(us // 3600000000 * 3600 AS BIGINT) AS hour_epoch, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+FROM ev GROUP BY 1, 2
+""",
+    tags=("M2", "streaming", "stateful"),
+)
+def s44_streaming_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.dedup import foreach_batch_idempotent_parquet
+    from ..streaming.replay import (
+        restamp_replay_sequence,
+        write_ordered_replay,
+    )
+
+    base = (
+        table(spark, sf_dir, "events")
+        # 1/8 shard, residue 6: the backend swap is volume-independent;
+        # the 4 ladder batches (x state-partition commits) dominate
+        .where(F.col("user_id") % 8 == 6)
+        .select(
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).alias("cents"),
+        )
+    )
+    bounds = base.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mn_us, mx_us = int(bounds[0]), int(bounds[1])
+    # the hour containing the midpoint, in the SAME integer-micros
+    # arithmetic the oracle's CTE runs; the restart split sits at the
+    # mid-hour mark so the planted pair (h+900 s, h+2700 s) is always
+    # one event per phase INSIDE one window — no boundary case
+    h_us = (mn_us + (mx_us - mn_us) // 2) // 3_600_000_000 * 3_600_000_000
+    split_us = h_us + 1_800_000_000
+    plant = spark.createDataFrame(
+        [
+            ("planted", h_us + 900_000_000, 125),
+            ("planted", h_us + 2_700_000_000, 125),
+        ],
+        "event_type string, us long, cents long",
+    ).select("event_type", F.timestamp_micros("us").alias("ts"), "cents")
+    phase_a = base.where(F.unix_micros("ts") < split_us).unionByName(
+        plant.where(F.unix_micros("ts") < split_us)
+    )
+    phase_b = base.where(F.unix_micros("ts") >= split_us).unionByName(
+        plant.where(F.unix_micros("ts") >= split_us)
+    )
+    s_us = mx_us + 3600_000_000 + 7_200_000_000
+    sentinel = spark.createDataFrame(
+        [("sentinel", s_us, 0)], "event_type string, us long, cents long"
+    ).select("event_type", F.timestamp_micros("us").alias("ts"), "cents")
+    work = tempfile.mkdtemp(prefix="s44_rocksdb_")
+    src, sink, ckpt = f"{work}/src", f"{work}/sink", f"{work}/ckpt"
+    os.makedirs(src)
+    conf_keys = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        # state partition count is frozen at the FIRST checkpoint and
+        # equals one RocksDB instance per partition per operator — the
+        # real sizing decision this gate documents: pick it for target
+        # state volume, not the session's shuffle default
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prior = {k: spark.conf.get(k, None) for k in conf_keys}
+    try:
+        for k, v in conf_keys.items():
+            spark.conf.set(k, v)
+        files_a = write_ordered_replay(phase_a, "ts", f"{work}/a", n_files=2)
+        files_b = write_ordered_replay(
+            phase_b, "ts", f"{work}/b", n_files=2,
+            sentinel_df=sentinel, n_sentinels=3,
+        )
+        # mFPT=2 phase-2 ladder: [b1,b2] -> [s1,s2] (committed
+        # watermark jumps far-future) -> [s3] (every real window
+        # finalizes in a REAL batch; the sentinel window stays open)
+        ordered = restamp_replay_sequence(files_a + files_b)
+        schema = spark.read.parquet(f"{work}/a").schema
+
+        def drain(visible: list):
+            for f in visible:
+                dst = os.path.join(src, os.path.basename(f))
+                if not os.path.exists(dst):
+                    shutil.copy2(f, dst)
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "2")
+                .parquet(src)
+            )
+            agg = (
+                stream.withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 hour"), "event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("cents").alias("cents"),
+                )
+                .select(
+                    F.col("window.start").cast("long").alias("hour_epoch"),
+                    "event_type",
+                    "n",
+                    "cents",
+                )
+            )
+            q = (
+                foreach_batch_idempotent_parquet(agg, sink, ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise TimeoutError(
+                        "s44 streaming query did not drain within 300 s"
+                    )
+            finally:
+                q.stop()
+            rocks = 0
+            for p in q.recentProgress:
+                d = _json.loads(p.json) if hasattr(p, "json") else p
+                for op in d.get("stateOperators") or []:
+                    rocks += sum(
+                        1
+                        for k in (op.get("customMetrics") or {})
+                        if k.lower().startswith("rocksdb")
+                    )
+            if rocks < 1:
+                raise AssertionError(
+                    "s44 must EXECUTE on RocksDBStateStoreProvider: no "
+                    "rocksdb custom metrics in the streaming progress — "
+                    "the engine silently fell back to the default store"
+                )
+            epochs = {
+                int(d.split("=", 1)[1])
+                for d in os.listdir(sink)
+                if d.startswith("epoch=")
+            }
+            return epochs, q
+
+        first, _ = drain(ordered[:2])
+        second, q2 = drain(ordered)
+        if not first or min(second - first or {-1}) <= max(first):
+            raise AssertionError(
+                f"s44 restart must EXTEND phase-1 batches, got "
+                f"phase1={sorted(first)} phase2={sorted(second)}"
+            )
+        state_rows = _final_state_rows(q2)
+        if state_rows is None or state_rows > 1:
+            raise AssertionError(
+                f"s44 final window state must be the lone sentinel "
+                f"window (<= 1), got {state_rows}"
+            )
+        allrows = (
+            spark.read.option("basePath", sink)
+            .parquet(f"{sink}/epoch=*")
+            .select("hour_epoch", "event_type", "n", "cents")
+            .localCheckpoint(eager=True)
+        )
+        # recovery evidence beyond the hash: the planted pair straddles
+        # the restart inside ONE window — a fresh phase-2 RocksDB store
+        # would lose the phase-1 event and emit n=1
+        planted = [
+            (r["hour_epoch"], r["n"], r["cents"])
+            for r in allrows.where(
+                F.col("event_type") == "planted"
+            ).collect()
+        ]
+        if planted != [(h_us // 1_000_000, 2, 250)]:
+            raise AssertionError(
+                f"s44 planted window must merge across the restart "
+                f"through recovered RocksDB state: expected "
+                f"[({h_us // 1_000_000}, 2, 250)], got {planted}"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return allrows
+
+
+@_q(
     "s30_streaming_running_totals",
     "LIVE Structured Streaming execution under the driver hash gate "
     "(streaming/running.py running_totals_stream, GroupState engine): "
