@@ -521,11 +521,17 @@ def triangle_counts(
     )
     # corners of each triangle found on its lowest-ordered edge:
     # apex a and mid b each appear once per common neighbor, plus the
-    # common neighbors themselves — one explode, no wedge rows
+    # common neighbors themselves — one explode, no wedge rows.
+    # NO size(cs) > 0 pre-filter (r12, plan-verified): exploding an
+    # empty concat already emits zero rows, but the filter was pushed
+    # into the adjacency join's condition as
+    # size(array_intersect(nba, nbb)) > 0, so every oriented edge paid
+    # the O(|N+(a)|+|N+(b)|) intersection TWICE — once in the join
+    # condition and again in this projection.  Dropping the redundant
+    # guard halves the per-edge intersection work; rows identical.
     n_tri = F.size("cs")
     corners = (
         e_ab.select("a", "b", F.array_intersect("nba", "nbb").alias("cs"))
-        .where(F.size("cs") > 0)
         .select(
             F.explode(
                 F.concat(

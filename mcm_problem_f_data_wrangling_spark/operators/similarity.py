@@ -467,7 +467,9 @@ def _apply_cell_cap(
     return q2, c2, ["__qcell", "__salt"]
 
 
-def _knn_topk(cand: DataFrame, k: int, id_col: str) -> DataFrame:
+def _knn_topk(
+    cand: DataFrame, k: int, id_col: str, drop_null_cos: bool = True
+) -> DataFrame:
     """Shared kNN-join ranking/output contract: per-query row_number
     over (cos desc, neighbor id asc), rounded presentation — both
     engines emit through this, so the tie-break and rounding rules
@@ -478,13 +480,24 @@ def _knn_topk(cand: DataFrame, k: int, id_col: str) -> DataFrame:
     the BLAS engine masks zero-norm vectors out of its matmul, so
     without this filter a zero-norm QUERY would emit k NULL-cosine
     rows from the SQL engine and nothing from the BLAS engine — the
-    filter makes both engines agree by construction."""
+    filter makes both engines agree by construction.
+
+    ``drop_null_cos=False`` is for callers that already guarantee
+    non-null cosines upstream (the SQL engine pre-filters zero-norm
+    units and dimension mismatches BEFORE its pair join).  The filter
+    is not free there: Catalyst pushes ``isnotnull(cos_raw)`` into the
+    pair join's condition, where ``cos_raw`` is the full O(dim) dot
+    product — so every surviving pair paid the dot product TWICE
+    (once in the join condition, once in the projection; r12 plan
+    audit).  Skipping the redundant filter halves the dominant
+    per-pair cost without changing a single output row."""
     from pyspark.sql import Window
 
+    if drop_null_cos:
+        cand = cand.filter(F.col("cos_raw").isNotNull())
     w = Window.partitionBy("__qid").orderBy(F.desc("cos_raw"), "__nid")
     return (
-        cand.filter(F.col("cos_raw").isNotNull())
-        .withColumn("__rk", F.row_number().over(w))
+        cand.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .select(
             F.col("__qid").alias(id_col),
@@ -530,9 +543,21 @@ def ivf_knn_join(
     serializing the stage.  ``None`` (default) keeps the plain
     cell-keyed join — the fully deterministic oracle configuration.
     """
+    from ..operators.skew import spread
+
     q, c = _knn_candidate_frames(
         queries, corpus, vec_col, id_col, cell_col, n_probe, centroids
     )
+    # The pair join's probe side inherits the query scan's width — on a
+    # single-row-group input (the bench testdata) that is ONE task doing
+    # the entire |cells|·avg_cell² pair scoring on one core.  spread()
+    # round-robins it over the core budget first (identity at
+    # production scan widths, guide §2.5-shaped remedy).  The corpus
+    # side is not spread: it either broadcasts (build cost is O(rows))
+    # or shuffles by cell anyway.  Full width, not the 0.5 default:
+    # work per probe row is |cell| dot products, so per-task work stays
+    # large at any sane width (see spread's docstring).
+    q = spread(q, width=1.0)
     join_keys = ["__qcell"]
     if cell_cap is not None:
         q, c, join_keys = _apply_cell_cap(q, c, cell_cap)
@@ -554,16 +579,29 @@ def ivf_knn_join(
 
     q = _unit(q, "__qvec", "__qunit")
     c = _unit(c, "__nvec", "__nunit")
+    # NULL-cosine sources are eliminated BEFORE the join (zero-norm /
+    # null-element vectors → NULL unit arrays; dimension mismatches →
+    # size inequality), so the pair projection's cos_raw is non-null by
+    # construction and _knn_topk can skip its NULL filter — which
+    # Catalyst would otherwise push into the join condition as
+    # isnotnull(<full dot product>), charging every pair the O(dim)
+    # dot TWICE (r12 plan audit: the join condition carried the whole
+    # aggregate(zip_with(...)) expression).  All three predicates are
+    # O(1)-cheap and semantically exactly the rows the old NULL filter
+    # dropped, so the output is row-identical.
+    q = q.filter(F.col("__qunit").isNotNull())
+    c = c.filter(F.col("__nunit").isNotNull())
     pairs = (
         q.join(c, join_keys)
         .filter(F.col("__qid") != F.col("__nid"))
+        .filter(F.size("__qunit") == F.size("__nunit"))
         .select(
             "__qid",
             "__nid",
             dot(F.col("__qunit"), F.col("__nunit")).alias("cos_raw"),
         )
     )
-    return _knn_topk(pairs, k, id_col)
+    return _knn_topk(pairs, k, id_col, drop_null_cos=False)
 
 
 def ivf_knn_join_blas(

@@ -110,7 +110,7 @@ def key_skew_profile(df: DataFrame, key_cols: list[str], top_k: int = 5) -> Data
     )
 
 
-def spread(df: DataFrame, min_rows: int = 0) -> DataFrame:
+def spread(df: DataFrame, min_rows: int = 0, width: float = 0.5) -> DataFrame:
     """Small-scan parallelization guard for CPU-heavy row-local stages.
 
     A single-row-group parquet file (the driver testdata's layout)
@@ -128,12 +128,21 @@ def spread(df: DataFrame, min_rows: int = 0) -> DataFrame:
     Only wired into operators whose dominant cost is the per-row
     transform; for cheap maps the exchange costs more than it saves —
     measured before each use.
+
+    ``width`` scales the target against the core budget.  The 0.5
+    default keeps per-task row counts high enough that task-launch
+    overhead doesn't eat the win on row-LINEAR maps (16 parts beat 32
+    and 64 on the 5 000-doc sf0.1 corpus).  Stages whose work per input
+    row is superlinear — the kNN pair join does |cell| dot products per
+    row — stay compute-bound at full width, so they pass ``width=1.0``
+    (r12 measured: pair stage 1.23 s at 16 parts vs 0.96 s at 32 on
+    local[32]; both still identities at production scan widths).
     """
     if df.isStreaming:
         # partition introspection (df.rdd) is undefined for streaming
         # plans; micro-batch parallelism is the source's concern
         return df
-    target = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
+    target = max(2, int(df.sparkSession.sparkContext.defaultParallelism * width))
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

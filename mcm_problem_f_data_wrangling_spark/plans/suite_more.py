@@ -390,6 +390,10 @@ FROM s
     tags=("llm", "text"),
 )
 def x_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO spread(), measured (r12 order-alternated A/B at sf0.1):
+    # 0.544 s bare vs 0.697 s spread — the tokenize+slice map is cheap
+    # enough that the round-robin exchange costs more than the
+    # parallelism buys on this zero-exchange plan
     docs = table(spark, sf_dir, "documents")
     return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
 
