@@ -41,3 +41,42 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL when either norm is zero."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot(a, b) / denom)
+
+
+def _double_sql(v: float) -> str:
+    # repr() is the shortest string that round-trips the IEEE double in
+    # Python; JVM parsing is correctly rounded, so the reconstructed
+    # double is bit-identical (incl. nan/inf/-0.0, verified in tests)
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def lit_doubles(vals: "list[float]") -> Column:
+    """``array<double>`` literal shipped to the JVM in ONE py4j call.
+
+    pyspark's ``F.lit(list)`` issues one py4j ROUND TRIP per element
+    (builtin.py builds the array as a lit() listcomp), so a PQ
+    codebook / IVF centroid / query-vector literal of a few thousand
+    doubles costs SECONDS of driver wall before the query even plans —
+    r12 cProfile of the IVF-PQ build: 9 151 lit() calls, ~26 s in py4j
+    ``send_command`` out of a 29.8 s plan build.  Parsing one
+    ``array(CAST('…' AS DOUBLE), …)`` expression string instead is one
+    round trip, and ConstantFolding collapses the foldable casts into
+    a single array literal at optimization time — same plan, same
+    bits, measured 7.7 s → 0.014 s for a 4 096-double literal.
+    """
+    vs = [float(v) for v in vals]
+    if not vs:
+        return F.expr("CAST(array() AS array<double>)")
+    return F.expr("array(" + ",".join(_double_sql(v) for v in vs) + ")")
+
+
+def lit_double_matrix(rows: "list[list[float]]") -> Column:
+    """``array<array<double>>`` literal in ONE py4j call (see
+    :func:`lit_doubles`)."""
+    rs = [[float(v) for v in r] for r in rows]
+    if not rs:
+        return F.expr("CAST(array() AS array<array<double>>)")
+    inner = ",".join(
+        "array(" + ",".join(_double_sql(v) for v in r) + ")" for r in rs
+    )
+    return F.expr(f"array({inner})")

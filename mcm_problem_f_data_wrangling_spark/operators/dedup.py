@@ -348,7 +348,13 @@ def srp_band_keys(
     """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     n_tables = len(hyperplanes) // n_bits
-    h_lit = F.array(*[F.array(*[F.lit(x) for x in h]) for h in hyperplanes])
+    # one py4j round trip for the whole hyperplane matrix (r12; see
+    # functions.vectors.lit_doubles — per-element F.lit round trips
+    # dominate plan-build time for big literals); same doubles, same
+    # decimal accumulation below
+    from ..functions.vectors import lit_double_matrix
+
+    h_lit = lit_double_matrix(hyperplanes)
     zero = F.lit(0).cast("decimal(38,14)")
     bits = F.transform(
         h_lit,

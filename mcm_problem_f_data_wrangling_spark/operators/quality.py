@@ -208,6 +208,15 @@ def boilerplate_removal(
     df = spread(df)
     toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     segged = toks.select(id_col, doc_segments(F.col("__toks"), seg_tokens).alias("__segs"))
+    # Materialize the segmented corpus ONCE (r12): it has two full
+    # consumers — the df-count aggregate AND the removal pass — plus
+    # the explode's Generate otherwise re-derives tokenize+segment
+    # in-line (measured: explode over the lazy projection 2.4 s vs
+    # 0.12 s over the materialized one at sf0.1; whole operator
+    # ~7 s -> ~2 s).  Same in-query-lifetime discipline as the
+    # dup-ngram gram table; on a cluster persist to DFS instead of
+    # executor-local storage.
+    segged = segged.localCheckpoint(eager=True)
     seg_df = (
         segged.select(F.col(id_col), F.explode("__segs").alias("seg"))
         .groupBy("seg")
@@ -279,18 +288,43 @@ def boilerplate_removal(
             f"boilerplate set exceeds max_boiler_set={max_boiler_set}; "
             "raise the cap or use strategy='anti_join'"
         )
-    # ONE array literal (a single py4j object), not F.array of |boiler|
-    # F.lit columns — the latter builds a Catalyst node per element
-    boiler_lit = F.lit(boiler) if boiler else F.array().cast("array<string>")
+    # The boilerplate set crosses to the JVM as ONE newline-joined
+    # string + a constant-folded split, NOT as F.lit(list): pyspark's
+    # lit() on a list issues one py4j round trip PER ELEMENT (cProfile:
+    # 6 563 calls, 5-13 s of driver wall at |boiler|=6554 — it was the
+    # dominant cost of the whole operator), while the joined-string
+    # literal is one round trip and ConstantFolding collapses the split
+    # to the same array literal at optimization time (r12: build 13.1 s
+    # -> 0.014 s, exec and rows identical).  Newline is collision-free
+    # here by construction — segments are whitespace-split tokens
+    # re-joined with single spaces — and the guard below keeps the
+    # general-input path correct if that ever changes.  (isin(*boiler)
+    # was also A/B'd: its InSet hash halves the per-segment scan but
+    # pays the same per-element py4j build — net loss.)
+    if boiler and not any("\n" in s for s in boiler):
+        boiler_lit = F.split(F.lit("\n".join(boiler)), "\n", -1)
+    elif boiler:
+        boiler_lit = F.lit(boiler)  # pathological separator collision
+    else:
+        boiler_lit = F.array().cast("array<string>")
     kept = F.filter(F.col("__segs"), lambda s: ~F.array_contains(boiler_lit, s))
-    return segged.select(
+    # Materialize the filtered array ONCE in its own projection: the
+    # output referenced ``kept`` four times (two sizes, the join, the
+    # fraction), and each reference re-ran the O(|segs|) membership
+    # filter — CollapseProject does not merge projections that would
+    # duplicate non-cheap expressions, so this stays a separate,
+    # single evaluation (r12: full operator 7.0 s -> see bench; the
+    # removal pass stopped dominating).
+    with_kept = segged.select(F.col(id_col), F.col("__segs"), kept.alias("__kept"))
+    return with_kept.select(
         F.col(id_col),
         F.size("__segs").cast("bigint").alias("n_segments"),
-        (F.size("__segs") - F.size(kept)).cast("bigint").alias("n_boiler"),
-        F.array_join(kept, " ").alias("cleaned_text"),
+        (F.size("__segs") - F.size("__kept")).cast("bigint").alias("n_boiler"),
+        F.array_join("__kept", " ").alias("cleaned_text"),
         F.round(
             F.try_divide(
-                (F.size("__segs") - F.size(kept)).cast("double"), F.size("__segs")
+                (F.size("__segs") - F.size("__kept")).cast("double"),
+                F.size("__segs"),
             ),
             9,
         ).alias("removed_frac"),

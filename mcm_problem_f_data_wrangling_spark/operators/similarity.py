@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, lit_double_matrix, lit_doubles
 
 # semantic_dedup's persisted cell assignment from the most recent call —
 # unpersisted by the next call so repeated sweeps cache at most one.
@@ -35,8 +35,8 @@ def brute_force_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector."""
-    # ONE array literal (single py4j/Catalyst node), not len(q) F.lit nodes
-    q = F.lit([float(v) for v in query_vec])
+    # one py4j round trip for the whole vector (see lit_doubles)
+    q = lit_doubles(query_vec)
     return (
         df.select(
             F.col(id_col),
@@ -78,8 +78,8 @@ def ivf_topk(
     prunes to the probed partitions (with the table partitioned by
     cell on disk, this is partition pruning, not a filter).
     """
-    # ONE array literal (single py4j/Catalyst node), not len(q) F.lit nodes
-    q = F.lit([float(v) for v in query_vec])
+    # one py4j round trip for the whole vector (see lit_doubles)
+    q = lit_doubles(query_vec)
     cents = centroids_by_cell(df, vec_col, cell_col)
     probed = (
         cents.select("cell", cosine_similarity(F.col("centroid"), q).alias("qcos"))
@@ -124,9 +124,9 @@ def _centroid_choices(vec_col: str, centroids: list[list[float]]) -> F.Column:
     """``array<struct<c: cosine, cell: int>>`` against every centroid —
     one ``transform`` over an array-of-arrays literal (single code
     path; see :func:`assign_cells` scale note)."""
-    # ONE nested array literal — k x dim F.lit nodes cost O(k*dim) py4j
-    # calls and bloat the Catalyst tree; a single literal is one node
-    cents = F.lit([[float(v) for v in c] for c in centroids])
+    # ONE py4j round trip for the whole codebook (see lit_doubles;
+    # F.lit on a nested list pays a py4j round trip per element)
+    cents = lit_double_matrix(centroids)
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
     return F.transform(
         idx,
@@ -870,7 +870,7 @@ def _pq_code_col(vec_col: str, codebooks: list[list[list[float]]]):
     subcodes = []
     for s in range(m):
         subvec = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        cents = F.lit([[float(v) for v in c] for c in codebooks[s]])
+        cents = lit_double_matrix(codebooks[s])
         choices = F.transform(
             F.sequence(F.lit(0), F.lit(k - 1)), argmin_fn(subvec, cents)
         )
@@ -965,7 +965,7 @@ def _adc_dist_col(
     ]
     parts = [
         F.element_at(
-            F.lit([float(d) for d in lut[s]]),
+            lit_doubles(lut[s]),
             F.element_at(code_col, s + 1) + 1,
         )
         for s in range(m)
@@ -1043,7 +1043,7 @@ def ivfpq_build(
     assigned, cents = train_ivf_cells(
         df, k=k_cells, iters=iters, vec_col=vec_col, id_col=id_col
     )
-    cent_arr = F.lit([[float(v) for v in c] for c in cents])
+    cent_arr = lit_double_matrix(cents)
     resid = assigned.withColumn(
         "_resid",
         F.zip_with(
@@ -1083,7 +1083,7 @@ def ivfpq_encode(
     recall, retrain on drift).
     """
     assigned = assign_cells(df, centroids, vec_col)
-    cent_arr = F.lit([[float(v) for v in c] for c in centroids])
+    cent_arr = lit_double_matrix(centroids)
     resid = assigned.withColumn(
         "_resid",
         F.zip_with(

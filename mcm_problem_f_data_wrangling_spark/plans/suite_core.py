@@ -1056,6 +1056,12 @@ def u01_union_long_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     j = li.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    # Examined r12, left as-is: branching both metrics off ONE shared
+    # aggregate does NOT dedupe the fact scan — column pruning splits
+    # the shared agg back into two branch-specific aggregates (each
+    # branch needs only its own metric column), so the plan keeps two
+    # (fully pruned) scans either way, and the A/B measured the
+    # single-agg form 0.74 -> 0.82 s (plan-verified in r12).
     rev = j.groupBy("p_brand").agg(dsum("l_extendedprice").alias("val")).select(
         F.lit("revenue").alias("metric"), "p_brand", "val"
     )

@@ -826,8 +826,6 @@ FROM (
     tags=("M2", "timeseries"),
 )
 def w27_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
     from pyspark.sql import Window
 
     m = monthly_lineitem(spark, sf_dir).select("flag", "month", "revenue")
@@ -837,14 +835,27 @@ def w27_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         *[F.lag("revenue", k).over(w).alias(f"l{k}") for k in range(1, 7)],
     )
-    parts = [
-        lagged.groupBy("flag").agg(
-            F.lit(k).cast("int").alias("lag_k"),
-            F.round(F.corr("revenue", f"l{k}"), 6).alias("acf"),
-        )
-        for k in range(1, 7)
-    ]
-    return reduce(DataFrame.unionByName, parts).select("flag", "lag_k", "acf")
+    # ONE aggregate computes all six ACFs, exploded to long form —
+    # the former per-lag groupBy + unionByName re-derived the monthly
+    # aggregate and its window sort SIX times (12 exchanges in the
+    # r12 plan audit; one scan+agg+window after).  Each corr sees the
+    # same inputs under the same aggregate, so values are identical;
+    # the oracle keeps its UNION ALL spelling.
+    acf_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("lag_k"),
+                F.round(F.corr("revenue", f"l{k}"), 6).alias("acf"),
+            )
+            for k in range(1, 7)
+        ]
+    )
+    return (
+        lagged.groupBy("flag")
+        .agg(acf_structs.alias("__a"))
+        .select("flag", F.explode("__a").alias("__x"))
+        .select("flag", F.col("__x.lag_k").alias("lag_k"), F.col("__x.acf").alias("acf"))
+    )
 
 
 @_q(
@@ -2009,8 +2020,6 @@ QUALIFY row_number() OVER (PARTITION BY flag ORDER BY acf DESC, lag_k) = 1
     tags=("M2", "timeseries"),
 )
 def w33_detected_period(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
     from pyspark.sql import Window
 
     m = monthly_lineitem(spark, sf_dir)
@@ -2020,15 +2029,25 @@ def w33_detected_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         *[F.lag("revenue", k).over(w).alias(f"l{k}") for k in range(2, 14)],
     )
-    acfs = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            lagged.groupBy("flag").agg(
+    # ONE aggregate for all 12 ACFs, exploded to long form — the
+    # former per-lag groupBy + unionByName re-derived the monthly
+    # aggregate and its window sort TWELVE times (24 exchanges in the
+    # r12 plan audit; one scan+agg+window after).  Identical corr
+    # values; the oracle keeps its UNION ALL spelling.
+    acf_structs = F.array(
+        *[
+            F.struct(
                 F.lit(k).alias("lag_k"),
                 F.round(F.corr("revenue", f"l{k}"), 6).alias("acf"),
             )
             for k in range(2, 14)
-        ],
+        ]
+    )
+    acfs = (
+        lagged.groupBy("flag")
+        .agg(acf_structs.alias("__a"))
+        .select("flag", F.explode("__a").alias("__x"))
+        .select("flag", F.col("__x.lag_k").alias("lag_k"), F.col("__x.acf").alias("acf"))
     )
     rw = Window.partitionBy("flag").orderBy(F.desc("acf"), "lag_k")
     return (
