@@ -39,7 +39,12 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
-    words = tokens(F.col(text_col))
+    # Project the token array ONCE (r12): ``words`` is captured inside
+    # the per-start transform lambda, and a free subtree inside a HOF
+    # lambda re-evaluates PER ELEMENT — tokenize ran once per chunk
+    # instead of once per document (measured 0.65 s -> 0.44 s at
+    # sf0.1, rows identical; the same capture bug cost x_bigram_lm 9×).
+    words = F.col("__w")
     n = F.size(words)
     starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
     chunks: Column = F.transform(
@@ -50,7 +55,8 @@ def chunk_documents(
         ),
     )
     return (
-        df.filter(n > 0)
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
+        .filter(n > 0)
         .select(F.col(id_col), n.alias("__n"), F.posexplode(chunks).alias("chunk_id", "__c"))
         .select(
             id_col,

@@ -252,6 +252,39 @@ def simhash16(text_col: str = "text") -> Column:
     return acc.cast("long")
 
 
+def simhash16_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "simhash",
+) -> DataFrame:
+    """(id, simhash) frame — :func:`simhash16` with the token-hash
+    array projected ONCE.
+
+    The single-Column form references the md5 token-hash array in all
+    16 bit-count filters, and the tokenize+md5 transform re-evaluates
+    per reference (cross-expression CSE does not rescue interpreted
+    higher-order functions).  Projecting ``__th`` into its own column
+    first pins one evaluation — CollapseProject keeps non-cheap
+    multiply-referenced projections separate — measured 0.39 s ->
+    0.18 s on the sf0.1 corpus (r12), values identical.
+    """
+    toks = tokens(text_col)
+    th = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+    )
+    base = df.select(F.col(id_col), F.size(toks).alias("__n"), th.alias("__th"))
+
+    def bit_set(bit: int):
+        return lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1
+
+    acc = F.lit(0)
+    for b in range(16):
+        cnt = F.size(F.filter(F.col("__th"), bit_set(b)))
+        acc = acc + F.when(cnt * 2 > F.col("__n"), F.lit(1 << b)).otherwise(F.lit(0))
+    return base.select(F.col(id_col), acc.cast("long").alias(out_col))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -610,7 +643,10 @@ def chunk_dedup(
     """
     from pyspark.sql import Window
 
-    words = tokens(F.col(text_col))
+    # token array projected ONCE (r12): a free subtree captured inside
+    # a HOF lambda re-evaluates PER ELEMENT, so the inline form ran
+    # tokenize once per chunk (see chunk_documents; same fix)
+    words = F.col("__w")
     n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -618,8 +654,10 @@ def chunk_dedup(
             F.slice(words, i * chunk_words + 1, chunk_words), " "
         ),
     )
-    exploded = df.filter(F.size(words) > 0).select(
-        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    exploded = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
+        .filter(F.size(words) > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("pos", "chunk"))
     )
     w = Window.partitionBy("chunk")
     first = F.min(F.struct(id_col, "pos")).over(w)

@@ -39,7 +39,6 @@ from ..operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
-    simhash16,
     srp_hyperplanes,
 )
 from ..operators.diagnostics import run_diagnostics
@@ -256,8 +255,12 @@ FROM h
     tags=("M4", "dedup"),
 )
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash16_frame
+
     docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash16("text").alias("simhash"))
+    # frame form: token-hash array projected once, not re-derived by
+    # each of the 16 bit-count filters (r12; see simhash16_frame)
+    return simhash16_frame(docs)
 
 
 @_q(

@@ -429,17 +429,23 @@ QUALIFY n_bigram >= 3
 def x_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    toks = tokens(F.col("text"))
+    # Project the token array ONCE before the pair generator (r12):
+    # with tokens(text) inlined, every element_at/size reference in the
+    # transform lambda re-ran the split+filter tokenizer — measured
+    # 7.0 s -> 0.8 s at sf0.1, rows identical.  CollapseProject keeps
+    # the multiply-referenced non-cheap projection separate.
+    t = F.col("__toks")
     pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
+        F.sequence(F.lit(1), F.size(t) - 1),
         lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
+            F.element_at(t, i).alias("w1"),
+            F.element_at(t, i + 1).alias("w2"),
         ),
     )
     bg = (
         table(spark, sf_dir, "documents")
-        .filter(F.size(toks) >= 2)
+        .select(tokens(F.col("text")).alias("__toks"))
+        .filter(F.size(t) >= 2)
         .select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
     )

@@ -1578,10 +1578,11 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
     tags=("llm", "dedup"),
 )
 def x_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import hamming_neardup_pairs, simhash16
+    from ..operators.dedup import hamming_neardup_pairs, simhash16_frame
 
     docs = table(spark, sf_dir, "documents")
-    sh = spread(docs.select("doc_id", simhash16("text").alias("simhash")))
+    # frame form: token-hash array projected once (r12; simhash16_frame)
+    sh = spread(simhash16_frame(docs))
     return hamming_neardup_pairs(sh, "simhash", "doc_id", bits=16, max_hamming=1)
 
 
