@@ -80,3 +80,21 @@ def lit_double_matrix(rows: "list[list[float]]") -> Column:
         "array(" + ",".join(_double_sql(v) for v in r) + ")" for r in rs
     )
     return F.expr(f"array({inner})")
+
+
+def bind1(value: Column, body) -> Column:
+    """Let-binding: evaluate ``value`` ONCE per row and pass the bound
+    lambda variable to ``body``.
+
+    A free subtree captured inside a higher-order-function lambda is
+    re-evaluated on EVERY element invocation (r12: an inline tokenizer
+    captured in a per-index ``transform`` cost x_bigram_lm 9×; a
+    captured ``l2_norm`` cost assign_cells one norm per centroid per
+    row).  Wrapping the value in a one-element array and reading it
+    back via ``transform`` binds it to a lambda VARIABLE — an O(1)
+    read per reference.  Worth it only when ``body`` references the
+    value per element; for once-per-row references the extra array
+    wrapper is pure overhead (measured neutral on the shingle
+    functions).
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)

@@ -120,21 +120,55 @@ def assign_cells(
     )
 
 
+def _fold_norm(vals: "list[float]") -> float:
+    """Driver-side replica of :func:`..functions.vectors.l2_norm`'s
+    left fold — same op order, same IEEE doubles, so the result is
+    BIT-identical to the JVM evaluation (pinned in tests)."""
+    import math
+
+    acc = 0.0
+    for v in vals:
+        acc = acc + float(v) * float(v)
+    return math.sqrt(acc)
+
+
 def _centroid_choices(vec_col: str, centroids: list[list[float]]) -> F.Column:
     """``array<struct<c: cosine, cell: int>>`` against every centroid —
     one ``transform`` over an array-of-arrays literal (single code
-    path; see :func:`assign_cells` scale note)."""
+    path; see :func:`assign_cells` scale note).
+
+    Per-element cost discipline (r12): the naive
+    ``cosine_similarity(vec, element_at(cents, i+1))`` inside the
+    lambda re-evaluated the VECTOR's norm once per centroid (a free
+    subtree in a HOF lambda re-evaluates per element) and each
+    centroid's norm once per row.  Here the row norm is let-bound
+    (``bind1``: one evaluation, O(1) reads) and the centroid norms are
+    driver-side literals (``_fold_norm`` replicates the JVM fold
+    bit-exactly), so per row the arithmetic is k dots + ONE norm
+    instead of k dots + 2k norms.  Cosines verified bit-identical
+    including the zero-norm-centroid NULL case."""
+    from ..functions.vectors import bind1, dot, l2_norm
+
     # ONE py4j round trip for the whole codebook (see lit_doubles;
     # F.lit on a nested list pays a py4j round trip per element)
     cents = lit_double_matrix(centroids)
+    ncs = lit_doubles([_fold_norm(c) for c in centroids])
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
-    return F.transform(
-        idx,
-        lambda i: F.struct(
-            cosine_similarity(F.col(vec_col), F.element_at(cents, i + 1)).alias("c"),
-            i.alias("cell"),
-        ),
-    )
+
+    def body(nv):
+        def one(i):
+            denom = nv * F.element_at(ncs, i + 1)
+            return F.struct(
+                F.when(
+                    denom > 0,
+                    dot(F.col(vec_col), F.element_at(cents, i + 1)) / denom,
+                ).alias("c"),
+                i.alias("cell"),
+            )
+
+        return F.transform(idx, one)
+
+    return bind1(l2_norm(F.col(vec_col)), body)
 
 
 def _collect_train_sample(
@@ -859,6 +893,8 @@ def _pq_code_col(vec_col: str, codebooks: list[list[list[float]]]):
     k = len(codebooks[0])
     dsub = len(codebooks[0][0])
 
+    from ..functions.vectors import bind1
+
     def argmin_fn(subvec, cents):
         # closure factory: a default-arg lambda would change the
         # visible arity and break PySpark's lambda-variable binding
@@ -867,12 +903,19 @@ def _pq_code_col(vec_col: str, codebooks: list[list[list[float]]]):
             j.alias("code"),
         )
 
+    def body_fn(seq_, cents_):
+        # closure factory again — bind1's body must stay unary
+        return lambda sv: F.transform(seq_, argmin_fn(sv, cents_))
+
     subcodes = []
     for s in range(m):
-        subvec = F.slice(F.col(vec_col), s * dsub + 1, dsub)
         cents = lit_double_matrix(codebooks[s])
-        choices = F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)), argmin_fn(subvec, cents)
+        seq = F.sequence(F.lit(0), F.lit(k - 1))
+        # let-bind the sub-vector slice (r12): captured inside the
+        # per-centroid lambda it re-sliced the vector k times per row
+        # per subspace; bound as a lambda variable it slices once
+        choices = bind1(
+            F.slice(F.col(vec_col), s * dsub + 1, dsub), body_fn(seq, cents)
         )
         subcodes.append(F.array_min(choices)["code"])
     return F.array(*subcodes)

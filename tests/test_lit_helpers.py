@@ -76,3 +76,59 @@ def test_nan_inf_round_trip(spark):
     got = spark.range(1).select(lit_doubles(SPECIALS).alias("a")).first()["a"]
     assert math.isnan(got[4]) and got[5] == math.inf and got[6] == -math.inf
     assert math.copysign(1.0, got[1]) == -1.0  # -0.0 preserved
+
+
+def test_fold_norm_bit_identical_to_jvm(spark):
+    # _centroid_choices ships centroid norms as driver-computed
+    # literals; they must match the JVM l2_norm fold bit-for-bit or
+    # near-tie argmax cell assignments could flip
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mcm_problem_f_data_wrangling_spark.functions.vectors import l2_norm
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import _fold_norm
+
+    rng = random.Random(5)
+    vecs = [[rng.gauss(0, 1) for _ in range(17)] for _ in range(64)]
+    vecs.append([0.0] * 17)
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+    jvm = [r["n"] for r in df.select(l2_norm("v").alias("n")).collect()]
+    assert [_bits(x) for x in jvm] == [_bits(_fold_norm(v)) for v in vecs]
+
+
+def test_centroid_choices_argmax_stable(spark):
+    # assign_cells (the r12 let-bound + literal-norm form) must pick
+    # the same cell and cosine as a naive per-centroid cosine
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mcm_problem_f_data_wrangling_spark.functions.vectors import (
+        cosine_similarity,
+        lit_doubles,
+    )
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import (
+        _centroid_choices,
+    )
+
+    rng = random.Random(9)
+    cents = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(5)] + [[0.0] * 8]
+    vecs = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(50)] + [[0.0] * 8]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, v array<double>"
+    )
+    got = df.select(
+        "id", F.array_max(_centroid_choices("v", cents)).alias("m")
+    ).collect()
+    naive_cols = [
+        F.struct(
+            cosine_similarity(F.col("v"), lit_doubles(c)).alias("c"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    ref = df.select("id", F.array_max(F.array(*naive_cols)).alias("m")).collect()
+    assert {r["id"]: (r["m"]["cell"], r["m"]["c"]) for r in got} == {
+        r["id"]: (r["m"]["cell"], r["m"]["c"]) for r in ref
+    }
