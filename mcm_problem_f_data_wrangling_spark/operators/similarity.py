@@ -345,7 +345,7 @@ def _semantic_dedup_sql(
     ``ceil(size/cap)`` tasks.  The survivor rule is order-free, so the
     output is row-identical with the cap on or off (pinned in tests).
     """
-    from ..functions.vectors import dot, l2_norm
+    from ..functions.vectors import dot_unrolled, l2_norm
 
     global _LAST_ASSIGNED
     if _LAST_ASSIGNED is not None:
@@ -409,9 +409,15 @@ def _semantic_dedup_sql(
         cond = (
             F.col("a.cell") == F.col("b.cell")
         ) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    # the O(cell²) per-pair dot, unrolled into whole-stage codegen
+    # (r13): the centroid dimension is the expected vector dimension;
+    # rows of any other size take the bit-identical HOF fallback
     dropped = (
         a.join(b, cond)
-        .filter(dot(F.col("a.__unit"), F.col("b.__unit")) > threshold)
+        .filter(
+            dot_unrolled("a.__unit", "b.__unit", len(centroids[0]))
+            > threshold
+        )
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )
@@ -551,6 +557,7 @@ def ivf_knn_join(
     n_probe: int = 1,
     centroids: list[list[float]] | None = None,
     cell_cap: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """kNN JOIN: top-k cosine neighbors for EVERY query vector.
 
@@ -576,6 +583,14 @@ def ivf_knn_join(
     giant cell spreads over ``ceil(size/cap)`` tasks instead of
     serializing the stage.  ``None`` (default) keeps the plain
     cell-keyed join — the fully deterministic oracle configuration.
+
+    ``dim`` is a pure PERFORMANCE hint (defaults to the centroid
+    dimension when ``centroids`` is given): with it the per-pair dot
+    product is :func:`..functions.vectors.dot_unrolled` — the same
+    left-to-right fold compiled into whole-stage codegen instead of
+    the interpreted ``aggregate(zip_with(...))`` — and rows of any
+    other dimension fall back to the HOF dot, so results are
+    row-identical for ANY value (bit-identity pinned in tests).
     """
     from ..operators.skew import spread
 
@@ -585,13 +600,18 @@ def ivf_knn_join(
     # The pair join's probe side inherits the query scan's width — on a
     # single-row-group input (the bench testdata) that is ONE task doing
     # the entire |cells|·avg_cell² pair scoring on one core.  spread()
-    # round-robins it over the core budget first (identity at
+    # redistributes it over the core budget first (identity at
     # production scan widths, guide §2.5-shaped remedy).  The corpus
     # side is not spread: it either broadcasts (build cost is O(rows))
     # or shuffles by cell anyway.  Full width, not the 0.5 default:
     # work per probe row is |cell| dot products, so per-task work stays
     # large at any sane width (see spread's docstring).
-    q = spread(q, width=1.0)
+    # by=__qid (r13): the broadcast pair join PRESERVES the probe
+    # side's partitioning, so hash-clustering on the query id here
+    # makes the downstream window top-k's ClusteredDistribution(__qid)
+    # already satisfied — the 400k-pair-row exchange between the pair
+    # stage and the ranking stage disappears (guide §2.4).
+    q = spread(q, width=1.0, by=["__qid"])
     join_keys = ["__qcell"]
     if cell_cap is not None:
         q, c, join_keys = _apply_cell_cap(q, c, cell_cap)
@@ -600,7 +620,10 @@ def ivf_knn_join(
     # |cells|·avg_cell²-shaped and dwarfs both row counts); zero-norm
     # vectors get NULL units = NULL cosine, same as the try_divide
     # guard in cosine_similarity.
-    from ..functions.vectors import dot, l2_norm
+    from ..functions.vectors import dot, dot_unrolled, l2_norm
+
+    if dim is None and centroids is not None:
+        dim = len(centroids[0])
 
     def _unit(df_, vec, out):
         return df_.withColumn("__nrm", l2_norm(vec)).withColumn(
@@ -625,6 +648,14 @@ def ivf_knn_join(
     # dropped, so the output is row-identical.
     q = q.filter(F.col("__qunit").isNotNull())
     c = c.filter(F.col("__nunit").isNotNull())
+    # the dominant per-pair arithmetic: with a dim hint the dot runs
+    # unrolled inside whole-stage codegen (bit-identical fold order;
+    # wrong-dim rows fall back to the HOF dot inside the expression)
+    pair_dot = (
+        dot_unrolled("__qunit", "__nunit", dim)
+        if dim
+        else dot(F.col("__qunit"), F.col("__nunit"))
+    )
     pairs = (
         q.join(c, join_keys)
         .filter(F.col("__qid") != F.col("__nid"))
@@ -632,7 +663,7 @@ def ivf_knn_join(
         .select(
             "__qid",
             "__nid",
-            dot(F.col("__qunit"), F.col("__nunit")).alias("cos_raw"),
+            pair_dot.alias("cos_raw"),
         )
     )
     return _knn_topk(pairs, k, id_col, drop_null_cos=False)
@@ -779,6 +810,7 @@ def knn_join(
     centroids: list[list[float]] | None = None,
     engine: str = "auto",
     cell_cap: "int | None | str" = "auto",
+    dim: int | None = None,
 ) -> DataFrame:
     """Bulk kNN join with engine routing — the production entry point.
 
@@ -816,8 +848,19 @@ def knn_join(
     if cell_cap == "auto":
         cell_cap = KNN_DEFAULT_CELL_CAP if engine == "blas" else None
     knn_join.last_engine = engine  # observable for tests/telemetry
-    impl = ivf_knn_join_blas if engine == "blas" else ivf_knn_join
-    return impl(
+    if engine == "blas":
+        return ivf_knn_join_blas(
+            queries,
+            corpus,
+            k=k,
+            vec_col=vec_col,
+            id_col=id_col,
+            cell_col=cell_col,
+            n_probe=n_probe,
+            centroids=centroids,
+            cell_cap=cell_cap,
+        )
+    return ivf_knn_join(
         queries,
         corpus,
         k=k,
@@ -827,6 +870,7 @@ def knn_join(
         n_probe=n_probe,
         centroids=centroids,
         cell_cap=cell_cap,
+        dim=dim,  # codegen dot hint — the SQL engine's per-pair hot loop
     )
 
 

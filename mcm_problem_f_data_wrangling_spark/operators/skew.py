@@ -110,7 +110,12 @@ def key_skew_profile(df: DataFrame, key_cols: list[str], top_k: int = 5) -> Data
     )
 
 
-def spread(df: DataFrame, min_rows: int = 0, width: float = 0.5) -> DataFrame:
+def spread(
+    df: DataFrame,
+    min_rows: int = 0,
+    width: float = 0.5,
+    by: "list[str] | None" = None,
+) -> DataFrame:
     """Small-scan parallelization guard for CPU-heavy row-local stages.
 
     A single-row-group parquet file (the driver testdata's layout)
@@ -137,6 +142,16 @@ def spread(df: DataFrame, min_rows: int = 0, width: float = 0.5) -> DataFrame:
     row — stay compute-bound at full width, so they pass ``width=1.0``
     (r12 measured: pair stage 1.23 s at 16 parts vs 0.96 s at 32 on
     local[32]; both still identities at production scan widths).
+
+    ``by`` hash-partitions on those columns instead of round-robin —
+    use it when a DOWNSTREAM operator needs exactly that clustering
+    (e.g. the kNN window top-k partitions by query id): the one spread
+    exchange then doubles as the window's required distribution and
+    Catalyst inserts no second exchange (guide §2.4 — two operations
+    keyed the same way share one exchange).  HashPartitioning on any
+    partition count satisfies the window's ClusteredDistribution, and
+    round-robin's sort-before-repartition is skipped as a bonus.  Only
+    pass high-cardinality keys (the guide's §2.5 synthetic-key note).
     """
     if df.isStreaming:
         # partition introspection (df.rdd) is undefined for streaming
@@ -144,5 +159,7 @@ def spread(df: DataFrame, min_rows: int = 0, width: float = 0.5) -> DataFrame:
         return df
     target = max(2, int(df.sparkSession.sparkContext.defaultParallelism * width))
     if df.rdd.getNumPartitions() < target:
+        if by:
+            return df.repartition(target, *[F.col(c) for c in by])
         return df.repartition(target)
     return df

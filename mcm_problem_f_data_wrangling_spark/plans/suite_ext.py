@@ -496,7 +496,13 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dot / (na * nb) DESC, nid) 
 )
 def x_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return ivf_knn_join(emb, emb, k=3)
+    # dim=64 is a pure performance HINT (the embeddings fixture is
+    # 64-dim at every SF): the per-pair dot unrolls into whole-stage
+    # codegen instead of the interpreted aggregate(zip_with) fold.
+    # Rows of any other dimension take the bit-identical HOF fallback
+    # inside the same expression, so results are row-identical for any
+    # value (r13; see functions/vectors.dot_unrolled).
+    return ivf_knn_join(emb, emb, k=3, dim=64)
 
 
 # --------------------------------------------------------------------------
