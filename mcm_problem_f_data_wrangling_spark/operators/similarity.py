@@ -71,16 +71,25 @@ def ivf_topk(
     id_col: str = "vec_id",
     cell_col: str = "label",
     n_probe: int = 1,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the ``n_probe`` nearest cells only.
 
     The probed-cell filter is a broadcast semi-join, so the main scan
     prunes to the probed partitions (with the table partitioned by
     cell on disk, this is partition pruning, not a filter).
+
+    ``cents`` (optional) is a precomputed ``(cell, centroid)`` frame
+    from :func:`centroids_by_cell` over the SAME ``df`` — callers that
+    probe many (query, n_probe) combinations materialize it ONCE and
+    pass it in, instead of re-running the per-cell aggregation inside
+    every call (r13: the ANN recall gate ran it 6×, ~4 s of its wall).
+    The values are identical by construction, so results don't change.
     """
     # one py4j round trip for the whole vector (see lit_doubles)
     q = lit_doubles(query_vec)
-    cents = centroids_by_cell(df, vec_col, cell_col)
+    if cents is None:
+        cents = centroids_by_cell(df, vec_col, cell_col)
     probed = (
         cents.select("cell", cosine_similarity(F.col("centroid"), q).alias("qcos"))
         .orderBy(F.desc("qcos"), "cell")

@@ -7561,8 +7561,9 @@ FROM (VALUES (0, 1, 10, TRUE, TRUE), (0, 2, 10, TRUE, TRUE),
 def x_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
         brute_force_topk,
+        centroids_by_cell,
         ivf_topk,
-        query_vector_of,
+        query_vectors_of,
         train_ivf_cells,
     )
 
@@ -7572,15 +7573,28 @@ def x_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelopes = {1: 0.5, 2: 0.6}
     out = []
     try:
+        # driver-job fusion (r13, guide §5: 13 sequential jobs → 11,
+        # and the expensive one runs once): the 3 query vectors fetch
+        # in ONE IN-filter job instead of 3 head() jobs, and the
+        # per-cell centroid aggregation — identical across all 6
+        # ivf_topk calls — materializes ONCE (10 rows, localCheckpoint
+        # inside the timed build) instead of re-aggregating the
+        # exploded corpus per call (was ~4 s of this gate's 6 s wall
+        # at sf0.1).  Values, and therefore recalls, are unchanged.
+        qs = query_vectors_of(emb, (0, 1, 2))
+        cents = centroids_by_cell(
+            assigned, cell_col="cell"
+        ).localCheckpoint()
         for qid in (0, 1, 2):
-            q = query_vector_of(emb, qid)
+            q = qs[qid]
             exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
             recalls = {}
             for n_probe, floor in envelopes.items():
                 got = {
                     r["vec_id"]
                     for r in ivf_topk(
-                        assigned, q, k=10, cell_col="cell", n_probe=n_probe
+                        assigned, q, k=10, cell_col="cell", n_probe=n_probe,
+                        cents=cents,
                     ).collect()
                 }
                 recalls[n_probe] = len(exact & got) / 10.0

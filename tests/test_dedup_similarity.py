@@ -153,6 +153,22 @@ def test_ivf_topk_probes_right_cell(vectors):
     assert got_labels == {0}  # only the probed cell was searched
 
 
+def test_ivf_topk_precomputed_cents_row_identical(vectors):
+    """Passing a materialized centroid frame (the r13 recall-gate
+    fusion) must give byte-identical results to the internal
+    aggregation — same values by construction."""
+    from mcm_problem_f_data_wrangling_spark.operators.similarity import (
+        centroids_by_cell,
+    )
+
+    q = [float(x) for x in vectors.filter("vec_id = 0").head()["embedding"]]
+    cents = centroids_by_cell(vectors).localCheckpoint()
+    for n_probe in (1, 2):
+        base = ivf_topk(vectors, q, k=5, n_probe=n_probe).collect()
+        got = ivf_topk(vectors, q, k=5, n_probe=n_probe, cents=cents).collect()
+        assert [tuple(r) for r in base] == [tuple(r) for r in got]
+
+
 def test_dedupe_rule_last_is_deterministic(spark):
     df = spark.createDataFrame(
         [("a", "2024-01-01", 1, 10.0), ("a", "2024-01-01", 2, 20.0), ("a", "2024-02-01", 3, 30.0)],
