@@ -761,12 +761,19 @@ def _prefix_filter_jaccard(tok: DataFrame, threshold: float) -> DataFrame:
     # ~13 -> ~10 s; x_dedup_jaccard_prefix pays ~1-2 s for the eager
     # materialization of its larger trigram prefix — net strongly
     # positive.  On a cluster, persist to DISK/DFS instead.)
+    # the candidate join needs only token EQUALITY, so the prefix
+    # table carries xxhash64(token) instead of the string (r13):
+    # the self-join's shuffle moves 8-byte longs and its equality is
+    # an integer compare.  A hash collision can only ADD a candidate
+    # pair (two different tokens matching), and every candidate is
+    # re-checked by the EXACT verify below — so results are identical
+    # unconditionally, no injectivity assumption needed here.
     prefix = (
         tok.join(dfreq, "token")
         .join(cnt, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= prefix_len)
-        .select("doc_id", "token", "n", "rn")
+        .select("doc_id", F.xxhash64("token").alias("tkey"), "n", "rn")
         .localCheckpoint(eager=True)
     )
     # PPJoin positional filter (Xiao et al. WWW'08 §3.2): a true pair
@@ -785,7 +792,7 @@ def _prefix_filter_jaccard(tok: DataFrame, threshold: float) -> DataFrame:
         prefix.alias("pa")
         .join(
             prefix.alias("pb"),
-            (F.col("pa.token") == F.col("pb.token"))
+            (F.col("pa.tkey") == F.col("pb.tkey"))
             & (F.col("pa.doc_id") < F.col("pb.doc_id")),
         )
         .where(
@@ -821,8 +828,27 @@ def _prefix_filter_jaccard(tok: DataFrame, threshold: float) -> DataFrame:
     # (n_1 + n_2) with no intermediate rows, no re-hash of the token
     # table per candidate.  Arrays hold distinct tokens (tok is a set
     # table), so size(array_intersect) IS the exact overlap.
+    # hashed-token verify arrays (r13): array_intersect over longs is
+    # ~2-3× cheaper per pair than over strings (no per-element string
+    # hashing/equality), and |h(T1) ∩ h(T2)| == |T1 ∩ T2| EXACTLY
+    # whenever xxhash64 is injective on the global vocabulary — checked
+    # by ONE cheap aggregate over the checkpointed token table (the
+    # distinct-token count per hash).  Any collision (never observed;
+    # ~|vocab|²/2⁶⁵ probability) falls back to the string arrays, so
+    # the count is provably exact either way.  Measured at sf1
+    # (x_dedup_clusters_cc shard, 4.7M candidates): pair stage
+    # 8.5 s → 5.5 s including the check job.
+    injective = (
+        tok.select("token")
+        .distinct()
+        .groupBy(F.xxhash64("token").alias("__h"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .isEmpty()
+    )
+    tok_feature = F.xxhash64("token") if injective else F.col("token")
     docs = tok.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("token")).alias("__toks")
+        F.sort_array(F.collect_list(tok_feature)).alias("__toks")
     )
     inter = (
         cand.join(

@@ -36,15 +36,26 @@ iterations are near-free.  At convergence the edge set IS the answer:
 Convergence = a stable (count, Σu, Σv, Σhash) edge-set checksum, read
 from an Observation riding the state write.
 
-Iteration state lives in PARQUET, re-read each phase.  This is
-deliberate and load-bearing: ``localCheckpoint``/``checkpoint`` do NOT
-reliably truncate lineage for data-dependent loop shapes on Spark 4.1
-— each phase references the previous edge set three times, and once
-truncation fails the recompute tree grows ~3^phases (measured on the
-hash-min predecessor: flat ~1 s/round through round 17, then 2.2 s,
-4 s, 9 s, 22 s, 57 s).  With parquet state every phase is a fresh
-scan.  At cluster scale the work dir is a distributed-FS path — the
-same pattern GraphX uses for iterative state.
+Iteration state is GROUNDED each phase — every phase starts from a
+materialized edge set, never from lineage (the hash-min predecessor's
+un-grounded loop re-referenced the previous edge set three times per
+phase and its recompute tree grew ~3^phases: flat ~1 s/round through
+round 17, then 2.2 s, 4 s, 9 s, 22 s, 57 s).  Two grounding media,
+picked by ``state``:
+
+- ``'local'`` (default): ``localCheckpoint(eager=True)`` — an eager
+  executor-memory barrier whose result plan is a bare ``LogicalRDD``
+  (``assert_materialized`` proves exactly this), so truncation is
+  structural, not best-effort.  No FS write, no parquet encode/decode,
+  no listing: measured 3.0 → 2.2 s (sf1) and 3.6 → 2.2 s (sf0.1) on
+  the x_dedup_clusters_cc edge set, labels byte-identical.  CAVEAT:
+  checkpoint blocks are executor-LOCAL — an executor loss kills the
+  job (truncated lineage cannot recompute).  Single-node / bench
+  profile.
+- ``'parquet'``: per-round write+read of ``work_dir`` — durable,
+  fault-tolerant rounds.  At cluster scale pass ``state='parquet'``
+  with ``work_dir`` on a distributed FS — the same pattern GraphX
+  uses for iterative state.
 """
 
 from __future__ import annotations
@@ -74,6 +85,7 @@ def connected_components(
     max_iter: int = 60,
     work_dir: str | None = None,
     on_round=None,
+    state: str = "local",
 ) -> DataFrame:
     """Connected components of an undirected graph → (node, component).
 
@@ -82,22 +94,39 @@ def connected_components(
     vertices (no incident edges); otherwise the vertex set is derived
     from the edges.
 
-    ``work_dir`` holds per-iteration parquet state (see module
-    docstring); default is a local temp dir, removed afterwards — on a
-    cluster pass a distributed-FS path.  ``max_iter`` bounds two-phase
+    ``state`` picks the per-round grounding medium (module docstring):
+    ``'local'`` (default) = eager localCheckpoint rounds — fastest,
+    executor-local, the single-node profile; ``'parquet'`` = durable
+    rounds in ``work_dir`` — the fault-tolerant cluster profile.
+    Labels are identical either way (pinned in tests).
+
+    ``work_dir`` holds parquet state when used (see module docstring);
+    default is a local temp dir, removed afterwards — on a cluster
+    pass a distributed-FS path.  ``max_iter`` bounds two-phase
     (large-star + small-star) iterations; hitting it raises rather
     than returning a half-contracted labeling.  ``on_round`` (optional
     ``Callable[[int], None]``) fires after each iteration's state
     write — the observability seam the scale smoke uses to sample
     per-iteration shuffle volume from the UI REST API.
     """
+    if state not in ("local", "parquet"):
+        raise ValueError(f"unknown state medium {state!r}")
     spark = edges.sparkSession
     base = work_dir or tempfile.mkdtemp(prefix="cc_state_")
     own_dir = work_dir is None
+
+    def ground(df: DataFrame, path: str) -> DataFrame:
+        # one materialization job either way; 'local' skips the FS
+        # round-trip (see module docstring for the tradeoff)
+        if state == "parquet":
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
     try:
         # canonical undirected edge set (u < v), deduped ONCE; the
         # (possibly expensive) input edge plan executes exactly once
-        # into parquet, and everything downstream reads the file
+        # into the grounded state, and everything downstream reads that
         e0 = (
             edges.select(
                 F.least(F.col(src), F.col(dst)).alias("u"),
@@ -106,8 +135,7 @@ def connected_components(
             .where(F.col("u") != F.col("v"))
             .dropDuplicates()
         )
-        e0.write.mode("overwrite").parquet(f"{base}/edges_0")
-        cur = spark.read.parquet(f"{base}/edges_0")
+        cur = ground(e0, f"{base}/edges_0")
         # no vertex-set materialization: both star phases provably
         # preserve every endpoint (a node always reappears as a leaf or
         # a center of the rewired edges), so the final stars cover
@@ -159,23 +187,25 @@ def connected_components(
         for i in range(max_iter):
             ls = large_star(cur)
             # the intermediate edge set feeds small_star's groupBy AND
-            # join branches — ground it in parquet (the state
-            # discipline) so neither branch recomputes large_star
-            ls.write.mode("overwrite").parquet(f"{base}/edges_{i + 1}L")
-            ss = small_star(spark.read.parquet(f"{base}/edges_{i + 1}L"))
-            # convergence checksum folded into the state write via an
-            # Observation — ONE job per iteration.  The edge set is
-            # exactly stable at the star fixpoint; (count, Σu, Σv,
+            # join branches — ground it (the state discipline) so
+            # neither branch recomputes large_star
+            ls = ground(ls, f"{base}/edges_{i + 1}L")
+            ss = small_star(ls)
+            # convergence checksum folded into the state-grounding job
+            # via an Observation — ONE job per iteration.  The edge set
+            # is exactly stable at the star fixpoint; (count, Σu, Σv,
             # Σxxhash64(u,v)) pins it without a second scan.
             obs = Observation(f"cc_iter_{i}")
-            ss.observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
-                F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-            ).write.mode("overwrite").parquet(f"{base}/edges_{i + 1}")
-            cur = spark.read.parquet(f"{base}/edges_{i + 1}")
+            cur = ground(
+                ss.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+                    F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+                ),
+                f"{base}/edges_{i + 1}",
+            )
             if on_round is not None:
                 on_round(i)
             got = obs.get
@@ -556,33 +586,48 @@ def k_core(
     max_iter: int = 1000,
     work_dir: str | None = None,
     on_round=None,
+    state: str = "parquet",
 ) -> DataFrame:
     """Nodes of the k-core (maximal subgraph with min degree >= k) —
     the graph-curation prune (low-connectivity spam/bot tails drop out
     before expensive per-node work).
 
     Iterative peel, same state discipline as :func:`connected_components`
-    (parquet-backed rounds — lineage-safe; convergence via an
-    Observation folded into the state write): each round computes
-    degrees over the surviving edge set, keeps nodes with degree >= k,
-    and LEFT SEMI-filters both edge endpoints against the survivors.
-    Work per round is one degree aggregate + two semi-joins, all keyed
-    on node id; the edge set only shrinks.  Rounds equal the peel
-    DEPTH, which is worst-case LINEAR (a bare path peels ~2 nodes per
-    round) — unlike CC's contraction iterations — hence the large
-    ``max_iter`` rail.  Returns (node,) rows; empty result when no
-    k-core exists.
+    (grounded rounds; convergence via an Observation folded into the
+    state grounding): each round computes degrees over the surviving
+    edge set, keeps nodes with degree >= k, and LEFT SEMI-filters both
+    edge endpoints against the survivors.  Work per round is one degree
+    aggregate + two semi-joins, all keyed on node id; the edge set
+    only shrinks.  Rounds equal the peel DEPTH, which is worst-case
+    LINEAR (a bare path peels ~2 nodes per round) — unlike CC's
+    contraction iterations — hence the large ``max_iter`` rail.
+    Returns (node,) rows; empty result when no k-core exists.
+
+    Unlike CC, ``state`` DEFAULTS TO ``'parquet'`` here: the peel runs
+    tens-to-hundreds of rounds, and the r13 A/B measured
+    localCheckpoint rounds 2.5× SLOWER at sf1 (41 s vs 16 s —
+    accumulated executor-local blocks across deep loops, and the
+    eager-checkpoint job bypasses AQE partition coalescing that the
+    write path gets), while CC's 2-5 contraction rounds measured ~30%
+    FASTER on 'local'.  The grounding medium never changes results
+    (pinned in tests).
     """
     from pyspark.sql import Observation
 
+    if state not in ("local", "parquet"):
+        raise ValueError(f"unknown state medium {state!r}")
     spark = edges.sparkSession
     base = work_dir or tempfile.mkdtemp(prefix="kcore_state_")
     own_dir = work_dir is None
+
+    def ground(df: DataFrame, path: str) -> DataFrame:
+        if state == "parquet":
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
     try:
-        symmetrize_edges(edges, src, dst).write.mode("overwrite").parquet(
-            f"{base}/edges_0"
-        )
-        cur = spark.read.parquet(f"{base}/edges_0")
+        cur = ground(symmetrize_edges(edges, src, dst), f"{base}/edges_0")
         prev_edges = None
         for i in range(max_iter):
             deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
@@ -591,10 +636,10 @@ def k_core(
                 keep.select(F.col("a").alias("b")), "b", "left_semi"
             )
             obs = Observation(f"kcore_round_{i}")
-            nxt.select("a", "b").observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-                "overwrite"
-            ).parquet(f"{base}/edges_{i + 1}")
-            cur = spark.read.parquet(f"{base}/edges_{i + 1}")
+            cur = ground(
+                nxt.select("a", "b").observe(obs, F.count(F.lit(1)).alias("n")),
+                f"{base}/edges_{i + 1}",
+            )
             if on_round is not None:
                 on_round(i)
             n_edges = obs.get["n"]

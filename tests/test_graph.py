@@ -254,3 +254,38 @@ def test_assert_materialized_pins_checkpoint_coupling(spark):
     )
     out = duplicate_clusters(docs)
     assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}
+
+
+def test_cc_state_media_label_identical(spark):
+    """The two round-grounding media (r13: eager localCheckpoint
+    default vs durable parquet) must produce byte-identical labels —
+    the medium is an I/O choice, never an algorithm change."""
+    rng = random.Random(13)
+    n = 80
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+    edges_df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    loc = sorted(
+        tuple(r)
+        for r in connected_components(
+            edges_df, nodes=nodes_df, state="local"
+        ).collect()
+    )
+    pq = sorted(
+        tuple(r)
+        for r in connected_components(
+            edges_df, nodes=nodes_df, state="parquet"
+        ).collect()
+    )
+    assert loc == pq and len(loc) == n
+
+
+def test_k_core_state_media_identical(spark):
+    from mcm_problem_f_data_wrangling_spark.operators.graph import k_core
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(80)]
+    edges_df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    loc = sorted(r["node"] for r in k_core(edges_df, k=3, state="local").collect())
+    pq = sorted(r["node"] for r in k_core(edges_df, k=3, state="parquet").collect())
+    assert loc == pq
