@@ -654,6 +654,18 @@ def fit_best_arma_forecast(
     recursion) fall back to the RW-with-drift stand-in, flagged
     ``order='rw_drift'`` — the same degradation the reference hits
     when SARIMAX fails to converge on a short series.
+
+    NEGATIVE RESULT (r13, recorded so the next round doesn't re-try):
+    fanning the grid out to (group, candidate) Arrow tasks — each
+    candidate's optimizer in its own task, winner reduced by a
+    min-AIC window — was built, proven row-identical at every SF, and
+    REJECTED on an order-alternated isolated A/B at sf1: sequential
+    6.28 s vs fanned 7.17 s median (whole query 5.68 vs 5.96).  The
+    per-task Arrow/worker overhead exceeds the parallelism gain
+    because one candidate's optimizer dominates the critical path
+    either way, and at production scale groups ≫ cores already
+    provide the parallelism while the fan-out would 5× the series
+    shuffle.  The sequential per-group grid stands.
     """
     if method not in ("ml", "css"):
         raise ValueError(f"method must be 'ml' or 'css', got {method!r}")

@@ -25,6 +25,11 @@ from ..functions.textfn import tokens
 # most recent call — unpersisted by the next call so repeated sweeps
 # cache at most one (the semantic_dedup _LAST_ASSIGNED pattern).
 _LAST_SEG: DataFrame | None = None
+# previous call's corpus-sized segment checkpoint (r13, advisor item):
+# unlike the small _LAST_SEG table this holds the full tokenized+
+# segmented corpus, so repeated invocations (parity sweeps, pytest
+# loops) must not accumulate executor-local blocks until GC
+_LAST_SEGGED: DataFrame | None = None
 
 
 def word_ngrams_strict(toks: Column, n: int) -> Column:
@@ -215,8 +220,19 @@ def boilerplate_removal(
     # 0.12 s over the materialized one at sf0.1; whole operator
     # ~7 s -> ~2 s).  Same in-query-lifetime discipline as the
     # dup-ngram gram table; on a cluster persist to DFS instead of
-    # executor-local storage.
+    # executor-local storage.  The handle is tracked module-wide and
+    # each call drops the PREVIOUS call's blocks (the _LAST_SEG
+    # pattern below) — this one is corpus-sized, so accumulation
+    # across sweep/pytest invocations is real memory, not noise.
+    global _LAST_SEGGED
+    if _LAST_SEGGED is not None:
+        try:
+            _LAST_SEGGED.unpersist()
+        except Exception:
+            # handle may belong to an already-stopped SparkSession
+            pass
     segged = segged.localCheckpoint(eager=True)
+    _LAST_SEGGED = segged
     seg_df = (
         segged.select(F.col(id_col), F.explode("__segs").alias("seg"))
         .groupBy("seg")
@@ -288,25 +304,19 @@ def boilerplate_removal(
             f"boilerplate set exceeds max_boiler_set={max_boiler_set}; "
             "raise the cap or use strategy='anti_join'"
         )
-    # The boilerplate set crosses to the JVM as ONE newline-joined
-    # string + a constant-folded split, NOT as F.lit(list): pyspark's
-    # lit() on a list issues one py4j round trip PER ELEMENT (cProfile:
-    # 6 563 calls, 5-13 s of driver wall at |boiler|=6554 — it was the
-    # dominant cost of the whole operator), while the joined-string
-    # literal is one round trip and ConstantFolding collapses the split
-    # to the same array literal at optimization time (r12: build 13.1 s
-    # -> 0.014 s, exec and rows identical).  Newline is collision-free
-    # here by construction — segments are whitespace-split tokens
-    # re-joined with single spaces — and the guard below keeps the
-    # general-input path correct if that ever changes.  (isin(*boiler)
-    # was also A/B'd: its InSet hash halves the per-segment scan but
-    # pays the same per-element py4j build — net loss.)
-    if boiler and not any("\n" in s for s in boiler):
-        boiler_lit = F.split(F.lit("\n".join(boiler)), "\n", -1)
-    elif boiler:
-        boiler_lit = F.lit(boiler)  # pathological separator collision
-    else:
-        boiler_lit = F.array().cast("array<string>")
+    # The boilerplate set crosses to the JVM as ONE py4j call via
+    # lit_strings (r13 — generalizes the r12 newline-join+split hack,
+    # which needed a separator-collision guard): pyspark's lit() on a
+    # list issues one py4j round trip PER ELEMENT (cProfile: 6 563
+    # calls, 5-13 s of driver wall at |boiler|=6554 — it was the
+    # dominant cost of the whole operator); one escaped array('…')
+    # expression string parses straight to the same array literal for
+    # ANY string content (bit-exactness pinned in tests).  (isin(*)
+    # was also A/B'd in r12: its InSet hash halves the per-segment
+    # scan but pays the same per-element py4j build — net loss.)
+    from ..functions.vectors import lit_strings
+
+    boiler_lit = lit_strings(boiler)
     kept = F.filter(F.col("__segs"), lambda s: ~F.array_contains(boiler_lit, s))
     # Materialize the filtered array ONCE in its own projection: the
     # output referenced ``kept`` four times (two sizes, the join, the

@@ -418,8 +418,17 @@ def x_sim_search_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE driver prefetch job (TakeOrdered 1) fetches the min-vec_id row
     # AND its vector; the former min()+head() pair cost two sequential
     # jobs against the same scan inside the timed region (guide §1:
-    # driver round-trips are part of the query's wall)
-    qrow = emb.select("vec_id", "embedding").orderBy("vec_id").head()
+    # driver round-trips are part of the query's wall).  NOT-NULL
+    # filters (r12 advisor): orderBy sorts NULLs FIRST whereas the
+    # oracle's MIN(vec_id) ignores them — on a corpus with a NULL id
+    # or embedding the unfiltered head() would pick a different row
+    # (or crash on the float() loop).
+    qrow = (
+        emb.select("vec_id", "embedding")
+        .where(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .orderBy("vec_id")
+        .head()
+    )
     if qrow is None:
         raise KeyError("no vectors in embeddings")
     qid, qvec = qrow[0], [float(v) for v in qrow[1]]
@@ -456,8 +465,14 @@ FROM s ORDER BY dot / (ne * nq) DESC, vec_id LIMIT 5
 )
 def x_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    # same single-prefetch-job shape as x_sim_search_bruteforce
-    qrow = emb.select("vec_id", "embedding").orderBy("vec_id").head()
+    # same single-prefetch-job shape (and NOT-NULL hardening) as
+    # x_sim_search_bruteforce
+    qrow = (
+        emb.select("vec_id", "embedding")
+        .where(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .orderBy("vec_id")
+        .head()
+    )
     if qrow is None:
         raise KeyError("no vectors in embeddings")
     qvec = [float(v) for v in qrow[1]]

@@ -132,3 +132,39 @@ def test_centroid_choices_argmax_stable(spark):
     assert {r["id"]: (r["m"]["cell"], r["m"]["c"]) for r in got} == {
         r["id"]: (r["m"]["cell"], r["m"]["c"]) for r in ref
     }
+
+
+def test_lit_strings_bit_identical(spark):
+    from mcm_problem_f_data_wrangling_spark.functions.vectors import lit_strings
+
+    vals = [
+        "",
+        "plain",
+        "with 'single' quotes",
+        'with "double" quotes',
+        "back\\slash",
+        "trailing backslash\\",
+        "new\nline",
+        "tab\there",
+        "unicode: héllo wörld — ünïcode ✓ 中文",
+        "mixed '\\' \n \t end",
+        "  leading and trailing  ",
+    ]
+    row = spark.range(1).select(
+        F.lit(vals).alias("ref"),
+        lit_strings(vals).alias("got"),
+    ).first()
+    assert list(row["ref"]) == list(row["got"])
+
+
+def test_lit_strings_empty_and_folded(spark):
+    from mcm_problem_f_data_wrangling_spark.functions.vectors import lit_strings
+
+    row = spark.range(1).select(lit_strings([]).alias("e")).first()
+    assert list(row["e"]) == []
+    # must fold to one literal at optimization time
+    df = spark.range(5).select(
+        F.array_contains(lit_strings(["a", "b"]), "a").alias("v")
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "array(" not in plan.lower(), plan

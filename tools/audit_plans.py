@@ -17,6 +17,15 @@ scale red flags:
   100 TB).  Refresh the snapshot deliberately with ``--snapshot``
   after reviewing why a plan changed.
 
+CAVEAT (r12 advisor): queries whose build runs eager materialization
+barriers (``localCheckpoint(eager=True)`` — the LSH verify frame, the
+gram/segment tables, CC round state) UNDERCOUNT here: the exchanges
+executed during the barrier's build job sit BELOW a ``LogicalRDD`` in
+the final plan and are invisible to this audit.  A count DROPPING to
+0-2 for such a query usually means work moved behind a checkpoint,
+not that shuffles disappeared — read the operator source before
+celebrating.  The committed snapshot shares this blind spot.
+
 Usage: python tools/audit_plans.py [sf_dir] [--snapshot]
 """
 

@@ -127,6 +127,14 @@ def main() -> int:
             flush=True,
         )
     wall = round(time.time() - t_all, 1)
+    # gate-floor labels (r12 verdict item 8): the streaming ladders'
+    # walls ARE their gate semantics (checkpoint restarts, watermark
+    # eviction, per-batch state-store floor — probed in r10), so the
+    # artifact marks them explicitly instead of every future round
+    # re-diagnosing 20-60 s rows as regressions
+    gate_floors = sorted(
+        n for n, q in REGISTRY.items() if "streaming" in (q.tags or ())
+    )
     if out_path:
         with open(out_path, "w") as f:
             json.dump(
@@ -136,6 +144,12 @@ def main() -> int:
                     "wall_seconds": round(time.time() - t_all, 1),
                     "failures": failures,
                     "queries": times,
+                    "gate_floors": gate_floors,
+                    "gate_floors_note": (
+                        "walls of these queries are pinned gate semantics "
+                        "(streaming restarts/watermark ladders), not "
+                        "optimizable compute"
+                    ),
                     **({"remeasured": remeasured} if remeasured else {}),
                 },
                 f,
