@@ -749,9 +749,49 @@ def _prefix_filter_jaccard(tok: DataFrame, threshold: float) -> DataFrame:
     from pyspark.sql import Window
 
     cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    # vocabulary (distinct tokens + document frequency + 64-bit hash),
+    # materialized ONCE (r13): it feeds the prefix join AND the
+    # injectivity decision below, and as a checkpoint it is computed
+    # exactly once per call
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("tkey", F.xxhash64("token"))
+        .localCheckpoint(eager=True)
+    )
+    # Is xxhash64 injective on this corpus's vocabulary?  (One tiny
+    # aggregate over the materialized vocab; collision probability is
+    # ~|vocab|²/2⁶⁵ — never observed, but the fallback keeps the
+    # result provably exact if it ever fires.)  Under injectivity the
+    # ENTIRE pipeline uses the 8-byte hash as the token identity:
+    # df-join, per-doc rarity window (ordered by (df, tkey) — the
+    # AllPairs prefix guarantee holds under ANY consistent total
+    # order, so swapping the tie-break from string to hash changes
+    # WHICH candidates are generated but never the verified output),
+    # candidate self-join, and the verify arrays.  That removes every
+    # per-row string hash/compare from the three dominant shuffles
+    # (measured at sf1, x_lsh_recall_gate's whole-corpus trigram
+    # table: prefix build 5.5 s → see OPTIMIZATION_r13.md).
+    injective = (
+        vocab.groupBy("tkey")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .isEmpty()
+    )
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    if injective:
+        tokf = tok.select("doc_id", F.xxhash64("token").alias("tkey"))
+        joined = tokf.join(vocab.select("tkey", "df"), "tkey")
+        w = Window.partitionBy("doc_id").orderBy("df", "tkey")
+        keep_key = F.col("tkey")
+    else:
+        joined = tok.join(vocab.select("token", "df"), "token")
+        w = Window.partitionBy("doc_id").orderBy("df", "token")
+        # the candidate join needs only token EQUALITY, so even the
+        # string path joins candidates on xxhash64(token): a collision
+        # can only ADD a candidate pair, which the exact verify
+        # rejects — results identical unconditionally
+        keep_key = F.xxhash64("token").alias("tkey")
     # localCheckpoint (same discipline as the caller's tok table): the
     # prefix table feeds BOTH sides of the candidate self-join, and the
     # df-join + per-doc window behind it re-run per side otherwise —
@@ -761,19 +801,11 @@ def _prefix_filter_jaccard(tok: DataFrame, threshold: float) -> DataFrame:
     # ~13 -> ~10 s; x_dedup_jaccard_prefix pays ~1-2 s for the eager
     # materialization of its larger trigram prefix — net strongly
     # positive.  On a cluster, persist to DISK/DFS instead.)
-    # the candidate join needs only token EQUALITY, so the prefix
-    # table carries xxhash64(token) instead of the string (r13):
-    # the self-join's shuffle moves 8-byte longs and its equality is
-    # an integer compare.  A hash collision can only ADD a candidate
-    # pair (two different tokens matching), and every candidate is
-    # re-checked by the EXACT verify below — so results are identical
-    # unconditionally, no injectivity assumption needed here.
     prefix = (
-        tok.join(dfreq, "token")
-        .join(cnt, "doc_id")
+        joined.join(cnt, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= prefix_len)
-        .select("doc_id", F.xxhash64("token").alias("tkey"), "n", "rn")
+        .select("doc_id", keep_key, "n", "rn")
         .localCheckpoint(eager=True)
     )
     # PPJoin positional filter (Xiao et al. WWW'08 §3.2): a true pair
@@ -831,21 +863,9 @@ def _prefix_filter_jaccard(tok: DataFrame, threshold: float) -> DataFrame:
     # hashed-token verify arrays (r13): array_intersect over longs is
     # ~2-3× cheaper per pair than over strings (no per-element string
     # hashing/equality), and |h(T1) ∩ h(T2)| == |T1 ∩ T2| EXACTLY
-    # whenever xxhash64 is injective on the global vocabulary — checked
-    # by ONE cheap aggregate over the checkpointed token table (the
-    # distinct-token count per hash).  Any collision (never observed;
-    # ~|vocab|²/2⁶⁵ probability) falls back to the string arrays, so
-    # the count is provably exact either way.  Measured at sf1
+    # under the vocabulary-injectivity check above.  Measured at sf1
     # (x_dedup_clusters_cc shard, 4.7M candidates): pair stage
-    # 8.5 s → 5.5 s including the check job.
-    injective = (
-        tok.select("token")
-        .distinct()
-        .groupBy(F.xxhash64("token").alias("__h"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .where(F.col("__c") > 1)
-        .isEmpty()
-    )
+    # 8.5 s → 5.5 s.
     tok_feature = F.xxhash64("token") if injective else F.col("token")
     docs = tok.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(tok_feature)).alias("__toks")
