@@ -70,23 +70,27 @@ def minhash_hashpair_col(text_col: str = "text", shingle_k: int = 3) -> Column:
     )
 
 
-def minhash_signature_cols(hp_col: Column | str = "hp", k: int = MINHASH_K) -> list[Column]:
+def minhash_signature_cols(hp_col: str = "hp", k: int = MINHASH_K) -> list[Column]:
     """k MinHash components s0..s{k-1} from a precomputed hash-pair array.
 
     ``s_i = min over shingles of (h1 + i*h2)`` — max value 16*2^56 =
     2^60, so the BIGINT arithmetic is overflow-free (hence ANSI-safe
     and DuckDB-portable) for k <= 128.
+
+    Each component ships as ONE ``F.expr`` string (r13): building the
+    16 HOF transforms out of pyspark Column operators cost ~0.25 s of
+    py4j round trips per plan BUILD (~1/3 of x_minhash_signatures'
+    wall at sf0.1; the dot_unrolled lesson).  The parsed trees are the
+    same expressions — ``i`` is inlined as a long literal, so the
+    ``h1 + iL * h2`` arithmetic is bit-identical.
     """
-    hp = F.col(hp_col) if isinstance(hp_col, str) else hp_col
-
-    def comp(i: int) -> Column:
-        # factory closure, not a default-arg lambda: pyspark HOF lambdas
-        # with two parameters receive (element, index) and would shadow i
-        return F.array_min(
-            F.transform(hp, lambda p: p["h1"] + F.lit(i) * p["h2"])
+    name = ".".join(f"`{p}`" for p in hp_col.split("."))
+    return [
+        F.expr(
+            f"array_min(transform({name}, p -> p.h1 + {i}L * p.h2))"
         ).alias(f"s{i}")
-
-    return [comp(i) for i in range(k)]
+        for i in range(k)
+    ]
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K) -> DataFrame:
